@@ -1,0 +1,424 @@
+"""Stage B — ordered graph-rewrite rules (B1-B11).
+
+Reference driver: GoCAM.applySparqlRules (GoCAM.java:974-999) — order is
+load-bearing. Each reference rule is SPARQL-match -> Java mutation ->
+full Jena model rebuild; here each rule is a pure DataFrame function
+  rule(triples, ...) -> (adds, delete_keys [, node_deletes, audit])
+and the pipeline folds them left-to-right with checkpoints, so there is
+no representation ping-pong (the reference rebuilds the whole graph ~10x
+per pathway, GoCAM.java:1020 et al.).
+
+Snapshot discipline (SURVEY.md §4d): B4 deliberately does NOT refresh the
+model before B5 (comment GoCAM.java:1504-1506), so B4 and B5 are matched
+against the SAME post-B3 snapshot and their add/delete sets applied
+together — reproduced exactly by `b4_b5`.
+
+Every join carries model_id in the key: triples are hash-partitioned by
+model_id, so rule self-joins co-partition and never shuffle the fact
+table against itself across models. Dims are broadcast. The B4/B5
+type-equijoins are the canonical hub-skew joins (mega-complex types,
+promiscuous molecules) — defended by the same-pathway key extension
+(as the reference does), do-not-join exclusions, and AQE skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import vocab as V
+from .dims import Dims
+
+_KEY = ["model_id", "subj", "pred", "obj"]
+
+
+def _adds(df: DataFrame, subj, pred, obj, rule: str) -> DataFrame:
+    lit = lambda x: F.lit(x) if isinstance(x, str) else x  # noqa: E731
+    return df.select(
+        F.col("model_id"),
+        lit(subj).alias("subj"),
+        lit(pred).alias("pred"),
+        lit(obj).alias("obj"),
+        F.lit(V.ECO_INFERRED).alias("evidence"),
+        F.lit(rule).alias("rule"),
+    ).distinct()
+
+
+def apply_delta(
+    triples: DataFrame,
+    adds: list[DataFrame] | None = None,
+    deletes: list[DataFrame] | None = None,
+    node_deletes: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Apply add/delete sets. deletes: (model_id,subj,pred,obj) keys;
+    node_deletes: (model_id, node) -> remove every triple referencing the
+    node (deleteOwlEntityAndAllReferencesToIt, GoCAM.java:885-928)."""
+    t = triples
+    for d in deletes or []:
+        t = t.join(d.select(*_KEY).distinct(), _KEY, "left_anti")
+    for nd in node_deletes or []:
+        nodes = nd.select("model_id", "node").distinct()
+        t = t.join(nodes, (t.model_id == nodes.model_id) & (t.subj == nodes.node),
+                   "left_anti")
+        t = t.join(nodes, (t.model_id == nodes.model_id) & (t.obj == nodes.node),
+                   "left_anti")
+    for a in adds or []:
+        t = t.unionByName(a)
+    return t.groupBy(*_KEY).agg(
+        F.min("evidence").alias("evidence"), F.min("rule").alias("rule")
+    )
+
+
+def _p(t: DataFrame, pred: str, s: str = "subj", o: str = "obj") -> DataFrame:
+    return t.filter(F.col("pred") == pred).select("model_id", F.col("subj").alias(s),
+                                                  F.col("obj").alias(o))
+
+
+def _same_pathway_causal(t: DataFrame) -> DataFrame:
+    """(model_id, r1, r2, pathway): causally_upstream_of pairs whose two
+    reactions share a pathway (the reference's explosion guard for
+    promiscuous molecules — also our skew defense)."""
+    po = _p(t, V.PART_OF, "r", "pathway")
+    c = _p(t, V.CAUSALLY_UPSTREAM, "r1", "r2").filter(F.col("r1") != F.col("r2"))
+    return (
+        c.join(po.withColumnRenamed("r", "r1"), ["model_id", "r1"])
+        .join(po.withColumnRenamed("r", "r2").withColumnRenamed("pathway", "p2"),
+              ["model_id", "r2"])
+        .filter(F.col("pathway") == F.col("p2"))
+        .select("model_id", "r1", "r2", "pathway")
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------------
+# B10 (runs first): drug-reaction removal (wrapAndWrite BioPaxtoGO.java:552-559;
+# GoCAM.removeDrugReactions :2009-2075)
+# ----------------------------------------------------------------------
+
+def b10_remove_drug_reactions(t: DataFrame, drug_reactions: DataFrame) -> DataFrame:
+    dr = drug_reactions.select("model_id", F.col("reaction").alias("node")).distinct()
+    neigh = (
+        t.filter(F.col("pred").isin(V.HAS_INPUT, V.HAS_OUTPUT, V.ENABLED_BY, V.OCCURS_IN))
+        .join(dr.withColumnRenamed("node", "subj"), ["model_id", "subj"])
+        .select("model_id", F.col("obj").alias("node"))
+    )
+    return apply_delta(t, node_deletes=[dr.unionByName(neigh)])
+
+
+# ----------------------------------------------------------------------
+# B1: molecular_event + enabled_by -> molecular function
+# (inferMolecularFunctionFromEnablers, GoCAM.java:1001-1025)
+# ----------------------------------------------------------------------
+
+def b1_mf_from_enablers(t: DataFrame) -> DataFrame:
+    me = t.filter((F.col("pred") == V.TYPE) & (F.col("obj") == V.MOLECULAR_EVENT))
+    enabled = _p(t, V.ENABLED_BY, "subj", "e").select("model_id", "subj").distinct()
+    hits = me.join(enabled, ["model_id", "subj"])
+    return apply_delta(
+        t,
+        adds=[_adds(hits, F.col("subj"), V.TYPE, V.MF_ROOT, "B1")],
+        deletes=[hits],
+    )
+
+
+# ----------------------------------------------------------------------
+# B2: occurs_in from entity locations (inferOccursInFromEntityLocations,
+# GoCAM.java:1178-1234; query2update_occurs_in.rq)
+# ----------------------------------------------------------------------
+
+def b2_occurs_in(t: DataFrame) -> DataFrame:
+    fwd = t.filter(F.col("pred").isin(V.HAS_INPUT, V.HAS_OUTPUT, V.ENABLED_BY)).select(
+        "model_id", F.col("subj").alias("reaction"), F.col("pred").alias("rel"),
+        F.col("obj").alias("entity"),
+    )
+    rev = t.filter(F.col("pred").isin(V.INV_POS_REG, V.INV_NEG_REG)).select(
+        "model_id", F.col("obj").alias("reaction"), F.col("pred").alias("rel"),
+        F.col("subj").alias("entity"),
+    )
+    rel_ent = fwd.unionByName(rev)
+    loc_edge = _p(t, V.LOCATED_IN, "entity", "loc_node")
+    loc_type = _p(t, V.TYPE, "loc_node", "loc_type").filter(
+        F.col("loc_type") != V.CC_ROOT
+    )
+    ent_loc = rel_ent.join(loc_edge, ["model_id", "entity"]).join(
+        loc_type, ["model_id", "loc_node"]
+    )
+    agg = ent_loc.groupBy("model_id", "reaction").agg(
+        F.collect_set(F.when(F.col("rel") == V.ENABLED_BY, F.col("loc_type"))).alias("enabler_locs"),
+        F.collect_set("loc_type").alias("all_locs"),
+    )
+    chosen = agg.withColumn(
+        "loc",
+        F.when(F.size("enabler_locs") == 1, F.element_at("enabler_locs", 1)).otherwise(
+            F.when((F.size("enabler_locs") == 0) & (F.size("all_locs") == 1),
+                   F.element_at("all_locs", 1))
+        ),
+    ).filter(F.col("loc").isNotNull()).withColumn(
+        "loc_node", F.concat("reaction", F.lit("~oc~"), "loc")
+    )
+    return apply_delta(
+        t,
+        adds=[
+            _adds(chosen, F.col("reaction"), V.OCCURS_IN, F.col("loc_node"), "B2"),
+            _adds(chosen, F.col("loc_node"), V.TYPE, F.col("loc"), "B2"),
+        ],
+    )
+
+
+# ----------------------------------------------------------------------
+# B3: regulates-via-output-regulates, "Entity Regulation Rule 1"
+# (inferRegulatesViaOutputRegulates GoCAM.java:1250-1296;
+#  query2update_regulation_1.rq: direct exactMatch OR complex has_part)
+# ----------------------------------------------------------------------
+
+def b3_regulates_via_output_regulates(t: DataFrame) -> DataFrame:
+    causal = _same_pathway_causal(t)
+    exact = _p(t, V.EXACT, "node", "ref")
+    out = _p(t, V.HAS_OUTPUT, "r1", "o").join(
+        exact.withColumnRenamed("node", "o").withColumnRenamed("ref", "oref"),
+        ["model_id", "o"],
+    )
+    reg = t.filter(F.col("pred").isin(V.INV_POS_REG, V.INV_NEG_REG)).select(
+        "model_id", F.col("subj").alias("z"), F.col("pred").alias("prop"),
+        F.col("obj").alias("r2"),
+    )
+    # direct: z exactMatch == r1-output exactMatch
+    zx = exact.withColumnRenamed("node", "z").withColumnRenamed("ref", "zmatch")
+    direct = reg.join(zx, ["model_id", "z"])
+    # complex: some complex cx has_part z, cx exactMatch == output exactMatch
+    hp = _p(t, V.HAS_PART, "cx", "z")
+    cx_ref = exact.withColumnRenamed("node", "cx").withColumnRenamed("ref", "zmatch")
+    via_cx = reg.join(hp, ["model_id", "z"]).join(cx_ref, ["model_id", "cx"]).drop("cx")
+    zmatched = direct.unionByName(via_cx)
+    hits = (
+        zmatched.join(out.withColumnRenamed("oref", "zmatch"), ["model_id", "zmatch"])
+        .join(causal, ["model_id", "r1", "r2"])
+        .select("model_id", "z", "prop", "r1", "r2", "pathway")
+        .distinct()
+        .withColumn("binding", F.concat("r1", F.lit("~bind~"), "z"))
+        .withColumn(
+            "reg_pred",
+            F.when(F.col("prop") == V.INV_POS_REG, F.lit(V.DIRECTLY_POS_REGULATES))
+            .otherwise(F.lit(V.DIRECTLY_NEG_REGULATES)),
+        )
+    )
+    return apply_delta(
+        t,
+        adds=[
+            _adds(hits, F.col("binding"), V.TYPE, V.BINDING, "B3"),
+            _adds(hits, F.col("binding"), V.HAS_INPUT, F.col("z"), "B3"),
+            _adds(hits, F.col("binding"), V.PART_OF, F.col("pathway"), "B3"),
+            _adds(hits, F.col("r1"), V.PROVIDES_INPUT, F.col("binding"), "B3"),
+            _adds(hits, F.col("binding"), F.col("reg_pred"), F.col("r2"), "B3"),
+        ],
+        deletes=[
+            hits.select("model_id", F.col("z").alias("subj"),
+                        F.col("prop").alias("pred"), F.col("r2").alias("obj")),
+            hits.select("model_id", F.col("r1").alias("subj"),
+                        F.lit(V.CAUSALLY_UPSTREAM).alias("pred"),
+                        F.col("r2").alias("obj")),
+        ],
+    )
+
+
+# ----------------------------------------------------------------------
+# B4 + B5 on one shared snapshot.
+# B4: regulates-via-output-enables, "Entity Regulation Rule 3"
+#     (inferRegulatesViaOutputEnables GoCAM.java:1343-1508)
+# B5: provides-input-for (inferProvidesInput GoCAM.java:1510-1545;
+#     query2update_provides_input_for.rq)
+# B4 intentionally leaves the query snapshot stale so B5 still sees the
+# causally_upstream_of edges B4 deleted (GoCAM.java:1504-1506).
+# ----------------------------------------------------------------------
+
+def b4_b5_causal_rewrites(t: DataFrame, dims: Dims) -> DataFrame:
+    causal = _same_pathway_causal(t).localCheckpoint(eager=False)
+    types = _p(t, V.TYPE, "node", "cls")
+
+    # ---- B4 ----
+    out_t = _p(t, V.HAS_OUTPUT, "r1", "o").join(
+        types.withColumnRenamed("node", "o").withColumnRenamed("cls", "ot"),
+        ["model_id", "o"],
+    ).select("model_id", "r1", "ot").distinct()
+    en_t = _p(t, V.ENABLED_BY, "r2", "e").join(
+        types.withColumnRenamed("node", "e").withColumnRenamed("cls", "et"),
+        ["model_id", "e"],
+    ).select("model_id", "r2", "et").distinct()
+    # case 1: direct type match (hub-skew join: same-pathway key extension
+    # + AQE skew splitting defend hot types)
+    case1 = causal.join(out_t, ["model_id", "r1"]).join(
+        en_t.withColumnRenamed("et", "ot"), ["model_id", "r2", "ot"]
+    ).select("model_id", "r1", "r2")
+    # case 2: enabler type (or any tbox subclass of it) is a part of a
+    # complex class that r1 outputs (part->complex index, QRunner.java:950-1027)
+    desc = dims.onto_ancestors.select(
+        F.col("ancestor_iri").alias("et"), F.col("class_iri").alias("desc")
+    )
+    cp = dims.complex_parts.select(
+        F.col("part_class").alias("desc"), F.col("complex_class").alias("ot")
+    )
+    en_cplx = (
+        en_t.join(F.broadcast(desc), "et")
+        .join(F.broadcast(cp), "desc")
+        .select("model_id", "r2", "ot")
+        .distinct()
+    )
+    case2 = causal.join(out_t, ["model_id", "r1"]).join(
+        en_cplx, ["model_id", "r2", "ot"]
+    ).select("model_id", "r1", "r2")
+    b4_hits = case1.unionByName(case2).distinct()
+
+    # ---- B5 (same snapshot) ----
+    exact = _p(t, V.EXACT, "node", "ref")
+    outs = _p(t, V.HAS_OUTPUT, "r1", "o").join(
+        exact.withColumnRenamed("node", "o").withColumnRenamed("ref", "a"),
+        ["model_id", "o"],
+    )
+    ins = _p(t, V.HAS_INPUT, "r2", "i").join(
+        exact.withColumnRenamed("node", "i").withColumnRenamed("ref", "a"),
+        ["model_id", "i"],
+    )
+    o_types = types.withColumnRenamed("node", "o").withColumnRenamed("cls", "ot")
+    b5_rows = (
+        causal.join(outs, ["model_id", "r1"])
+        .join(ins, ["model_id", "r2", "a"])
+        .join(o_types, ["model_id", "o"])
+    )
+    b5_matched = b5_rows.select("model_id", "r1", "r2").distinct()
+    b5_adds = (
+        b5_rows.filter((F.col("i") != F.col("o")) & ~F.col("ot").isin(V.DO_NOT_JOIN))
+        .select("model_id", "r1", "r2")
+        .distinct()
+    )
+
+    def _cu_del(pairs: DataFrame, pred: str) -> DataFrame:
+        return pairs.select("model_id", F.col("r1").alias("subj"),
+                            F.lit(pred).alias("pred"), F.col("r2").alias("obj"))
+
+    return apply_delta(
+        t,
+        adds=[
+            _adds(b4_hits, F.col("r1"), V.DIRECTLY_POS_REGULATES, F.col("r2"), "B4"),
+            _adds(b5_adds, F.col("r1"), V.PROVIDES_INPUT, F.col("r2"), "B5"),
+        ],
+        deletes=[
+            _cu_del(b4_hits, V.CAUSALLY_UPSTREAM),
+            _cu_del(b4_hits, V.PROVIDES_INPUT),
+            _cu_del(b5_matched, V.CAUSALLY_UPSTREAM),
+        ],
+    )
+
+
+# ----------------------------------------------------------------------
+# B6: small-molecule regulators (inferSmallMoleculeRegulators,
+# GoCAM.java:1667-1747): chemical & not nucleic-acid -> has_small_molecule_
+# activator/inhibitor; anything else -> delete regulator node + audit.
+# ----------------------------------------------------------------------
+
+def b6_small_molecule_regulators(
+    t: DataFrame, dims: Dims
+) -> tuple[DataFrame, DataFrame]:
+    regs = t.filter(F.col("pred").isin(V.INV_POS_REG, V.INV_NEG_REG)).select(
+        "model_id", F.col("subj").alias("z"), F.col("pred").alias("prop"),
+        F.col("obj").alias("r"),
+    )
+    ztypes = _p(t, V.TYPE, "z", "zt").join(regs.select("model_id", "z").distinct(),
+                                           ["model_id", "z"])
+    anc = dims.onto_ancestors.select(F.col("class_iri").alias("zt"),
+                                     F.col("ancestor_iri").alias("za"))
+    flags = (
+        ztypes.join(F.broadcast(anc), "zt", "left")
+        .groupBy("model_id", "z")
+        .agg(
+            F.max((F.col("za") == V.CHEMICAL_ROOT).cast("int")).alias("is_chem"),
+            F.max((F.col("za") == V.NUCLEIC_ACID).cast("int")).alias("is_nuc"),
+            F.min("zt").alias("ztype"),
+        )
+    )
+    j = regs.join(flags, ["model_id", "z"])
+    chem = j.filter((F.col("is_chem") == 1) & (F.coalesce("is_nuc", F.lit(0)) == 0))
+    nonchem = j.filter((F.coalesce("is_chem", F.lit(0)) == 0) | (F.col("is_nuc") == 1))
+    sm_pred = F.when(F.col("prop") == V.INV_POS_REG, F.lit(V.SM_ACTIVATOR)).otherwise(
+        F.lit(V.SM_INHIBITOR)
+    )
+    audit = nonchem.select(
+        F.lit("DELETING_NON_SMALL_MOL_REGULATOR").alias("rule"),
+        "model_id", F.col("r").alias("reaction"), F.col("ztype").alias("detail"),
+    ).distinct()
+    t = apply_delta(
+        t,
+        adds=[_adds(chem, F.col("r"), sm_pred, F.col("z"), "B6")],
+        deletes=[chem.select("model_id", F.col("z").alias("subj"),
+                             F.col("prop").alias("pred"), F.col("r").alias("obj"))],
+        node_deletes=[nonchem.select("model_id", F.col("z").alias("node"))],
+    )
+    return t, audit
+
+
+# ----------------------------------------------------------------------
+# B7: delete complexes with active units (deleteComplexesWithActiveUnits,
+# GoCAM.java:1749-1757): complex has_part X and some reaction
+# has_input/enabled_by X -> delete the complex node.
+# ----------------------------------------------------------------------
+
+def b7_delete_complexes_with_active_units(t: DataFrame) -> DataFrame:
+    hp = _p(t, V.HAS_PART, "cx", "x")
+    used = (
+        t.filter(F.col("pred").isin(V.HAS_INPUT, V.ENABLED_BY))
+        .select("model_id", F.col("obj").alias("x"))
+        .distinct()
+    )
+    doomed = hp.join(used, ["model_id", "x"]).select(
+        "model_id", F.col("cx").alias("node")
+    ).distinct()
+    return apply_delta(t, node_deletes=[doomed])
+
+
+# ----------------------------------------------------------------------
+# B8: delete disallowed relations (deleteDisallowedRelations,
+# GoCAM.java:1759-1783): all located_in edges + their location nodes,
+# plus any leftover involved_in_*_regulation_of edges.
+# ----------------------------------------------------------------------
+
+def b8_delete_disallowed(t: DataFrame) -> DataFrame:
+    loc_nodes = _p(t, V.LOCATED_IN, "s", "node").select("model_id", "node")
+    t = apply_delta(t, node_deletes=[loc_nodes])
+    return t.filter(~F.col("pred").isin(V.LOCATED_IN, V.INV_REG, V.INV_POS_REG,
+                                        V.INV_NEG_REG))
+
+
+# ----------------------------------------------------------------------
+# B9: unconnected-node cleanup (cleanOutUnconnectedNodes, GoCAM.java:1974-2007)
+# ----------------------------------------------------------------------
+
+def b9_clean_unconnected(t: DataFrame) -> DataFrame:
+    edges = t.filter(F.col("pred").isin(V.EDGE_PREDS))
+    connected = (
+        edges.select("model_id", F.col("subj").alias("node"))
+        .unionByName(edges.select("model_id", F.col("obj").alias("node")))
+        .distinct()
+    )
+    candidates = t.filter(F.col("pred").isin(V.TYPE, V.EXACT)).select(
+        "model_id", F.col("subj").alias("node")
+    ).distinct()
+    orphans = candidates.join(connected, ["model_id", "node"], "left_anti")
+    return apply_delta(t, node_deletes=[orphans])
+
+
+# ----------------------------------------------------------------------
+# B11: skip-empty-model gate (BioPaxtoGO.java:588-599): keep a model only
+# if it has a molecular_event or an MF-closure type.
+# ----------------------------------------------------------------------
+
+def b11_model_gate(t: DataFrame, dims: Dims) -> DataFrame:
+    mf = dims.onto_ancestors.filter(F.col("ancestor_iri") == V.MF_ROOT).select(
+        F.col("class_iri").alias("obj")
+    )
+    ty = t.filter(F.col("pred") == V.TYPE)
+    active = (
+        ty.filter(F.col("obj") == V.MOLECULAR_EVENT)
+        .select("model_id")
+        .unionByName(ty.join(F.broadcast(mf), "obj").select("model_id"))
+        .distinct()
+    )
+    return t.join(active, "model_id", "left_semi")
