@@ -1,0 +1,188 @@
+"""Deduplication operators for the documents corpus.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH (shingle -> minhash ->
+band -> bucket-join), SimHash, and embedding-cosine near-dup. All but the
+final verify step are native Column expressions; the shapes are the
+standard web-scale dedup pipelines:
+
+  exact        one shuffle on the content hash
+  minhash-lsh  narrow shingle/minhash pass, shuffle only on (band, hash)
+               buckets — candidate pairs are bucket-local, never all-pairs
+  simhash      one aggregation pass building a 32-bit signature
+  embedding    sign-LSH bucket prefilter, exact cosine within buckets
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (md5, n_docs, doc_ids, keeper)."""
+    return (
+        df.select(F.col("doc_id"), F.md5(F.col(col)).alias("md5"))
+        .groupBy("md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingles(df: DataFrame, col: str, n: int) -> DataFrame:
+    """(doc_id, shingle): distinct word n-grams."""
+    toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, col: str = "text", n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold, blocked by shared shingles
+    (pairs with zero shared shingles are never materialized)."""
+    sh = _shingles(df, col, n).cache()
+    sizes = sh.groupBy("doc_id").count().withColumnRenamed("count", "sz")
+    a = sh.withColumnRenamed("doc_id", "a")
+    b = sh.withColumnRenamed("doc_id", "b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn("jaccard",
+                    F.col("n_inter") / (F.col("sza") + F.col("szb") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, col: str = "text", n: int = 3, k: int = 32
+) -> DataFrame:
+    """(doc_id, h0..h{k-1}): k minhashes in ONE groupBy pass (k aggregate
+    expressions over murmur3 with per-function seed columns)."""
+    sh = _shingles(df, col, n)
+    aggs = [F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: signature -> band hashes -> bucket join
+    -> verify with signature agreement (estimated Jaccard)."""
+    rows = k // bands
+    sig = minhash_signatures(df, col, n, k).cache()
+    band_cols = [
+        F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    pairs = None
+    for b in range(bands):
+        lhs = banded.select(F.col("doc_id").alias("a"), F.col(f"band{b}").alias("bh"))
+        rhs = banded.select(F.col("doc_id").alias("b"), F.col(f"band{b}").alias("bh"))
+        p = lhs.join(rhs, "bh").filter(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+    sa = sig.select(F.col("doc_id").alias("a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col("doc_id").alias("b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)
+    )
+    return (
+        cand.join(sa, "a").join(sb, "b")
+        .withColumn("est_jaccard", agree / F.lit(k))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def simhash(df: DataFrame, col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): classic bitwise-majority token signature, built
+    as `bits` aggregate expressions in one pass."""
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col(col))), r"\s+")).alias("tok")
+    ).withColumn("th", F.hash("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_aggs)
+    sig = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)
+    )
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on four 8-bit
+    chunks: by pigeonhole, any pair within distance <= 3 has at least one
+    identical chunk, so candidate generation is 4 equi-joins, never
+    all-pairs."""
+    s = simhash(df, col)
+    for i in range(4):
+        s = s.withColumn(
+            f"c{i}", F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(0xFF))
+        )
+    out = None
+    for i in range(4):
+        a = s.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"),
+                     F.col(f"c{i}").alias("blk"), F.lit(i).alias("blk_id"))
+        b = s.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"),
+                     F.col(f"c{i}").alias("blk"), F.lit(i).alias("blk_id"))
+        p = a.join(b, ["blk", "blk_id"]).filter(F.col("a") < F.col("b")).drop("blk", "blk_id")
+        out = p if out is None else out.unionByName(p)
+    return (
+        out.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def embedding_near_dupes(
+    emb: DataFrame, threshold: float = 0.95, planes: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with a deterministic sign-LSH
+    bucket prefilter: bucket = sign bits of the first `planes` dims;
+    exact cosine within buckets only."""
+    v = F.col("embedding")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x))
+    bucket = sum(
+        F.when(F.element_at(v, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(planes)
+    )
+    e = emb.select("vec_id", "embedding", norm.alias("norm"), bucket.alias("bkt"))
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+                 F.col("norm").alias("na"), "bkt")
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+                 F.col("norm").alias("nb"), "bkt")
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "bkt").filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )

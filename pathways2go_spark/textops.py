@@ -1,0 +1,93 @@
+"""Text analysis over the documents corpus: token counting, quality
+scoring, language-ID, fingerprinting.
+
+All native Column expressions (JVM-side, whole-stage codegen) — no Python
+in the hot path. Designed for the driver's `documents` table
+(doc_id, text, lang, source, n_chars) but column-parameterized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny English function-word list for the n-gram/stopword heuristic
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are",
+]
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_ratio(col: str = "text") -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: str = "text") -> Column:
+    n_punct = F.length(F.regexp_replace(F.col(col), r"[^!-/:-@\[-`{-~]", ""))
+    return n_punct / F.greatest(F.length(F.col(col)), F.lit(1))
+
+
+def avg_token_len(col: str = "text") -> Column:
+    toks = tokens(col)
+    return F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword features + a composite score —
+    the standard pre-training quality gates, one codegen'd projection."""
+    return df.select(
+        "doc_id",
+        F.length(F.col(col)).alias("n_chars_computed"),
+        token_count(col).alias("n_tokens"),
+        F.round(avg_token_len(col), 6).alias("avg_token_len"),
+        F.round(stopword_ratio(col), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(col), 6).alias("punct_ratio"),
+    ).withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= 5)
+        & (F.col("avg_token_len") >= 2)
+        & (F.col("avg_token_len") <= 12)
+        & (F.col("stopword_ratio") >= 0.01),
+    )
+
+
+def language_id(df: DataFrame, col: str = "text") -> DataFrame:
+    """Heuristic language-ID: English function-word hit ratio. Mirrors the
+    n-gram-frequency approach at tiny cost; real models plug in as a
+    pandas_udf with the same output contract."""
+    return df.select(
+        "doc_id",
+        F.round(stopword_ratio(col), 6).alias("en_ratio"),
+    ).withColumn(
+        "lang_pred", F.when(F.col("en_ratio") >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Document fingerprints: full-content md5 + a shingle-set rolling
+    fingerprint (min/max of 64-bit shingle hashes) for cheap near-dup
+    triage before MinHash."""
+    sh = F.transform(
+        F.slice(tokens(col), 1, 64),
+        lambda t: F.xxhash64(F.lower(t)),
+    )
+    return df.select(
+        "doc_id",
+        F.md5(F.lower(F.col(col))).alias("md5"),
+        F.xxhash64(F.lower(F.col(col))).alias("h64"),
+        F.array_min(sh).alias("shingle_min"),
+        F.array_max(sh).alias("shingle_max"),
+    )

@@ -1,0 +1,134 @@
+"""Tests for the training-data pipeline operators (textops, dedup,
+similarity, multimodal) over the driver-generated testdata tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathways2go_spark import dedup, multimodal, similarity, textops
+from pathways2go_spark.datagen import ensure_fixture
+from pathways2go_spark.ingest import read_documents
+from tests.conftest import FIXTURE_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_quality_features(docs):
+    q = textops.quality_features(docs)
+    row = q.orderBy("doc_id").first()
+    assert row["n_tokens"] > 0
+    assert 0.0 <= row["stopword_ratio"] <= 1.0
+    # n_chars matches the table's own n_chars column
+    joined = q.join(docs.select("doc_id", "n_chars"), "doc_id").filter(
+        F.col("n_chars_computed") != F.col("n_chars")
+    )
+    assert joined.count() == 0
+
+
+def test_language_id(docs):
+    lid = textops.language_id(docs)
+    # corpus is English-ish wordlists: most rows should classify en
+    n = lid.count()
+    n_en = lid.filter(F.col("lang_pred") == "en").count()
+    assert n_en > n * 0.5
+
+
+def test_fingerprint_deterministic(docs):
+    a = textops.fingerprint(docs).orderBy("doc_id").limit(5).collect()
+    b = textops.fingerprint(docs).orderBy("doc_id").limit(5).collect()
+    assert a == b
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [("d1", "same text"), ("d2", "same text"), ("d3", "other")],
+        ["doc_id", "text"],
+    )
+    groups = dedup.exact_duplicates(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == ["d1", "d2"]
+    assert groups[0]["keeper"] == "d1"
+
+
+def test_ngram_jaccard_and_minhash_agree(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        ("a", base),
+        ("b", base + " extra"),                      # near-dup of a
+        ("c", "completely different words here that share nothing at all ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert {(r["a"], r["b"]) for r in jac} == {("a", "b")}
+    mh = dedup.minhash_lsh_pairs(df, k=32, bands=8, threshold=0.5).collect()
+    assert {(r["a"], r["b"]) for r in mh} == {("a", "b")}
+
+
+def test_simhash_near_pairs(spark):
+    rows = [
+        ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("b", "alpha beta gamma delta epsilon zeta eta theta"),  # identical
+        ("c", "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.simhash_near_pairs(df, max_hamming=3).collect()
+    assert {(r["a"], r["b"], r["hamming"]) for r in pairs} == {("a", "b", 0)}
+    # blocked candidate generation == brute force for distance <= 3
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (x, y)
+        for i, x in enumerate(ids)
+        for y in ids[i + 1:]
+        if bin(sigs[x] ^ sigs[y]).count("1") <= 3
+    }
+    assert {(r["a"], r["b"]) for r in pairs} == brute
+
+
+def test_cosine_topk_exact_vs_lsh(emb):
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    assert exact[0]["vec_id"] == 0 and abs(exact[0]["cosine"] - 1.0) < 1e-9
+    ann = similarity.ann_topk_lsh(emb, q, k=5).collect()
+    assert ann[0]["vec_id"] == 0
+    # the self-match bucket always contains the query itself
+    assert {r["vec_id"] for r in ann} <= {r["vec_id"] for r in
+                                          similarity.cosine_topk(emb, q, k=500).collect()}
+
+
+def test_embedding_near_dupes_self_join(spark, emb):
+    dup = emb.limit(3).withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.limit(3).unionByName(dup)
+    pairs = dedup.embedding_near_dupes(both, threshold=0.999).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(i, i + 100000) for i in range(3)}
+
+
+def test_media_pipeline(spark):
+    paths = ensure_fixture(FIXTURE_DIR, replicas=1)
+    documents = read_documents(spark, paths["documents"])
+    media = multimodal.media_table(documents)
+    assert media.count() > 0
+    assert media.filter(F.col("media_kind") != "img").count() == 0
+    feats = multimodal.extract_features(media, dim=8).collect()
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic features
+    again = multimodal.extract_features(media, dim=8).collect()
+    assert sorted(r["media_ref"] for r in feats) == sorted(r["media_ref"] for r in again)
+    sampled = multimodal.sample_frames(media, every_n=2)
+    assert 0 < sampled.count() <= media.count()
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"bytes")

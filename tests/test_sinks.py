@@ -1,0 +1,82 @@
+"""Resumable sink tests: idempotent bucketed write, lineage manifests,
+and crash-resume producing output identical to a one-shot write."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathways2go_spark.dims import load_dims
+from pathways2go_spark.pipeline import run_pipeline
+from pathways2go_spark.sinks import (
+    completed_buckets,
+    read_triples,
+    write_triples,
+)
+from tests.conftest import FIXTURE_DIR
+
+
+@pytest.fixture(scope="module")
+def triples(spark, documents):
+    dims = load_dims(spark, FIXTURE_DIR)
+    t = run_pipeline(spark, documents, dims).triples
+    t.cache().count()
+    return t
+
+
+def _key_set(df):
+    return {
+        (r["model_id"], r["subj"], r["pred"], r["obj"])
+        for r in df.select("model_id", "subj", "pred", "obj").collect()
+    }
+
+
+def test_write_read_roundtrip(spark, triples, tmp_path):
+    out = str(tmp_path / "sink")
+    summary = write_triples(spark, triples, out, buckets=8)
+    assert summary["skipped_buckets"] == []
+    back = read_triples(spark, out)
+    assert _key_set(back) == _key_set(triples)
+    assert completed_buckets(spark, out) == set(summary["written_buckets"])
+    # lineage manifests carry counts
+    with open(os.path.join(out, "_lineage",
+                           f"bucket={summary['written_buckets'][0]}.json")) as f:
+        rec = json.load(f)
+    assert rec["n_triples"] > 0 and rec["rule_counts"]
+
+
+def test_crash_resume_is_identical(spark, triples, tmp_path):
+    out_once = str(tmp_path / "once")
+    write_triples(spark, triples, out_once, buckets=8)
+
+    # simulate a crash mid-run: a full write whose last buckets never
+    # completed (data dir + manifest missing for some, manifest missing
+    # for one whose data landed)
+    out_resume = str(tmp_path / "resume")
+    s1 = write_triples(spark, triples, out_resume, buckets=8)
+    victims = s1["written_buckets"][:3]
+    for v in victims:
+        os.remove(os.path.join(out_resume, "_lineage", f"bucket={v}.json"))
+    for v in victims[:2]:
+        shutil.rmtree(os.path.join(out_resume, "data", f"bucket={v}"))
+
+    # resume: completed buckets skipped, victims rewritten
+    s2 = write_triples(spark, triples, out_resume, buckets=8)
+    assert set(s2["written_buckets"]) == set(victims)
+    assert set(s2["skipped_buckets"]) == set(s1["written_buckets"]) - set(victims)
+
+    a = _key_set(read_triples(spark, out_once))
+    b = _key_set(read_triples(spark, out_resume))
+    assert a == b
+
+
+def test_skipped_buckets_not_rewritten(spark, triples, tmp_path):
+    out = str(tmp_path / "idem")
+    write_triples(spark, triples, out, buckets=4)
+    s2 = write_triples(spark, triples, out, buckets=4)
+    assert s2["written_buckets"] == []
+    shutil.rmtree(out)
