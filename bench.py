@@ -1,0 +1,94 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "e2e_seconds", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "kg_docs": ...,
+   "kg_triples": ..., "kg_triples_per_sec": ...}
+
+The KG pipeline benchmark runs over a deterministically generated
+interleaved-document corpus (replicas scaled by SPARK_GRAFT_KG_REPLICAS,
+default 200 -> 2,600 pathway documents); corpus generation time is NOT
+counted. Set SPARK_GRAFT_BENCH_MASTER to override the master (used by
+tools/scaling_bench.py for the N-vs-4N-cores scaling-efficiency run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from pathways2go_spark.datagen import ensure_fixture
+    from pathways2go_spark.dims import load_dims
+    from pathways2go_spark.ingest import read_documents
+    from pathways2go_spark.pipeline import run_pipeline
+    from pathways2go_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    master = os.environ.get("SPARK_GRAFT_BENCH_MASTER", f"local[{cpus}]")
+    replicas = int(os.environ.get("SPARK_GRAFT_KG_REPLICAS", 200))
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = 0.1
+
+    kg_dir = f"/root/repo/.kg_bench_r{replicas}"
+    paths = ensure_fixture(kg_dir, replicas=replicas)
+
+    spark = get_spark(master=master, app_name="p2g_bench")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> object:
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # -- KG construction pipeline (the flagship job) -------------------
+    docs = read_documents(spark, paths["documents"])
+    dims = load_dims(spark, kg_dir)
+    n_docs = docs.count()
+    n_triples = timed(
+        "kg_pipeline",
+        lambda: run_pipeline(spark, docs, dims).triples.count(),
+    )
+
+    # -- corpus / relational headline queries --------------------------
+    heads = [
+        "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
+        "text_quality", "sim_cosine_topk", "sim_ann_lsh_topk",
+        "events_hourly", "tpch_pricing", "top_orders_per_cust",
+        "nation_order_stats",
+    ]
+    qs = E.queries()
+    for name in heads:
+        df = qs[name](spark, sf_dir)
+        timed(name, lambda d=df: d.count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "e2e_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "master": master,
+        "kg_docs": n_docs,
+        "kg_triples": n_triples,
+        "kg_triples_per_sec": round(n_triples / timings["kg_pipeline"], 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
