@@ -4,11 +4,21 @@ Mirrors BioPaxtoGO.convert + wrapAndWrite (BioPaxtoGO.java:167-343, :549-639)
 but set-at-a-time over all models at once: one distributed DAG instead of a
 per-file loop with per-rule model rebuilds.
 
-Checkpoint discipline: the triple set is hash-partitioned by model_id once
-after stage A (every stage-B rule joins on model_id-prefixed keys, so rule
-self-joins co-partition); each rule output is checkpointed to cut lineage
-(driver-side loop of staged materializations — the cluster version writes
-each stage to a partitioned table via sinks.py for resume)."""
+Stage B runs on one of two physical paths with identical semantics:
+
+  local (default for bounded models)   ONE shuffle: groupBy(model_id)
+      .cogroup(drug_reactions).applyInPandas over Arrow batches — the
+      reference's per-named-graph rule loop (GoCAM.java:974-999), which is
+      embarrassingly parallel across models (stage_b_local.py).
+  distributed (mega-model skew path)   each rule as global DataFrame
+      self-joins (stage_b.py) — ~25 shuffles, but no per-model memory
+      bound; used for models whose stage-A triple count exceeds
+      `local_threshold` (stage_b_mode="auto" routes per model).
+
+Checkpoint discipline: the stage-A triple set is hash-partitioned by
+model_id and checkpointed once; the distributed rule chain checkpoints per
+rule to cut lineage (the cluster version writes each stage to a
+partitioned table via sinks.py for resume)."""
 
 from __future__ import annotations
 
@@ -21,6 +31,14 @@ from .dims import Dims
 from .ingest import ingest
 from .stage_a import extract
 from . import stage_b as B
+from . import stage_b_local as BL
+
+_TRIPLE_SCHEMA = (
+    "model_id string, subj string, pred string, obj string, "
+    "evidence string, rule string"
+)
+
+_AUDIT_COLS = ["rule", "model_id", "reaction", "detail"]
 
 
 @dataclass
@@ -30,20 +48,12 @@ class PipelineResult:
     drug_reactions: DataFrame
 
 
-def run_pipeline(
-    spark: SparkSession,
-    documents: DataFrame,
-    dims: Dims,
-    checkpoint: bool = True,
-) -> PipelineResult:
-    elements, links = ingest(documents)
-    sa = extract(elements, links, dims)
-
+def _stage_b_distributed(
+    t: DataFrame, drugs: DataFrame, dims: Dims, checkpoint: bool
+) -> tuple[DataFrame, DataFrame]:
     def ck(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=False) if checkpoint else df
 
-    t = sa.triples.repartition("model_id")
-    drugs = sa.drug_reactions.localCheckpoint(eager=False)
     t = ck(B.b10_remove_drug_reactions(t, drugs))
     t = ck(B.b1_mf_from_enablers(t))
     t = ck(B.b2_occurs_in(t))
@@ -55,7 +65,89 @@ def run_pipeline(
     t = B.b8_delete_disallowed(t)
     t = ck(B.b9_clean_unconnected(t))
     t = B.b11_model_gate(t, dims)
-    return PipelineResult(triples=t, audit=audit, drug_reactions=drugs)
+    return t, audit
+
+
+def _stage_b_local(
+    t: DataFrame, drugs: DataFrame, dims: Dims
+) -> tuple[DataFrame, DataFrame]:
+    local_dims = BL.build_local_dims(
+        dims.onto_ancestors.toPandas(), dims.complex_parts.toPandas()
+    )
+
+    def run(left, right):
+        if len(left) == 0:
+            return left.iloc[0:0]
+        return BL.apply_rules_local(left, set(right["reaction"]), local_dims)
+
+    out = (
+        t.groupBy("model_id")
+        .cogroup(drugs.groupBy("model_id"))
+        .applyInPandas(run, schema=_TRIPLE_SCHEMA)
+    )
+    triples = out.filter(F.col("pred") != BL.AUDIT_PRED)
+    audit = out.filter(F.col("pred") == BL.AUDIT_PRED).select(
+        F.col("rule"),
+        "model_id",
+        F.col("subj").alias("reaction"),
+        F.col("obj").alias("detail"),
+    )
+    return triples, audit
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    dims: Dims,
+    checkpoint: bool = True,
+    stage_b_mode: str = "auto",
+    local_threshold: int = 500_000,
+) -> PipelineResult:
+    elements, links = ingest(documents)
+    if checkpoint:
+        # materialize the span parse ONCE — every stage-A loop iteration and
+        # eager checkpoint otherwise re-runs the whole ingest lineage
+        elements = elements.localCheckpoint(eager=True)
+        links = links.localCheckpoint(eager=True)
+    sa = extract(elements, links, dims)
+
+    t = sa.triples.repartition("model_id")
+    drugs = sa.drug_reactions.localCheckpoint(eager=True)
+
+    if stage_b_mode == "distributed":
+        tt, audit = _stage_b_distributed(t, drugs, dims, checkpoint)
+        return PipelineResult(triples=tt, audit=audit, drug_reactions=drugs)
+
+    if stage_b_mode == "local":
+        tt, audit = _stage_b_local(t, drugs, dims)
+        return PipelineResult(triples=tt, audit=audit, drug_reactions=drugs)
+
+    # auto: route mega-models (per-model stage-A triple count above the
+    # threshold) through the distributed rules — the skew defense — and
+    # everything else through the one-shuffle local path.
+    t = t.localCheckpoint(eager=True)
+    big = (
+        t.groupBy("model_id")
+        .count()
+        .filter(F.col("count") > local_threshold)
+        .select("model_id")
+        .localCheckpoint(eager=True)
+    )
+    if big.isEmpty():
+        tt, audit = _stage_b_local(t, drugs, dims)
+        return PipelineResult(triples=tt, audit=audit, drug_reactions=drugs)
+
+    t_small = t.join(big, "model_id", "left_anti")
+    t_big = t.join(big, "model_id", "left_semi")
+    d_small = drugs.join(big, "model_id", "left_anti")
+    d_big = drugs.join(big, "model_id", "left_semi")
+    ts, audit_s = _stage_b_local(t_small, d_small, dims)
+    tb, audit_b = _stage_b_distributed(t_big, d_big, dims, checkpoint)
+    return PipelineResult(
+        triples=ts.unionByName(tb),
+        audit=audit_s.unionByName(audit_b.select(*_AUDIT_COLS)),
+        drug_reactions=drugs,
+    )
 
 
 def precision_recall(actual: DataFrame, expected: DataFrame) -> dict[str, float]:

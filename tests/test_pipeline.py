@@ -130,3 +130,29 @@ def test_determinism(spark, documents, expected):
     again = run_pipeline(spark, documents, dims)
     pr = precision_recall(again.triples, expected)
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0
+
+
+def test_local_vs_distributed_equivalence(spark, documents):
+    """Both stage-B physical paths (one-shuffle applyInPandas vs global
+    DataFrame rules) must produce the identical triple + audit sets."""
+    dims = load_dims(spark, FIXTURE_DIR)
+    loc = run_pipeline(spark, documents, dims, stage_b_mode="local")
+    dist = run_pipeline(spark, documents, dims, stage_b_mode="distributed")
+    key = ["model_id", "subj", "pred", "obj"]
+    a = loc.triples.select(*key).distinct()
+    b = dist.triples.select(*key).distinct()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    la = loc.audit.select("rule", "model_id", "reaction", "detail")
+    da = dist.audit.select("rule", "model_id", "reaction", "detail")
+    assert la.exceptAll(da).count() == 0 and da.exceptAll(la).count() == 0
+
+
+def test_auto_routing_splits_big_models(spark, documents):
+    """auto mode with a tiny threshold routes every model through the
+    distributed path — output must be unchanged."""
+    dims = load_dims(spark, FIXTURE_DIR)
+    res = run_pipeline(spark, documents, dims, stage_b_mode="auto",
+                       local_threshold=5)
+    exp = spark.read.parquet(f"{FIXTURE_DIR}/expected_triples.parquet")
+    pr = precision_recall(res.triples, exp)
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
