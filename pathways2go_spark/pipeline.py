@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from .dims import Dims
 from .ingest import ingest
 from .stage_a import extract
+from . import stage_a_local as AL
 from . import stage_b as B
 from . import stage_b_local as BL
 
@@ -95,6 +96,26 @@ def _stage_b_local(
     return triples, audit
 
 
+def _fused(documents: DataFrame, dims: Dims) -> tuple[DataFrame, DataFrame]:
+    """Zero-shuffle path: span parse + stage A + stage B fused into one
+    mapInPandas over documents (stage_a_local.py)."""
+    a_dims = AL.build_stage_a_dims(dims)
+    b_dims = BL.build_local_dims(
+        dims.onto_ancestors.toPandas(), dims.complex_parts.toPandas()
+    )
+    out = documents.mapInPandas(
+        AL.fused_pipeline_udf(a_dims, b_dims), schema=_TRIPLE_SCHEMA
+    )
+    triples = out.filter(F.col("pred") != BL.AUDIT_PRED)
+    audit = out.filter(F.col("pred") == BL.AUDIT_PRED).select(
+        F.col("rule"),
+        "model_id",
+        F.col("subj").alias("reaction"),
+        F.col("obj").alias("detail"),
+    )
+    return triples, audit
+
+
 def run_pipeline(
     spark: SparkSession,
     documents: DataFrame,
@@ -102,7 +123,44 @@ def run_pipeline(
     checkpoint: bool = True,
     stage_b_mode: str = "auto",
     local_threshold: int = 500_000,
+    stage_a_mode: str = "auto",
+    span_threshold: int = 500_000,
 ) -> PipelineResult:
+    """stage_a_mode:
+      "auto"        fused per-doc path for documents whose span count is
+                    within `span_threshold`; bigger docs go through the
+                    distributed operators (skew/memory defense).
+      "local"       fused path for everything.
+      "distributed" distributed stage A + stage_b_mode routing.
+    """
+    if stage_a_mode == "local":
+        tt, audit = _fused(documents, dims)
+        empty_drugs = documents.sparkSession.createDataFrame(
+            [], "model_id string, reaction string"
+        )
+        return PipelineResult(triples=tt, audit=audit, drug_reactions=empty_drugs)
+    if stage_a_mode == "auto":
+        small = documents.filter(F.size("spans") <= span_threshold)
+        big = documents.filter(F.size("spans") > span_threshold)
+        ts, audit_s = _fused(small, dims)
+        if big.isEmpty():
+            empty_drugs = documents.sparkSession.createDataFrame(
+                [], "model_id string, reaction string"
+            )
+            return PipelineResult(
+                triples=ts, audit=audit_s, drug_reactions=empty_drugs
+            )
+        rb = run_pipeline(
+            spark, big, dims, checkpoint=checkpoint,
+            stage_b_mode=stage_b_mode, local_threshold=local_threshold,
+            stage_a_mode="distributed",
+        )
+        return PipelineResult(
+            triples=ts.unionByName(rb.triples),
+            audit=audit_s.unionByName(rb.audit.select(*_AUDIT_COLS)),
+            drug_reactions=rb.drug_reactions,
+        )
+
     elements, links = ingest(documents)
     if checkpoint:
         # materialize the span parse ONCE — every stage-A loop iteration and

@@ -132,27 +132,35 @@ def test_determinism(spark, documents, expected):
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0
 
 
-def test_local_vs_distributed_equivalence(spark, documents):
-    """Both stage-B physical paths (one-shuffle applyInPandas vs global
-    DataFrame rules) must produce the identical triple + audit sets."""
+def _same(a, b, cols):
+    a, b = a.select(*cols).distinct(), b.select(*cols).distinct()
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_physical_path_equivalence(spark, documents):
+    """All three physical paths — fused per-doc mapInPandas, distributed
+    stage A + per-model stage B, fully distributed DataFrame rules — must
+    produce the identical triple + audit sets."""
     dims = load_dims(spark, FIXTURE_DIR)
-    loc = run_pipeline(spark, documents, dims, stage_b_mode="local")
-    dist = run_pipeline(spark, documents, dims, stage_b_mode="distributed")
+    fused = run_pipeline(spark, documents, dims, stage_a_mode="local")
+    hybrid = run_pipeline(spark, documents, dims, stage_a_mode="distributed",
+                          stage_b_mode="local")
+    dist = run_pipeline(spark, documents, dims, stage_a_mode="distributed",
+                        stage_b_mode="distributed")
     key = ["model_id", "subj", "pred", "obj"]
-    a = loc.triples.select(*key).distinct()
-    b = dist.triples.select(*key).distinct()
-    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
-    la = loc.audit.select("rule", "model_id", "reaction", "detail")
-    da = dist.audit.select("rule", "model_id", "reaction", "detail")
-    assert la.exceptAll(da).count() == 0 and da.exceptAll(la).count() == 0
+    audit_cols = ["rule", "model_id", "reaction", "detail"]
+    assert _same(fused.triples, dist.triples, key)
+    assert _same(hybrid.triples, dist.triples, key)
+    assert _same(fused.audit, dist.audit, audit_cols)
+    assert _same(hybrid.audit, dist.audit, audit_cols)
 
 
 def test_auto_routing_splits_big_models(spark, documents):
-    """auto mode with a tiny threshold routes every model through the
-    distributed path — output must be unchanged."""
+    """auto modes with tiny thresholds route everything through the
+    distributed paths — output must be unchanged."""
     dims = load_dims(spark, FIXTURE_DIR)
-    res = run_pipeline(spark, documents, dims, stage_b_mode="auto",
-                       local_threshold=5)
+    res = run_pipeline(spark, documents, dims, span_threshold=3,
+                       stage_b_mode="auto", local_threshold=5)
     exp = spark.read.parquet(f"{FIXTURE_DIR}/expected_triples.parquet")
     pr = precision_recall(res.triples, exp)
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
