@@ -144,6 +144,37 @@ def q_kg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kg(spark)[1]
 
 
+def q_kg_entity_ontology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REACTO entity-class ontology (SURVEY.md §2.6 E1-E12) over the KG
+    fixture corpus; oracle re-derives the axioms independently in DuckDB."""
+    from pathways2go_spark.entity_ontology import build_reacto
+    from pathways2go_spark.ingest import ingest
+
+    paths = _fx()
+    docs = read_documents(spark, paths["documents"])
+    dims = load_dims(spark, KG_FIXTURE_DIR)
+    elements, links = ingest(docs)
+    return build_reacto(elements, links, dims).select(
+        "class_id", "axiom", "value", "qual"
+    )
+
+
+def q_kg_gpad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 GPAD annotation export over the final triple set."""
+    dims = load_dims(spark, KG_FIXTURE_DIR)
+    return G.gpad_export(_kg(spark)[0], dims.onto_ancestors)
+
+
+def q_kg_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 structural validation: all checks must return zero violations
+    on the final corpus (the reference's consistency gate)."""
+    from pathways2go_spark.validate import validate
+
+    dims = load_dims(spark, KG_FIXTURE_DIR)
+    t = _kg(spark)[0].withColumn("evidence", F.lit(V.ECO_IMPORTED))
+    return validate(t, dims.onto_ancestors)
+
+
 def q_kg_span_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         explode_spans(_docs(spark))
@@ -355,6 +386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
         "kg_audit": q_kg_audit,
+        "kg_entity_ontology": q_kg_entity_ontology,
+        "kg_gpad": q_kg_gpad,
+        "kg_validation": q_kg_validation,
         "kg_span_kind_counts": q_kg_span_kind_counts,
         "kg_span_invariant": q_kg_span_invariant,
         "kg_relation_counts": q_kg_relation_counts,
@@ -440,9 +474,207 @@ def oracle_sql() -> dict[str, str]:
     aud = fx["expected_audit"]
     docs = fx["documents"]
 
+    accm = fx["accession_map"]
+    xr = fx["onto_xrefs"]
+    dr = fx["drug_ids"]
+    # independent re-derivation of the E1-E12 axiom table from the raw
+    # documents (k=v span payloads parsed in SQL) + dimension parquet
+    eo_sql = f"""
+        WITH sp AS (
+          SELECT doc_id, unnest(spans) AS s FROM '{docs}'
+        ), el AS (
+          SELECT doc_id, s.kind AS kind,
+            nullif(regexp_extract(';'||s.text||';', ';id=([^;]*);', 1), '') AS elem_id,
+            nullif(regexp_extract(';'||s.text||';', ';uniprot=([^;]*);', 1), '') AS uniprot,
+            nullif(regexp_extract(';'||s.text||';', ';accession=([^;]*);', 1), '') AS accession,
+            nullif(regexp_extract(';'||s.text||';', ';chebi=([^;]*);', 1), '') AS chebi,
+            nullif(regexp_extract(';'||s.text||';', ';ensembl=([^;]*);', 1), '') AS ensembl,
+            nullif(regexp_extract(';'||s.text||';', ';location=([^;]*);', 1), '') AS location,
+            nullif(regexp_extract(';'||s.text||';', ';features=([^;]*);', 1), '') AS features,
+            nullif(regexp_extract(';'||s.text||';', ';chebiRole=([^;]*);', 1), '') AS chebi_role,
+            nullif(regexp_extract(';'||s.text||';', ';taxon=([^;]*);', 1), '') AS taxon,
+            nullif(regexp_extract(';'||s.text||';', ';drugXref=([^;]*);', 1), '') AS drug_xref,
+            nullif(regexp_extract(';'||s.text||';', ';components=([^;]*);', 1), '') AS components,
+            nullif(regexp_extract(';'||s.text||';', ';members=([^;]*);', 1), '') AS members
+          FROM sp
+          WHERE s.kind IN ('protein','small_molecule','complex','entity_set','dna','rna')
+        ), ent AS (
+          SELECT el.*, lx.class_iri AS loc_gocc,
+            CASE kind
+              WHEN 'protein' THEN coalesce('UniProtKB_'||uniprot, gpi.target_iri, 'CHEBI_36080')
+              WHEN 'small_molecule' THEN coalesce(chebi, 'CHEBI_24431')
+              WHEN 'dna' THEN coalesce('ENSEMBL_'||ensembl, 'UniProtKB_'||uniprot, 'CHEBI_16991')
+              WHEN 'rna' THEN coalesce('ENSEMBL_'||ensembl, 'UniProtKB_'||uniprot, 'CHEBI_33697')
+              ELSE 'REACTO_'||elem_id END AS cls,
+            CASE kind
+              WHEN 'protein' THEN uniprot
+              WHEN 'small_molecule' THEN chebi
+              WHEN 'dna' THEN coalesce(ensembl, uniprot)
+              WHEN 'rna' THEN coalesce(ensembl, uniprot)
+              ELSE NULL END AS canonical,
+            CASE kind
+              WHEN 'protein' THEN 'CHEBI_36080'
+              WHEN 'small_molecule' THEN 'CHEBI_24431'
+              WHEN 'complex' THEN 'GO_0032991'
+              WHEN 'dna' THEN 'CHEBI_16991'
+              WHEN 'rna' THEN 'CHEBI_33697'
+              ELSE NULL END AS kind_root
+          FROM el
+          LEFT JOIN (SELECT acc, target_iri FROM '{accm}' WHERE source='gpi') gpi
+            ON el.accession = gpi.acc
+          LEFT JOIN (SELECT xref, class_iri FROM '{xr}' WHERE xref LIKE 'LOC:%') lx
+            ON 'LOC:'||el.location = lx.xref
+        ), comp AS (
+          SELECT doc_id, cls AS src_cls,
+                 split_part(item, ':', 1) AS child_id,
+                 coalesce(nullif(split_part(item, ':', 2), ''), '1') AS stoich
+          FROM (SELECT doc_id, cls,
+                       unnest(str_split(components, ',')) AS item
+                FROM ent WHERE kind = 'complex' AND components IS NOT NULL)
+          WHERE item <> ''
+        ), mem AS (
+          SELECT doc_id, cls AS set_cls, owner_id, child_id FROM
+          (SELECT doc_id, cls, elem_id AS owner_id,
+                  unnest(str_split(members, ',')) AS child_id
+           FROM ent WHERE kind = 'entity_set' AND members IS NOT NULL)
+          WHERE child_id <> ''
+        ), mem_cls AS (
+          SELECT m.doc_id, m.set_cls, m.owner_id, c.cls AS mcls
+          FROM mem m JOIN ent c ON m.doc_id = c.doc_id AND m.child_id = c.elem_id
+        ), elected AS (
+          SELECT doc_id, owner_id,
+            CASE min(rank)
+              WHEN 1 THEN 'CHEBI_16991' WHEN 2 THEN 'CHEBI_33697'
+              WHEN 3 THEN 'CHEBI_36080' WHEN 4 THEN 'CHEBI_33695'
+              WHEN 5 THEN 'GO_0032991' WHEN 6 THEN 'CHEBI_24431' END AS elected
+          FROM (
+            SELECT mc.doc_id, mc.owner_id,
+              CASE a.ancestor_iri
+                WHEN 'CHEBI_16991' THEN 1 WHEN 'CHEBI_33697' THEN 2
+                WHEN 'CHEBI_36080' THEN 3 WHEN 'CHEBI_33695' THEN 4
+                WHEN 'GO_0032991' THEN 5 WHEN 'CHEBI_24431' THEN 6 END AS rank
+            FROM mem_cls mc JOIN '{anc}' a ON mc.mcls = a.class_iri
+            WHERE a.ancestor_iri IN ('CHEBI_16991','CHEBI_33697','CHEBI_36080',
+                                     'CHEBI_33695','GO_0032991','CHEBI_24431')
+          ) GROUP BY doc_id, owner_id
+        ), feat AS (
+          SELECT cls, str_split(f, ':') AS p FROM
+          (SELECT cls, unnest(str_split(features, ',')) AS f
+           FROM ent WHERE features IS NOT NULL)
+        ), drug_direct AS (
+          SELECT DISTINCT e.doc_id, e.elem_id, e.cls,
+                 regexp_replace(coalesce(e.drug_xref, d.iuphar_id),
+                                '^IUPHAR:', '') AS iu
+          FROM ent e
+          LEFT JOIN '{dr}' d ON e.elem_id = d.entity_id
+          WHERE e.drug_xref IS NOT NULL OR d.iuphar_id IS NOT NULL
+        ), containers AS (
+          SELECT c.doc_id, e.elem_id AS parent, c.child_id AS child
+          FROM comp c JOIN ent e ON c.doc_id = e.doc_id AND c.src_cls = e.cls
+          UNION
+          SELECT doc_id, owner_id AS parent, child_id AS child FROM mem
+        ), drug_up AS (
+          WITH RECURSIVE up(doc_id, elem_id) AS (
+            SELECT doc_id, elem_id FROM drug_direct
+            UNION
+            SELECT c.doc_id, c.parent
+            FROM containers c JOIN up ON c.doc_id = up.doc_id
+                                     AND c.child = up.elem_id
+          ) SELECT * FROM up
+        ), drug_inherited AS (
+          SELECT u.doc_id, e.cls
+          FROM drug_up u
+          JOIN ent e ON u.doc_id = e.doc_id AND u.elem_id = e.elem_id
+          WHERE NOT EXISTS (SELECT 1 FROM drug_direct d
+                            WHERE d.doc_id = u.doc_id AND d.elem_id = u.elem_id)
+        )
+        SELECT DISTINCT class_id, axiom, value, qual FROM (
+          SELECT cls AS class_id, 'subclass_of' AS axiom, kind_root AS value,
+                 '' AS qual
+          FROM ent WHERE kind <> 'entity_set' AND cls <> kind_root
+          UNION ALL
+          SELECT cls, 'canonical_record', canonical, ''
+          FROM ent WHERE canonical IS NOT NULL
+          UNION ALL
+          SELECT cls, 'located_in', loc_gocc, '' FROM ent
+          WHERE loc_gocc IS NOT NULL
+          UNION ALL
+          SELECT c.src_cls, 'has_component', e.cls, c.stoich
+          FROM comp c JOIN ent e ON c.doc_id = e.doc_id AND c.child_id = e.elem_id
+          UNION ALL
+          SELECT set_cls, 'union_member', mcls, '' FROM mem_cls
+          UNION ALL
+          SELECT s.cls, 'subclass_of', coalesce(el.elected, 'CHEBI_33695'), ''
+          FROM ent s LEFT JOIN elected el
+            ON s.doc_id = el.doc_id AND s.elem_id = el.owner_id
+          WHERE s.kind = 'entity_set'
+          UNION ALL
+          SELECT cls, 'has_feature', p[2], p[3] || '-' || p[4]
+          FROM feat WHERE p[1] = 'mod'
+          UNION ALL
+          SELECT cls, 'has_fragment', 'frag', p[2] || '-' || p[3]
+          FROM feat WHERE p[1] = 'frag'
+          UNION ALL
+          SELECT e.cls, 'has_role', e.chebi_role, ''
+          FROM ent e
+          WHERE e.chebi_role IS NOT NULL AND EXISTS (
+            SELECT 1 FROM '{anc}' a
+            WHERE a.class_iri = e.chebi_role AND a.ancestor_iri = 'CHEBI_50906')
+          UNION ALL
+          SELECT cls, 'only_in_taxon', taxon, '' FROM ent
+          WHERE taxon IS NOT NULL
+          UNION ALL
+          SELECT cls, 'iuphar', iu, '' FROM drug_direct
+          UNION ALL
+          SELECT cls, 'iuphar', 'inherited', '' FROM drug_inherited
+        )
+    """
     return {
         "kg_triples": f"SELECT model_id, subj, pred, obj FROM '{tri}'",
         "kg_audit": f"SELECT rule, model_id, reaction, detail FROM '{aud}'",
+        "kg_entity_ontology": eo_sql,
+        "kg_validation": """
+            SELECT '' AS "check", '' AS model_id, '' AS node, '' AS pred
+            WHERE false
+        """,
+        "kg_gpad": f"""
+            WITH t AS (SELECT * FROM '{tri}'),
+            types AS (
+              SELECT model_id, subj AS node, obj AS cls FROM t WHERE pred = 'type'
+            ), mf AS (
+              SELECT model_id, node AS reaction, cls AS go_id FROM types
+              WHERE cls IN (SELECT class_iri FROM '{anc}'
+                            WHERE ancestor_iri = 'GO_0003674')
+            ), bp AS (
+              SELECT model_id, node AS pathway, cls AS go_id FROM types
+              WHERE cls IN (SELECT class_iri FROM '{anc}'
+                            WHERE ancestor_iri = 'GO_0008150')
+            ), gp AS (
+              SELECT model_id, node, substr(cls, 11) AS db_object_id
+              FROM types WHERE cls LIKE 'UniProtKB_%'
+            ), en AS (
+              SELECT e.model_id, e.subj AS reaction, g.db_object_id
+              FROM t e JOIN gp g ON e.model_id = g.model_id AND e.obj = g.node
+              WHERE e.pred = 'RO_0002333'
+            ), po AS (
+              SELECT model_id, subj AS reaction, obj AS pathway FROM t
+              WHERE pred = 'BFO_0000050'
+            )
+            SELECT DISTINCT 'UniProtKB' AS db, db_object_id, qualifier, go_id,
+                   model_id AS reference, 'ECO_0000313' AS evidence,
+                   'pathways2go_spark' AS assigned_by
+            FROM (
+              SELECT en.model_id, en.db_object_id, 'enables' AS qualifier, m.go_id
+              FROM en JOIN mf m ON en.model_id = m.model_id
+                               AND en.reaction = m.reaction
+              UNION ALL
+              SELECT en.model_id, en.db_object_id, 'involved_in', b.go_id
+              FROM en JOIN po ON en.model_id = po.model_id
+                             AND en.reaction = po.reaction
+                      JOIN bp b ON po.model_id = b.model_id
+                               AND po.pathway = b.pathway
+            )
+        """,
         "kg_span_kind_counts": f"""
             SELECT s.kind AS kind, count(*) AS n_spans
             FROM (SELECT unnest(spans) AS s FROM '{docs}')

@@ -8,7 +8,7 @@ Prints ONE JSON line:
 
 The KG pipeline benchmark runs over a deterministically generated
 interleaved-document corpus (replicas scaled by SPARK_GRAFT_KG_REPLICAS,
-default 200 -> 2,600 pathway documents); corpus generation time is NOT
+default 2000 -> 26,000 pathway documents); corpus generation time is NOT
 counted. Set SPARK_GRAFT_BENCH_MASTER to override the master (used by
 tools/scaling_bench.py for the N-vs-4N-cores scaling-efficiency run).
 """
@@ -36,7 +36,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     master = os.environ.get("SPARK_GRAFT_BENCH_MASTER", f"local[{cpus}]")
-    replicas = int(os.environ.get("SPARK_GRAFT_KG_REPLICAS", 200))
+    replicas = int(os.environ.get("SPARK_GRAFT_KG_REPLICAS", 2000))
     try:
         sf = float(sf_dir.rstrip("/").split("sf")[-1])
     except ValueError:
@@ -45,7 +45,17 @@ def main() -> None:
     kg_dir = f"/root/repo/.kg_bench_r{replicas}"
     paths = ensure_fixture(kg_dir, replicas=replicas)
 
-    spark = get_spark(master=master, app_name="p2g_bench")
+    # split-friendly scans: the KG corpus is byte-small but compute-heavy,
+    # so default 128 MB splits would serialize the document scan into one
+    # task (see tools/scaling_driver.py)
+    spark = get_spark(
+        master=master,
+        app_name="p2g_bench",
+        extra={
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(128 * 1024),
+        },
+    )
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> object:

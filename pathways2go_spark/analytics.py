@@ -113,3 +113,65 @@ def corpus_summary(t: DataFrame) -> DataFrame:
         F.sum((F.col("pred") == V.PROVIDES_INPUT).cast("long")).alias("n_provides_input"),
         F.sum((F.col("pred") == V.ENABLED_BY).cast("long")).alias("n_enabled_by"),
     )
+
+
+def gpad_export(t: DataFrame, ancestors: DataFrame) -> DataFrame:
+    """K4 — GPAD annotation export (GPAD.java:18-60;
+    ReactomeGPAD.java:113-194). Re-derives GO annotation records from the
+    final triple set: gene products get an `enables` row for each GO
+    molecular function of a reaction they enable, and an `involved_in`
+    row for each GO biological process of the pathway that reaction is
+    part of. Closure membership (MF/BP) comes from the broadcast ancestor
+    dim — the reference's structural-reasoner subclass checks.
+
+    Output columns mirror the GPAD TSV record (db, db_object_id,
+    qualifier, go_id, reference, evidence, assigned_by); the date column
+    is a fixed provenance constant (deterministic output for resume)."""
+    types = _types(t)
+    mf_cls = ancestors.filter(F.col("ancestor_iri") == V.MF_ROOT).select(
+        F.col("class_iri").alias("cls")
+    )
+    bp_cls = ancestors.filter(F.col("ancestor_iri") == V.BP_ROOT).select(
+        F.col("class_iri").alias("cls")
+    )
+    rxn_mf = types.join(F.broadcast(mf_cls), "cls", "left_semi").select(
+        "model_id", F.col("node").alias("reaction"), F.col("cls").alias("go_id")
+    )
+    pw_bp = types.join(F.broadcast(bp_cls), "cls", "left_semi").select(
+        "model_id", F.col("node").alias("pathway"), F.col("cls").alias("go_id")
+    )
+    gp = types.filter(F.col("cls").startswith("UniProtKB_")).select(
+        "model_id",
+        "node",
+        F.substring(F.col("cls"), len("UniProtKB_") + 1, 10_000).alias("db_object_id"),
+    )
+    enablers = (
+        t.filter(F.col("pred") == V.ENABLED_BY)
+        .select("model_id", F.col("subj").alias("reaction"), F.col("obj").alias("node"))
+        .join(gp, ["model_id", "node"])
+    )
+    enables = enablers.join(rxn_mf, ["model_id", "reaction"]).select(
+        "model_id", "db_object_id", F.lit("enables").alias("qualifier"), "go_id"
+    )
+    part_of = t.filter(F.col("pred") == V.PART_OF).select(
+        "model_id", F.col("subj").alias("reaction"), F.col("obj").alias("pathway")
+    )
+    involved = (
+        enablers.join(part_of, ["model_id", "reaction"])
+        .join(pw_bp, ["model_id", "pathway"])
+        .select("model_id", "db_object_id",
+                F.lit("involved_in").alias("qualifier"), "go_id")
+    )
+    return (
+        enables.unionByName(involved)
+        .distinct()
+        .select(
+            F.lit("UniProtKB").alias("db"),
+            "db_object_id",
+            "qualifier",
+            "go_id",
+            F.col("model_id").alias("reference"),
+            F.lit(V.ECO_IMPORTED).alias("evidence"),
+            F.lit("pathways2go_spark").alias("assigned_by"),
+        )
+    )

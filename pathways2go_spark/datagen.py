@@ -165,7 +165,7 @@ class Doc:
 # ======================================================================
 
 
-def t1_linear_chain(fx: Fixture, pfx: str) -> None:
+def t1_linear_chain(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T1: 4-reaction chain, shared small-molecule instance, catalysis.
     Mirrors proline_catabolism.owl; testInferProvidesInput
     (BioPaxtoGOTest.java:1036-1070) + testSharedIntermediateInputs (:1072-1108).
@@ -176,7 +176,7 @@ def t1_linear_chain(fx: Fixture, pfx: str) -> None:
     M0, M1, M3, M4, M5, W = (f"{pfx}-{x}" for x in ["M0", "M1", "M3", "M4", "M5", "W"])
     E10, E20 = f"{pfx}-E10", f"{pfx}-E20"
     c = {x: fx.chem(f"CHEBI_9000{i}") for i, x in enumerate([M0, M1, M3, M4, M5])}
-    u10, u20 = fx.prot_cls(f"U-{pfx}-10"), fx.prot_cls(f"U-{pfx}-20")
+    u10, u20 = fx.prot_cls(f"U-{dpfx}-10"), fx.prot_cls(f"U-{dpfx}-20")
     go_mf = fx.mf("GO_0016616")
     fx.onto_xrefs.add(("EC:1.1.1.1", go_mf))
 
@@ -187,8 +187,13 @@ def t1_linear_chain(fx: Fixture, pfx: str) -> None:
     for x in [M0, M1, M3, M4, M5]:
         d.span("small_molecule", id=x, displayName=x, chebi=c[x], location="cytosol")
     d.span("small_molecule", id=W, displayName="water", chebi=V.WATER, location="cytosol")
-    d.span("protein", id=E10, displayName="enzyme", uniprot=f"U-{pfx}-10", location="cytosol")
-    d.span("protein", id=E20, displayName="intermediate protein", uniprot=f"U-{pfx}-20", location="cytosol")
+    # features/taxon attrs feed the entity-ontology builder only (E6/E7/E12,
+    # PhysicalEntityOntologyBuilder.java:576-647, :486-500); stage A ignores them
+    d.span("protein", id=E10, displayName="enzyme", uniprot=f"U-{dpfx}-10",
+           location="cytosol", features="mod:MOD_00046:114:118",
+           taxon="NCBITaxon_9606")
+    d.span("protein", id=E20, displayName="intermediate protein", uniprot=f"U-{dpfx}-20",
+           location="cytosol", features="frag:1:220")
     d.span("reaction", id=R1, displayName="r1", direction="LEFT-TO-RIGHT",
            ecNumbers="1.1.1.1", left=M0, right=M1)
     d.span("reaction", id=R2, displayName="r2", direction="LEFT-TO-RIGHT", left=M1, right=E20)
@@ -212,13 +217,13 @@ def t1_linear_chain(fx: Fixture, pfx: str) -> None:
     # io nodes (A18 keying: small mol w/ chebi+loc -> {ref}~{loc}; water -> per rxn)
     n_m0 = fx.node(m, f"{c[M0]}~cytosol", c[M0], M0)
     n_m1 = fx.node(m, f"{c[M1]}~cytosol", c[M1], M1)
-    n_e20r2 = fx.node(m, f"U-{pfx}-20~{R2}", u20, E20)
-    n_e20r3 = fx.node(m, f"U-{pfx}-20~{R3}", u20, E20)
+    n_e20r2 = fx.node(m, f"U-{dpfx}-20~{R2}", u20, E20)
+    n_e20r3 = fx.node(m, f"U-{dpfx}-20~{R3}", u20, E20)
     n_m3 = fx.node(m, f"{c[M3]}~cytosol", c[M3], M3)
     n_m4 = fx.node(m, f"{c[M4]}~cytosol", c[M4], M4)
     n_m5 = fx.node(m, f"{c[M5]}~cytosol", c[M5], M5)
     n_w = fx.node(m, f"{V.WATER}~{R4}", V.WATER, W)
-    n_ctl = fx.node(m, f"U-{pfx}-10~{R2}~ctl", u10, E10)
+    n_ctl = fx.node(m, f"U-{dpfx}-10~{R2}~ctl", u10, E10)
     fx.t(m, R1, V.HAS_INPUT, n_m0)
     fx.t(m, R1, V.HAS_OUTPUT, n_m1)
     fx.t(m, R2, V.HAS_INPUT, n_m1)          # shared instance with R1 output
@@ -238,22 +243,22 @@ def t1_linear_chain(fx: Fixture, pfx: str) -> None:
         fx.occurs(m, R, "GO_0005829")
 
 
-def t2_enabler_location(fx: Fixture, pfx: str) -> None:
+def t2_enabler_location(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T2: occurs_in from enabler location (testOccursInFromEnablerLocation
     BioPaxtoGOTest.java:748-782) vs mixed entity locations (:703-737)."""
     m = f"{pfx}"
     P = f"{pfx}-P"
     R1, R2 = f"{pfx}-R1", f"{pfx}-R2"
     E1, E2, E3, E4, E5 = (f"{pfx}-E{i}" for i in range(1, 6))
-    u = {E: fx.prot_cls(f"U-{pfx}-{i}") for i, E in enumerate([E1, E2, E3, E4, E5], 1)}
+    u = {E: fx.prot_cls(f"U-{dpfx}-{i}") for i, E in enumerate([E1, E2, E3, E4, E5], 1)}
 
     d = Doc(fx, m)
     d.span("pathway", id=P, displayName="loc pathway", isDisease=0, components=f"{R1},{R2}")
-    d.span("protein", id=E1, displayName=E1, uniprot=f"U-{pfx}-1", location="cytosol")
-    d.span("protein", id=E2, displayName=E2, uniprot=f"U-{pfx}-2", location="plasma_membrane")
-    d.span("protein", id=E3, displayName=E3, uniprot=f"U-{pfx}-3", location="nucleoplasm")
-    d.span("protein", id=E4, displayName=E4, uniprot=f"U-{pfx}-4", location="cytosol")
-    d.span("protein", id=E5, displayName=E5, uniprot=f"U-{pfx}-5", location="plasma_membrane")
+    d.span("protein", id=E1, displayName=E1, uniprot=f"U-{dpfx}-1", location="cytosol")
+    d.span("protein", id=E2, displayName=E2, uniprot=f"U-{dpfx}-2", location="plasma_membrane")
+    d.span("protein", id=E3, displayName=E3, uniprot=f"U-{dpfx}-3", location="nucleoplasm")
+    d.span("protein", id=E4, displayName=E4, uniprot=f"U-{dpfx}-4", location="cytosol")
+    d.span("protein", id=E5, displayName=E5, uniprot=f"U-{dpfx}-5", location="plasma_membrane")
     d.span("reaction", id=R1, displayName="r1", direction="LEFT-TO-RIGHT", left=E1, right=E2)
     d.span("reaction", id=R2, displayName="r2", direction="LEFT-TO-RIGHT", left=E4, right=E5)
     d.span("control", id=f"{pfx}-C1", type="CATALYSIS", controllerId=E3, controlledId=R1)
@@ -263,11 +268,11 @@ def t2_enabler_location(fx: Fixture, pfx: str) -> None:
         fx.t(m, R, V.PART_OF, P)
     fx.t(m, R1, V.TYPE, V.MF_ROOT)          # B1
     fx.t(m, R2, V.TYPE, V.MOLECULAR_EVENT)
-    n1 = fx.node(m, f"U-{pfx}-1~{R1}", u[E1], E1)
-    n2 = fx.node(m, f"U-{pfx}-2~{R1}", u[E2], E2)
-    n3 = fx.node(m, f"U-{pfx}-3~{R1}~ctl", u[E3], E3)
-    n4 = fx.node(m, f"U-{pfx}-4~{R2}", u[E4], E4)
-    n5 = fx.node(m, f"U-{pfx}-5~{R2}", u[E5], E5)
+    n1 = fx.node(m, f"U-{dpfx}-1~{R1}", u[E1], E1)
+    n2 = fx.node(m, f"U-{dpfx}-2~{R1}", u[E2], E2)
+    n3 = fx.node(m, f"U-{dpfx}-3~{R1}~ctl", u[E3], E3)
+    n4 = fx.node(m, f"U-{dpfx}-4~{R2}", u[E4], E4)
+    n5 = fx.node(m, f"U-{dpfx}-5~{R2}", u[E5], E5)
     fx.t(m, R1, V.HAS_INPUT, n1)
     fx.t(m, R1, V.HAS_OUTPUT, n2)
     fx.t(m, R1, V.ENABLED_BY, n3)
@@ -277,7 +282,7 @@ def t2_enabler_location(fx: Fixture, pfx: str) -> None:
     fx.occurs(m, R1, "GO_0005654")
 
 
-def t3_entity_regulator(fx: Fixture, pfx: str) -> None:
+def t3_entity_regulator(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T3: B3 regulation rule 1 — upstream reaction outputs complex Z, Z
     ACTIVATION-controls downstream (testInferRegulatesViaOutputRegulates
     BioPaxtoGOTest.java:790-825; GoCAM.java:1250-1296)."""
@@ -286,15 +291,15 @@ def t3_entity_regulator(fx: Fixture, pfx: str) -> None:
     R1, R2 = f"{pfx}-R1", f"{pfx}-R2"
     E1, E2, C1 = f"{pfx}-E1", f"{pfx}-E2", f"{pfx}-C1"
     Min, M2, M3 = f"{pfx}-Min", f"{pfx}-M2", f"{pfx}-M3"
-    u1, u2 = fx.prot_cls(f"U-{pfx}-1"), fx.prot_cls(f"U-{pfx}-2")
+    u1, u2 = fx.prot_cls(f"U-{dpfx}-1"), fx.prot_cls(f"U-{dpfx}-2")
     cmin, cm2, cm3 = fx.chem("CHEBI_90031"), fx.chem("CHEBI_90032"), fx.chem("CHEBI_90033")
     ccls = f"REACTO_{C1}"
     fx.anc(ccls, V.COMPLEX_GO)
 
     d = Doc(fx, m)
     d.span("pathway", id=P, displayName="reg pathway", isDisease=0, components=f"{R1},{R2}")
-    d.span("protein", id=E1, displayName=E1, uniprot=f"U-{pfx}-1")
-    d.span("protein", id=E2, displayName=E2, uniprot=f"U-{pfx}-2")
+    d.span("protein", id=E1, displayName=E1, uniprot=f"U-{dpfx}-1")
+    d.span("protein", id=E2, displayName=E2, uniprot=f"U-{dpfx}-2")
     d.span("complex", id=C1, displayName="Z complex", components=f"{E1}:1,{E2}:1")
     d.span("small_molecule", id=Min, displayName=Min, chebi=cmin)
     d.span("small_molecule", id=M2, displayName=M2, chebi=cm2)
@@ -334,7 +339,7 @@ def t3_entity_regulator(fx: Fixture, pfx: str) -> None:
     fx.t(m, b, V.DIRECTLY_POS_REGULATES, R2)
 
 
-def t4_output_enables(fx: Fixture, pfx: str) -> None:
+def t4_output_enables(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T4: B4 regulation rule 3, case 1 (direct type match) and case 2
     (complex-part tbox match) — testInferRegulatesViaOutputEnables
     (BioPaxtoGOTest.java:985-1021; GoCAM.java:1343-1508)."""
@@ -344,7 +349,7 @@ def t4_output_enables(fx: Fixture, pfx: str) -> None:
     E1, E2, C2 = f"{pfx}-E1", f"{pfx}-E2", f"{pfx}-C2"
     Ms = {x: fx.chem(f"CHEBI_9004{i}") for i, x in enumerate(
         [f"{pfx}-M{j}" for j in range(1, 7)], 1)}
-    u1, u2 = fx.prot_cls(f"U-{pfx}-1"), fx.prot_cls(f"U-{pfx}-2")
+    u1, u2 = fx.prot_cls(f"U-{dpfx}-1"), fx.prot_cls(f"U-{dpfx}-2")
     c2cls = f"REACTO_{C2}"
     fx.anc(c2cls, V.COMPLEX_GO)
     fx.complex_parts.add((c2cls, u2))
@@ -353,8 +358,8 @@ def t4_output_enables(fx: Fixture, pfx: str) -> None:
     d = Doc(fx, m)
     d.span("pathway", id=P, displayName="enables pathway", isDisease=0,
            components=",".join([R1, R2, R3, R4]))
-    d.span("protein", id=E1, displayName=E1, uniprot=f"U-{pfx}-1")
-    d.span("protein", id=E2, displayName=E2, uniprot=f"U-{pfx}-2")
+    d.span("protein", id=E1, displayName=E1, uniprot=f"U-{dpfx}-1")
+    d.span("protein", id=E2, displayName=E2, uniprot=f"U-{dpfx}-2")
     d.span("complex", id=C2, displayName="cplx", components=f"{E2}:1")
     for x in [M1, M2, M3, M4, M5, M6]:
         d.span("small_molecule", id=x, displayName=x, chebi=Ms[x])
@@ -379,10 +384,10 @@ def t4_output_enables(fx: Fixture, pfx: str) -> None:
     n = {}
     for x, rxn in [(M1, R1), (M2, R2), (M3, R2), (M4, R3), (M5, R4), (M6, R4)]:
         n[x] = fx.node(m, f"{Ms[x]}~{rxn}", Ms[x], x)
-    n_e1out = fx.node(m, f"U-{pfx}-1~{R1}", u1, E1)
+    n_e1out = fx.node(m, f"U-{dpfx}-1~{R1}", u1, E1)
     n_c2out = fx.node(m, f"{C2}~{R3}", c2cls, C2)
-    n_e1ctl = fx.node(m, f"U-{pfx}-1~{R2}~ctl", u1, E1)
-    n_e2ctl = fx.node(m, f"U-{pfx}-2~{R4}~ctl", u2, E2)
+    n_e1ctl = fx.node(m, f"U-{dpfx}-1~{R2}~ctl", u1, E1)
+    n_e2ctl = fx.node(m, f"U-{dpfx}-2~{R4}~ctl", u2, E2)
     fx.t(m, R1, V.HAS_INPUT, n[M1]); fx.t(m, R1, V.HAS_OUTPUT, n_e1out)
     fx.t(m, R2, V.HAS_INPUT, n[M2]); fx.t(m, R2, V.HAS_OUTPUT, n[M3])
     fx.t(m, R2, V.ENABLED_BY, n_e1ctl)
@@ -394,7 +399,7 @@ def t4_output_enables(fx: Fixture, pfx: str) -> None:
     fx.t(m, R3, V.DIRECTLY_POS_REGULATES, R4)
 
 
-def t5_active_unit(fx: Fixture, pfx: str) -> None:
+def t5_active_unit(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T5: active units (A20/A21) + complex-with-active-unit deletion (B7) +
     same-UniProt reduction — testActiveSiteInController
     (BioPaxtoGOTest.java:938-971; BioPaxtoGO.java:2027-2097)."""
@@ -404,18 +409,18 @@ def t5_active_unit(fx: Fixture, pfx: str) -> None:
     E1, E2, E3, E4 = (f"{pfx}-E{i}" for i in range(1, 5))
     CX, CY = f"{pfx}-CX", f"{pfx}-CY"
     MM, Min, Mout, M7, M8 = (f"{pfx}-{x}" for x in ["MM", "Min", "Mout", "M7", "M8"])
-    ua = fx.prot_cls(f"U-{pfx}-A")
-    ub = fx.prot_cls(f"U-{pfx}-B")
+    ua = fx.prot_cls(f"U-{dpfx}-A")
+    ub = fx.prot_cls(f"U-{dpfx}-B")
     chems = {x: fx.chem(f"CHEBI_9005{i}") for i, x in enumerate([MM, Min, Mout, M7, M8], 1)}
     for cc in [f"REACTO_{CX}", f"REACTO_{CY}"]:
         fx.anc(cc, V.COMPLEX_GO)
 
     d = Doc(fx, m)
     d.span("pathway", id=P, displayName="au pathway", isDisease=0, components=f"{R1},{R2}")
-    d.span("protein", id=E1, displayName=E1, uniprot=f"U-{pfx}-A")
-    d.span("protein", id=E2, displayName=E2, uniprot=f"U-{pfx}-A")
-    d.span("protein", id=E3, displayName=E3, uniprot=f"U-{pfx}-B")
-    d.span("protein", id=E4, displayName=E4, uniprot=f"U-{pfx}-B")
+    d.span("protein", id=E1, displayName=E1, uniprot=f"U-{dpfx}-A")
+    d.span("protein", id=E2, displayName=E2, uniprot=f"U-{dpfx}-A")
+    d.span("protein", id=E3, displayName=E3, uniprot=f"U-{dpfx}-B")
+    d.span("protein", id=E4, displayName=E4, uniprot=f"U-{dpfx}-B")
     d.span("small_molecule", id=MM, displayName=MM, chebi=chems[MM])
     d.span("complex", id=CX, displayName="cx", components=f"{E1}:1,{E2}:1,{MM}:1")
     d.span("complex", id=CY, displayName="cy", components=f"{E3}:1,{E4}:1")
@@ -437,14 +442,14 @@ def t5_active_unit(fx: Fixture, pfx: str) -> None:
                          (M7, R2, V.HAS_INPUT), (M8, R2, V.HAS_OUTPUT)]:
         fx.t(m, rxn, pred, fx.node(m, f"{chems[x]}~{rxn}", chems[x], x))
     # active units survive; complexes + exploded parts deleted (B7 then B9)
-    au1 = fx.node(m, f"U-{pfx}-A~{R1}~au", ua, E1)
+    au1 = fx.node(m, f"U-{dpfx}-A~{R1}~au", ua, E1)
     fx.t(m, R1, V.ENABLED_BY, au1)
     # same-UniProt reduction: CY all-protein single uniprot group -> min id (E3)
-    au2 = fx.node(m, f"U-{pfx}-B~{R2}~au", ub, E3)
+    au2 = fx.node(m, f"U-{dpfx}-B~{R2}~au", ub, E3)
     fx.t(m, R2, V.ENABLED_BY, au2)
 
 
-def t6_small_mol_regulators(fx: Fixture, pfx: str) -> None:
+def t6_small_mol_regulators(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T6: B6 small-molecule regulators, 2 activators + 2 inhibitors + 1
     protein regulator deleted+audited (testInferSmallMoleculeRegulators
     BioPaxtoGOTest.java:895-926; GoCAM.java:1667-1747)."""
@@ -454,13 +459,19 @@ def t6_small_mol_regulators(fx: Fixture, pfx: str) -> None:
     M0, M1, M2, M3, M4, M9 = (f"{pfx}-M{i}" for i in [0, 1, 2, 3, 4, 9])
     E5 = f"{pfx}-E5"
     chems = {x: fx.chem(f"CHEBI_9006{i}") for i, x in enumerate([M0, M1, M2, M3, M4, M9])}
-    u5 = fx.prot_cls(f"U-{pfx}-5")
+    u5 = fx.prot_cls(f"U-{dpfx}-5")
+    # chebiRole feeds E9 (has_role gated on the CHEBI role closure,
+    # PhysicalEntityOntologyBuilder.java:788-840): M1's role is registered
+    # in the closure, M3's is not (must be dropped by the gate)
+    fx.anc("CHEBI_23357", V.ROLE_ROOT)
+    roles = {M1: "CHEBI_23357", M3: "CHEBI_99999"}
 
     d = Doc(fx, m)
     d.span("pathway", id=P, displayName="smreg pathway", isDisease=0, components=R1)
     for x in [M0, M1, M2, M3, M4, M9]:
-        d.span("small_molecule", id=x, displayName=x, chebi=chems[x])
-    d.span("protein", id=E5, displayName=E5, uniprot=f"U-{pfx}-5")
+        d.span("small_molecule", id=x, displayName=x, chebi=chems[x],
+               chebiRole=roles.get(x))
+    d.span("protein", id=E5, displayName=E5, uniprot=f"U-{dpfx}-5")
     d.span("reaction", id=R1, displayName="r1", direction="LEFT-TO-RIGHT", left=M0, right=M9)
     d.span("control", id=f"{pfx}-CA1", type="ACTIVATION", controllerId=M1, controlledId=R1)
     d.span("control", id=f"{pfx}-CA2", type="ACTIVATION", controllerId=M2, controlledId=R1)
@@ -484,7 +495,7 @@ def t6_small_mol_regulators(fx: Fixture, pfx: str) -> None:
     })
 
 
-def t7_disease_drug(fx: Fixture, pfx: str) -> None:
+def t7_disease_drug(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T7: disease-pathway drop (A1/A2) + drug-reaction removal (A25/B10) —
     testDiseaseReactionDeletion (BioPaxtoGOTest.java:303-364) /
     testDrugReactionDeletion (:365-482)."""
@@ -507,13 +518,17 @@ def t7_disease_drug(fx: Fixture, pfx: str) -> None:
     R1, R2 = f"{pfx}b-R1", f"{pfx}b-R2"
     M1, M2, M3, M4, DG = (f"{pfx}b-{x}" for x in ["M1", "M2", "M3", "M4", "DG"])
     chems = {x: fx.chem(f"CHEBI_9007{i}") for i, x in enumerate([M1, M2, M3, M4], 5)}
-    fx.prot_cls(f"U-{pfx}-D")
+    fx.prot_cls(f"U-{dpfx}-D")
     fx.drug_ids.add((DG, "IUPHAR:1234"))
     db = Doc(fx, mb)
     db.span("pathway", id=P2, displayName="drug pathway", isDisease=0, components=f"{R1},{R2}")
     for x in [M1, M2, M3, M4]:
         db.span("small_molecule", id=x, displayName=x, chebi=chems[x])
-    db.span("protein", id=DG, displayName="druggy", uniprot=f"U-{pfx}-D", drugXref="IUPHAR:1234")
+    db.span("protein", id=DG, displayName="druggy", uniprot=f"U-{dpfx}-D", drugXref="IUPHAR:1234")
+    # unreferenced container: exercises E11 upward IUPHAR propagation
+    # (PhysicalEntityOntologyBuilder.java:879-883) without touching stage A
+    db.span("complex", id=f"{pfx}b-CD", displayName="drug complex",
+            components=f"{DG}:1,{M1}:2")
     db.span("reaction", id=R1, displayName="r1", direction="LEFT-TO-RIGHT", left=M1, right=M2)
     db.span("reaction", id=R2, displayName="r2", direction="LEFT-TO-RIGHT",
             left=f"{M3},{DG}", right=M4)
@@ -528,7 +543,7 @@ def t7_disease_drug(fx: Fixture, pfx: str) -> None:
     # R2 and its neighborhood fully removed by B10 (incl. the step edge)
 
 
-def t8_yeast_right_to_left(fx: Fixture, pfx: str) -> None:
+def t8_yeast_right_to_left(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T8: stepDirection RIGHT-TO-LEFT swaps inputs/outputs (A17;
     testYeastStepDirection BioPaxtoGOTest.java:1363-1390)."""
     m = f"{pfx}"
@@ -549,7 +564,7 @@ def t8_yeast_right_to_left(fx: Fixture, pfx: str) -> None:
     fx.t(m, R1, V.HAS_OUTPUT, fx.node(m, f"{ca}~{R1}", ca, A))
 
 
-def t9_yeast_linking(fx: Fixture, pfx: str) -> None:
+def t9_yeast_linking(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T9: SSSOM best-match typing, SGD EC->MF lookup, manual pathway->GO
     map, SGD complex components (BioPaxtoGOTest.java:1152-1361)."""
     # doc a
@@ -566,15 +581,15 @@ def t9_yeast_linking(fx: Fixture, pfx: str) -> None:
     fx.sssom.append({"subject_id": R1, "object_id": go_mf1, "confidence": 0.8,
                      "mapping_tool": "synthetic"})
     sgd1 = fx.sgd_cls("S000001")
-    fx.accession_map.add(("gpi", f"SGD-{pfx}-001", sgd1))
-    fx.accession_map.add(("sgd2ec", f"SGD-{pfx}-001", "1.2.3.4"))
+    fx.accession_map.add(("gpi", f"SGD-{dpfx}-001", sgd1))
+    fx.accession_map.add(("sgd2ec", f"SGD-{dpfx}-001", "1.2.3.4"))
     fx.onto_xrefs.add(("EC:1.2.3.4", go_mf2))
     c1, c2, c3, c4 = (fx.chem(f"CHEBI_9009{i}") for i in range(1, 5))
     Y1, Y2, Y3, Y4 = (f"{ma}-Y{i}" for i in range(1, 5))
 
     da = Doc(fx, ma)
     da.span("pathway", id=P, displayName="yeast p", isDisease=0, components=f"{R1},{R2}")
-    da.span("protein", id=E1, displayName=E1, accession=f"SGD-{pfx}-001")
+    da.span("protein", id=E1, displayName=E1, accession=f"SGD-{dpfx}-001")
     for y, cc in zip([Y1, Y2, Y3, Y4], [c1, c2, c3, c4]):
         da.span("small_molecule", id=y, displayName=y, chebi=cc)
     da.span("reaction", id=R1, displayName="r1", direction="LEFT-TO-RIGHT", left=Y1, right=Y2)
@@ -590,7 +605,7 @@ def t9_yeast_linking(fx: Fixture, pfx: str) -> None:
     fx.t(ma, R1, V.HAS_OUTPUT, fx.node(ma, f"{c2}~{R1}", c2, Y2))
     fx.t(ma, R2, V.HAS_INPUT, fx.node(ma, f"{c3}~{R2}", c3, Y3))
     fx.t(ma, R2, V.HAS_OUTPUT, fx.node(ma, f"{c4}~{R2}", c4, Y4))
-    fx.t(ma, R2, V.ENABLED_BY, fx.node(ma, f"SGD-{pfx}-001~{R2}~ctl", sgd1, E1))
+    fx.t(ma, R2, V.ENABLED_BY, fx.node(ma, f"SGD-{dpfx}-001~{R2}~ctl", sgd1, E1))
 
     # doc b: manual pathway->GO map + SGD complex component
     mb = f"{pfx}b"
@@ -600,7 +615,7 @@ def t9_yeast_linking(fx: Fixture, pfx: str) -> None:
     fx.anc(go_bp2, V.BP_ROOT)
     fx.accession_map.add(("pathway2go", P2, go_bp2))
     sgd2 = fx.sgd_cls("S000002")
-    fx.accession_map.add(("gpi", f"SGD-{pfx}-002", sgd2))
+    fx.accession_map.add(("gpi", f"SGD-{dpfx}-002", sgd2))
     cpcls = f"REACTO_{CP}"
     fx.anc(cpcls, V.COMPLEX_GO)
     c5, c6 = fx.chem("CHEBI_90095"), fx.chem("CHEBI_90096")
@@ -608,7 +623,7 @@ def t9_yeast_linking(fx: Fixture, pfx: str) -> None:
 
     db = Doc(fx, mb)
     db.span("pathway", id=P2, displayName="yeast p2", isDisease=0, components=R3)
-    db.span("protein", id=E2, displayName=E2, accession=f"SGD-{pfx}-002")
+    db.span("protein", id=E2, displayName=E2, accession=f"SGD-{dpfx}-002")
     db.span("complex", id=CP, displayName="cp", components=f"{E2}:1")
     db.span("small_molecule", id=Z1, displayName=Z1, chebi=c5)
     db.span("small_molecule", id=Z2, displayName=Z2, chebi=c6)
@@ -628,7 +643,7 @@ def t9_yeast_linking(fx: Fixture, pfx: str) -> None:
     fx.t(mb, zc, V.HAS_PART, pc)
 
 
-def t10_sets_and_chebi(fx: Fixture, pfx: str) -> None:
+def t10_sets_and_chebi(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T10: entity-set controller (root election), ChEBI ids, water
     do-not-join, provides-input via same-ref distinct instances
     (BioPaxtoGOTest.java:1392-1414; GoCAM.java:121-122)."""
@@ -637,15 +652,15 @@ def t10_sets_and_chebi(fx: Fixture, pfx: str) -> None:
     R1, R2, R3 = f"{pfx}-R1", f"{pfx}-R2", f"{pfx}-R3"
     E1, E2, S1 = f"{pfx}-E1", f"{pfx}-E2", f"{pfx}-S1"
     M1, M2, W, My = f"{pfx}-M1", f"{pfx}-M2", f"{pfx}-W", f"{pfx}-My"
-    fx.prot_cls(f"U-{pfx}-1")
-    fx.prot_cls(f"U-{pfx}-2")
+    fx.prot_cls(f"U-{dpfx}-1")
+    fx.prot_cls(f"U-{dpfx}-2")
     c1, c2, cy = fx.chem("CHEBI_90101"), fx.chem("CHEBI_90102"), fx.chem("CHEBI_90104")
 
     d = Doc(fx, m)
     d.span("pathway", id=P, displayName="sets pathway", isDisease=0,
            components=f"{R1},{R2},{R3}")
-    d.span("protein", id=E1, displayName=E1, uniprot=f"U-{pfx}-1")
-    d.span("protein", id=E2, displayName=E2, uniprot=f"U-{pfx}-2")
+    d.span("protein", id=E1, displayName=E1, uniprot=f"U-{dpfx}-1")
+    d.span("protein", id=E2, displayName=E2, uniprot=f"U-{dpfx}-2")
     d.span("entity_set", id=S1, displayName="set", members=f"{E1},{E2}")
     d.span("small_molecule", id=M1, displayName=M1, chebi=c1)
     d.span("small_molecule", id=M2, displayName=M2, chebi=c2)
@@ -678,7 +693,7 @@ def t10_sets_and_chebi(fx: Fixture, pfx: str) -> None:
     fx.t(m, R1, V.PROVIDES_INPUT, R2)
 
 
-def t11_untyped_fallbacks(fx: Fixture, pfx: str) -> None:
+def t11_untyped_fallbacks(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T11: molecular_event fallback + B1 retype; BP root fallback for
     pathway whose only sssom match is below confidence 0.5
     (GoCAM.java:1001-1025; BioPaxtoGO.java:990-993)."""
@@ -687,7 +702,7 @@ def t11_untyped_fallbacks(fx: Fixture, pfx: str) -> None:
     R1, R2 = f"{pfx}-R1", f"{pfx}-R2"
     E1 = f"{pfx}-E1"
     M1, M2, M3, M4 = (f"{pfx}-M{i}" for i in range(1, 5))
-    u1 = fx.prot_cls(f"U-{pfx}-1")
+    u1 = fx.prot_cls(f"U-{dpfx}-1")
     chems = {x: fx.chem(f"CHEBI_9011{i}") for i, x in enumerate([M1, M2, M3, M4], 1)}
     fx.sssom.append({"subject_id": P, "object_id": "GO_1900099", "confidence": 0.3,
                      "mapping_tool": "lowconf"})
@@ -695,7 +710,7 @@ def t11_untyped_fallbacks(fx: Fixture, pfx: str) -> None:
     d = Doc(fx, m)
     d.span("pathway", id=P, displayName="fallback pathway", isDisease=0,
            components=f"{R1},{R2}")
-    d.span("protein", id=E1, displayName=E1, uniprot=f"U-{pfx}-1")
+    d.span("protein", id=E1, displayName=E1, uniprot=f"U-{dpfx}-1")
     for x in [M1, M2, M3, M4]:
         d.span("small_molecule", id=x, displayName=x, chebi=chems[x])
     d.span("reaction", id=R1, displayName="r1", direction="LEFT-TO-RIGHT", left=M1, right=M2)
@@ -711,10 +726,10 @@ def t11_untyped_fallbacks(fx: Fixture, pfx: str) -> None:
     fx.t(m, R1, V.HAS_OUTPUT, fx.node(m, f"{chems[M2]}~{R1}", chems[M2], M2))
     fx.t(m, R2, V.HAS_INPUT, fx.node(m, f"{chems[M3]}~{R2}", chems[M3], M3))
     fx.t(m, R2, V.HAS_OUTPUT, fx.node(m, f"{chems[M4]}~{R2}", chems[M4], M4))
-    fx.t(m, R1, V.ENABLED_BY, fx.node(m, f"U-{pfx}-1~{R1}~ctl", u1, E1))
+    fx.t(m, R1, V.ENABLED_BY, fx.node(m, f"U-{dpfx}-1~{R1}~ctl", u1, E1))
 
 
-def t12_gate_and_misc(fx: Fixture, pfx: str) -> None:
+def t12_gate_and_misc(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T12: empty-model gate (B11, BioPaxtoGO.java:588-599) + template
     reaction (A16) + generic interaction (A15)."""
     # doc a: pathway with no activities -> model not written
@@ -725,25 +740,49 @@ def t12_gate_and_misc(fx: Fixture, pfx: str) -> None:
 
     # doc b: template reaction + generic interaction
     mb = f"{pfx}b"
-    P2, TR, I1 = f"{mb}-P", f"{mb}-TR", f"{mb}-I1"
+    P2, TR, I1, R9 = f"{mb}-P", f"{mb}-TR", f"{mb}-I1", f"{mb}-R9"
     E1, E2, E3 = f"{mb}-E1", f"{mb}-E2", f"{mb}-E3"
-    u1, u2, u3 = (fx.prot_cls(f"U-{pfx}-{i}") for i in range(1, 4))
+    u1, u2, u3 = (fx.prot_cls(f"U-{dpfx}-{i}") for i in range(1, 4))
+    # A23 dims: a real MF for R9's EC plus two BP classes for the xrefs
+    go_mf2 = fx.mf("GO_90007")
+    fx.onto_xrefs.add(("EC:4.4.4.4", go_mf2))
+    fx.anc("GO_90008", V.BP_ROOT)
+    fx.anc("GO_90009", V.BP_ROOT)
     db = Doc(fx, mb)
-    db.span("pathway", id=P2, displayName="tmpl pathway", isDisease=0, components=f"{TR},{I1}")
-    db.span("protein", id=E1, displayName=E1, uniprot=f"U-{pfx}-1")
-    db.span("protein", id=E2, displayName=E2, uniprot=f"U-{pfx}-2")
-    db.span("protein", id=E3, displayName=E3, uniprot=f"U-{pfx}-3")
-    db.span("template_reaction", id=TR, products=E1)
+    db.span("pathway", id=P2, displayName="tmpl pathway", isDisease=0,
+            components=f"{TR},{I1},{R9}")
+    db.span("protein", id=E1, displayName=E1, uniprot=f"U-{dpfx}-1")
+    db.span("protein", id=E2, displayName=E2, uniprot=f"U-{dpfx}-2")
+    db.span("protein", id=E3, displayName=E3, uniprot=f"U-{dpfx}-3")
+    # A23 untyped branch: TR's BP xref becomes its A24 fallback type
+    db.span("template_reaction", id=TR, products=E1, bpXref="GO_90009")
     db.span("interaction", id=I1, participants=f"{E2},{E3}")
+    # A23 typed branch: EC-typed reaction with a BP RelationshipXref ->
+    # dedicated BP individual, default part_of-pathway edge dropped
+    # (BioPaxtoGO.java:1786-1820, issue #66)
+    db.span("reaction", id=R9, displayName="r9", direction="LEFT-TO-RIGHT",
+            ecNumbers="4.4.4.4", bpXref="GO_90008", left=E2, right=E3)
+    # unreferenced DNA/RNA entities: exercise E8 typing ladders
+    # (PhysicalEntityOntologyBuilder.java:718-786) without touching the
+    # pipeline goldens (no reaction references them)
+    db.span("dna", id=f"{mb}-D1", displayName="gene", ensembl=f"ENSG-{pfx}-1")
+    db.span("rna", id=f"{mb}-N1", displayName="transcript")
 
     fx.t(mb, P2, V.TYPE, V.BP_ROOT)
     fx.t(mb, TR, V.PART_OF, P2)
-    fx.t(mb, TR, V.TYPE, V.MOLECULAR_EVENT)
-    fx.t(mb, TR, V.HAS_OUTPUT, fx.node(mb, f"U-{pfx}-1~{TR}", u1, E1))
+    fx.t(mb, TR, V.TYPE, "GO_90009")        # A24 via bpXref (A23 untyped)
+    fx.t(mb, TR, V.HAS_OUTPUT, fx.node(mb, f"U-{dpfx}-1~{TR}", u1, E1))
+    # R9: A23 typed branch
+    fx.t(mb, R9, V.TYPE, go_mf2)
+    bp9 = f"{R9}~bp~GO_90008"
+    fx.t(mb, R9, V.PART_OF, bp9)
+    fx.t(mb, bp9, V.TYPE, "GO_90008")
+    fx.t(mb, R9, V.HAS_INPUT, fx.node(mb, f"U-{dpfx}-2~{R9}", u2, E2))
+    fx.t(mb, R9, V.HAS_OUTPUT, fx.node(mb, f"U-{dpfx}-3~{R9}", u3, E3))
     fx.t(mb, I1, V.PART_OF, P2)
     fx.t(mb, I1, V.TYPE, V.MOLECULAR_EVENT)
-    n2 = fx.node(mb, f"U-{pfx}-2~{I1}", u2, E2)
-    n3 = fx.node(mb, f"U-{pfx}-3~{I1}", u3, E3)
+    n2 = fx.node(mb, f"U-{dpfx}-2~{I1}", u2, E2)
+    n3 = fx.node(mb, f"U-{dpfx}-3~{I1}", u3, E3)
     fx.t(mb, n2, V.INTERACTS_WITH, n3)          # ordered pair (min id first)
 
 
@@ -755,12 +794,25 @@ TOPOLOGIES = [
 ]
 
 
+ACCESSION_POOL = 64
+
+
 def build_fixture(replicas: int = 1) -> Fixture:
-    """Build `replicas` copies of each topology (deterministic ids)."""
+    """Build `replicas` copies of each topology (deterministic ids).
+
+    Element/model ids are unique per replica, but ontology-class-bearing
+    accessions (UniProt / SGD) draw from a BOUNDED pool of
+    ACCESSION_POOL namespaces: real ontologies are fixed-size regardless
+    of corpus size, so the broadcast dims must not scale with replicas
+    (they'd otherwise dwarf the real dictionaries and skew benchmarks).
+    Replica 0 keeps the un-pooled `T{k}x00000` namespace so golden tests
+    can reference literal ids."""
     fx = Fixture()
     for i in range(replicas):
         for k, topo in enumerate(TOPOLOGIES, 1):
-            topo(fx, f"T{k}x{i:05d}")
+            pfx = f"T{k}x{i:05d}"
+            dpfx = pfx if i == 0 else f"T{k}d{i % ACCESSION_POOL:03d}"
+            topo(fx, pfx, dpfx)
     return fx
 
 
@@ -774,7 +826,22 @@ def write_fixture(fx: Fixture, out_dir: str) -> dict[str, str]:
         pq.write_table(table, p)
         paths[name] = p
 
-    w("documents", pa.Table.from_pylist(fx.docs, schema=DOCUMENTS_SCHEMA))
+    # documents: multi-file + small row groups so a Spark scan splits the
+    # corpus across tasks (one mega row group = a single-task scan — the
+    # serial bottleneck that killed N->4N scaling). Small fixtures stay a
+    # single file so the DuckDB oracles can read the bare path.
+    DOC_CHUNK = 10_000
+    if len(fx.docs) <= DOC_CHUNK:
+        w("documents", pa.Table.from_pylist(fx.docs, schema=DOCUMENTS_SCHEMA))
+    else:
+        ddir = os.path.join(out_dir, "documents.parquet")
+        os.makedirs(ddir, exist_ok=True)
+        for i in range(0, len(fx.docs), DOC_CHUNK):
+            part = pa.Table.from_pylist(fx.docs[i : i + DOC_CHUNK],
+                                        schema=DOCUMENTS_SCHEMA)
+            pq.write_table(part, os.path.join(ddir, f"part-{i // DOC_CHUNK:05d}.parquet"),
+                           row_group_size=1000)
+        paths["documents"] = ddir
     w("onto_ancestors", pa.Table.from_pylist(
         [{"class_iri": c, "ancestor_iri": a} for c, a in sorted(fx.onto_ancestors)]))
     w("onto_xrefs", pa.Table.from_pylist(

@@ -262,10 +262,16 @@ def extract(elements: DataFrame, links: DataFrame, dims: Dims) -> StageA:
 
     frames: list[DataFrame] = []
 
-    # A5: part_of
-    frames.append(
-        _triples(event_pathway, F.col("event_id"), V.PART_OF, F.col("pathway_id"), "A5")
-    )
+    # A23 (BioPaxtoGO.java:1786-1820): reactions carrying a GO BP
+    # RelationshipXref. For typed reactions a dedicated BP individual is
+    # created (part_of) and the default part_of-pathway edge is dropped
+    # (issue #66); for untyped reactions the xref feeds the A24 ladder.
+    bpx = elements.filter(
+        F.col("kind").isin(EVENT_KINDS) & _attr("bpXref").isNotNull()
+    ).select("doc_id", F.col("elem_id").alias("event_id"),
+             _attr("bpXref").alias("bp_go"))
+
+    # A5: part_of (deferred anti-join vs A23 below)
 
     # ------------------------------------------------------------------
     # A17/A18: reaction io
@@ -520,15 +526,39 @@ def extract(elements: DataFrame, links: DataFrame, dims: Dims) -> StageA:
         .distinct()
     )
     frames.append(_triples(typed, F.col("event_id"), V.TYPE, F.col("go"), "A10"))
-    untyped = event_pathway.select("doc_id", "event_id").distinct().join(
-        typed.unionByName(
+    typed_keys = (
+        typed.select("doc_id", "event_id")
+        .unionByName(
             ctl.filter(F.col("ctl_go_xref").isNotNull())
-            .select("doc_id", "event_id", F.col("ctl_go_xref").alias("go"))
-        ),
-        ["doc_id", "event_id"],
-        "left_anti",
+            .select("doc_id", "event_id")
+        )
+        .distinct()
     )
-    frames.append(_triples(untyped, F.col("event_id"), V.TYPE, F.lit(V.MOLECULAR_EVENT), "A24"))
+    untyped = event_pathway.select("doc_id", "event_id").distinct().join(
+        typed_keys, ["doc_id", "event_id"], "left_anti"
+    )
+    # A24 fallback ladder tail: accumulated go_bp xref, else molecular_event
+    untyped_bp = untyped.join(bpx, ["doc_id", "event_id"], "left").withColumn(
+        "fallback_go", F.coalesce("bp_go", F.lit(V.MOLECULAR_EVENT))
+    )
+    frames.append(
+        _triples(untyped_bp, F.col("event_id"), V.TYPE, F.col("fallback_go"), "A24")
+    )
+
+    # A23 typed branch: BP individual + part_of; default pathway edge and
+    # the A5 emission for these events are suppressed together
+    a23 = bpx.join(typed_keys, ["doc_id", "event_id"], "left_semi").withColumn(
+        "bp_node", F.concat("event_id", F.lit("~bp~"), "bp_go")
+    )
+    frames.append(_triples(a23, F.col("event_id"), V.PART_OF, F.col("bp_node"), "A23"))
+    frames.append(_triples(a23, F.col("bp_node"), V.TYPE, F.col("bp_go"), "A23"))
+    frames.append(
+        _triples(
+            event_pathway.join(a23.select("doc_id", "event_id"),
+                               ["doc_id", "event_id"], "left_anti"),
+            F.col("event_id"), V.PART_OF, F.col("pathway_id"), "A5",
+        )
+    )
 
     # pathways: goXref attr > sssom > manual pathway2go map > BP root
     p2g = dims.accession_map.filter(F.col("source") == "pathway2go").select(

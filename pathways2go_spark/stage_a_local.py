@@ -23,7 +23,7 @@ import pandas as pd
 from . import vocab as V
 from .ingest import LINK_SPECS, RECORD_KINDS
 from .stage_a import ENTITY_KINDS, EVENT_KINDS
-from .stage_b_local import LocalDims, apply_rules_local
+from .stage_b_local import LocalDims, apply_rules_rows
 
 _LINKS_BY_KIND: dict[str, list] = {}
 for _k, _link, _key, _qual in LINK_SPECS:
@@ -424,6 +424,29 @@ def extract_doc(doc_id: str, spans, D: StageADims) -> tuple[list, set]:
         for go in {g for p, g in cand if p == minp}:
             T.append((ev, V.TYPE, go, "A10"))
         typed_events.add(ev)
+    # A23 (BioPaxtoGO.java:1786-1820): GO BP RelationshipXref on events.
+    # Typed events get a BP individual via part_of and lose their default
+    # part_of-pathway edges (issue #66); untyped events use the xref as
+    # the A24 fallback before molecular_event.
+    a23_events: set = set()
+    for ev in ev_pathways:
+        bp_go = elems[ev]["attrs"].get("bpXref")
+        if bp_go is None:
+            continue
+        if ev in typed_events:
+            node = f"{ev}~bp~{bp_go}"
+            T.append((ev, V.PART_OF, node, "A23"))
+            T.append((node, V.TYPE, bp_go, "A23"))
+            a23_events.add(ev)
+        else:
+            T.append((ev, V.TYPE, bp_go, "A24"))
+            typed_events.add(ev)
+    if a23_events:
+        T[:] = [
+            row for row in T
+            if not (row[3] == "A5" and row[0] in a23_events
+                    and row[1] == V.PART_OF)
+        ]
     for ev in ev_pathways:
         if ev not in typed_events:
             T.append((ev, V.TYPE, V.MOLECULAR_EVENT, "A24"))
@@ -476,7 +499,7 @@ def fused_pipeline_udf(D: StageADims, B: LocalDims):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["model_id", "subj", "pred", "obj", "evidence", "rule"]
         for pdf in batches:
-            frames = []
+            rows: list[tuple] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 raw, drugs = extract_doc(doc_id, spans, D)
                 # stage-A dedup: min rule per key (stage_a.extract groupBy)
@@ -485,19 +508,19 @@ def fused_pipeline_udf(D: StageADims, B: LocalDims):
                     k = (s, p, o)
                     if k not in best or rule < best[k]:
                         best[k] = rule
-                sa = pd.DataFrame(
-                    [
-                        (doc_id, s, p, o, V.ECO_IMPORTED, r)
-                        for (s, p, o), r in best.items()
-                    ],
-                    columns=cols,
-                )
-                if len(sa):
-                    frames.append(apply_rules_local(sa, drugs, B))
-            yield (
-                pd.concat(frames, ignore_index=True)
-                if frames
-                else pd.DataFrame([], columns=cols)
-            )
+                if best:
+                    # pure-python per doc; pandas only per Arrow batch
+                    rows.extend(
+                        apply_rules_rows(
+                            doc_id,
+                            (
+                                (s, p, o, V.ECO_IMPORTED, r)
+                                for (s, p, o), r in best.items()
+                            ),
+                            drugs,
+                            B,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
 
     return run

@@ -422,3 +422,153 @@ def b11_model_gate(t: DataFrame, dims: Dims) -> DataFrame:
         .distinct()
     )
     return t.join(active, "model_id", "left_semi")
+
+
+# ----------------------------------------------------------------------
+# B12 (OPTIONAL — disabled in the reference per issue #345, comment
+# GoCAM.java:978-979; kept behind a flag for parity): transport
+# inference. Reference impl GoCAM.inferTransportProcess
+# (GoCAM.java:1075-1167) + match query2update_localization.rq.
+# Not part of the default rule chain; callers opt in explicitly
+# (matching the reference, where the call site is commented out).
+# ----------------------------------------------------------------------
+
+def b12_transport_inference(t: DataFrame, dims: Dims) -> DataFrame:
+    """Match: a reaction whose input and output are the SAME entity
+    (identity via skos:exactMatch, our A12 key — the reference matches
+    rdfs:label equality) located in two DIFFERENT location classes,
+    neither the CC root. Rewrite (GoCAM.java:1090-1167):
+
+      * molecular_event / MF-root typed reactions are retyped to
+        protein-transporter (input in the protein closure) or
+        transporter activity; otherwise the reaction is skipped unless
+        its type is already in the transporter closure;
+      * start/end location individuals with has_target_start/end_location;
+      * a `transported` clone of the input with has_primary_input;
+      * ALL has_input/has_output edges of the matched reactions deleted,
+        their IO entity nodes removed entirely.
+    """
+    ty = _p(t, V.TYPE, "node", "cls")
+    loc = _p(t, V.LOCATED_IN, "node", "loc_node")
+    loc_ty = ty.select("model_id", F.col("node").alias("loc_node"),
+                       F.col("cls").alias("loc_cls"))
+    ex = _p(t, V.EXACT, "node", "ref")
+    hi = _p(t, V.HAS_INPUT, "reaction", "in_node")
+    ho = _p(t, V.HAS_OUTPUT, "reaction", "out_node")
+
+    located = (
+        loc.join(loc_ty, ["model_id", "loc_node"])
+        .filter(F.col("loc_cls") != V.CC_ROOT)
+        .select("model_id", "node", "loc_cls")
+    )
+    inp = (
+        hi.join(located.withColumnRenamed("node", "in_node")
+                       .withColumnRenamed("loc_cls", "start_cls"),
+                ["model_id", "in_node"])
+        .join(ex.withColumnRenamed("node", "in_node").withColumnRenamed("ref", "iref"),
+              ["model_id", "in_node"])
+    )
+    outp = (
+        ho.join(located.withColumnRenamed("node", "out_node")
+                       .withColumnRenamed("loc_cls", "end_cls"),
+                ["model_id", "out_node"])
+        .join(ex.withColumnRenamed("node", "out_node").withColumnRenamed("ref", "oref"),
+              ["model_id", "out_node"])
+    )
+    moved = (
+        inp.join(outp, ["model_id", "reaction"])
+        .filter((F.col("iref") == F.col("oref"))
+                & (F.col("start_cls") != F.col("end_cls")))
+    )
+
+    # reaction-type gate: retype molecular_event/MF-root; keep reactions
+    # already typed inside the transporter closure; skip the rest
+    rty = ty.select("model_id", F.col("node").alias("reaction"),
+                    F.col("cls").alias("rcls"))
+    trans_cls = dims.onto_ancestors.filter(
+        F.col("ancestor_iri") == V.TRANSPORTER
+    ).select(F.col("class_iri").alias("rcls"))
+    moved_ty = moved.join(rty, ["model_id", "reaction"]).withColumn(
+        "retype",
+        F.col("rcls").isin(V.MOLECULAR_EVENT, V.MF_ROOT),
+    )
+    in_trans = moved_ty.join(F.broadcast(trans_cls), ["rcls"], "left_semi")
+    keep = moved_ty.filter(F.col("retype")).unionByName(in_trans).dropDuplicates(
+        ["model_id", "reaction", "in_node", "out_node", "rcls"]
+    )
+    # one transport decision per reaction (reference guards with a set)
+    rxn = keep.groupBy("model_id", "reaction").agg(
+        F.min("start_cls").alias("start_cls"),
+        F.min("end_cls").alias("end_cls"),
+        F.max(F.col("retype").cast("int")).alias("retype"),
+    )
+
+    # protein-closure membership of the transported thing's class
+    in_ty = ty.select("model_id", F.col("node").alias("in_node"),
+                      F.col("cls").alias("thing_cls"))
+    prot = dims.onto_ancestors.filter(
+        F.col("ancestor_iri") == V.PROTEIN_ROOT
+    ).select(F.col("class_iri").alias("thing_cls"))
+    thing = (
+        keep.select("model_id", "reaction", "in_node")
+        .join(in_ty, ["model_id", "in_node"])
+        .join(F.broadcast(prot).withColumn("is_prot", F.lit(True)),
+              ["thing_cls"], "left")
+        .groupBy("model_id", "reaction")
+        .agg(F.max(F.coalesce("is_prot", F.lit(False)).cast("int")).alias("is_prot"))
+    )
+
+    new_type = (
+        rxn.filter(F.col("retype") == 1)
+        .join(thing, ["model_id", "reaction"], "left")
+        .withColumn("ttype", F.when(F.col("is_prot") == 1,
+                                    F.lit(V.PROTEIN_TRANSPORTER))
+                              .otherwise(F.lit(V.TRANSPORTER)))
+    )
+    start = rxn.withColumn(
+        "n", F.concat(F.col("reaction"), F.lit("~tstart~"), F.col("start_cls"))
+    )
+    end = rxn.withColumn(
+        "n", F.concat(F.col("reaction"), F.lit("~tend~"), F.col("end_cls"))
+    )
+    transported = (
+        keep.select("model_id", "reaction", "in_node")
+        .join(in_ty, ["model_id", "in_node"])
+        .join(ex.withColumnRenamed("node", "in_node"), ["model_id", "in_node"])
+        .withColumn("n", F.concat(F.col("in_node"), F.lit("~transported")))
+        .distinct()
+    )
+
+    adds = [
+        _adds(new_type, F.col("reaction"), V.TYPE, F.col("ttype"), "B12"),
+        _adds(start, F.col("reaction"), V.HAS_TARGET_START_LOC, F.col("n"), "B12"),
+        _adds(start, F.col("n"), V.TYPE, F.col("start_cls"), "B12"),
+        _adds(end, F.col("reaction"), V.HAS_TARGET_END_LOC, F.col("n"), "B12"),
+        _adds(end, F.col("n"), V.TYPE, F.col("end_cls"), "B12"),
+        _adds(transported, F.col("reaction"), V.HAS_PRIMARY_INPUT, F.col("n"), "B12"),
+        _adds(transported, F.col("n"), V.TYPE, F.col("thing_cls"), "B12"),
+        _adds(transported, F.col("n"), V.EXACT, F.col("ref"), "B12"),
+    ]
+    # delete old molecular_event/MF-root type rows on retyped reactions
+    old_ty = (
+        rxn.filter(F.col("retype") == 1)
+        .select("model_id", F.col("reaction").alias("subj"))
+        .join(t.filter((F.col("pred") == V.TYPE)
+                       & F.col("obj").isin(V.MOLECULAR_EVENT, V.MF_ROOT))
+               .select("model_id", "subj", "pred", "obj"),
+              ["model_id", "subj"])
+    )
+    # delete IO edges + IO entity nodes of transport reactions
+    r_keys = rxn.select("model_id", "reaction")
+    io_edges = (
+        t.filter(F.col("pred").isin(V.HAS_INPUT, V.HAS_OUTPUT))
+        .join(r_keys.withColumnRenamed("reaction", "subj"), ["model_id", "subj"],
+              "left_semi")
+    )
+    io_nodes = io_edges.select("model_id", F.col("obj").alias("node")).distinct()
+    return apply_delta(
+        t,
+        adds=adds,
+        deletes=[old_ty.select(*_KEY), io_edges.select(*_KEY)],
+        node_deletes=[io_nodes],
+    )

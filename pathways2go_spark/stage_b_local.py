@@ -87,12 +87,11 @@ class _Graph:
     bounded: per-pathway graphs, reference converts them in a 24G heap
     one at a time — ours are orders of magnitude below `local_threshold`)."""
 
-    def __init__(self, pdf: pd.DataFrame) -> None:
+    def __init__(self, rows) -> None:
+        # rows: iterable of (subj, pred, obj, evidence, rule)
         # (subj, pred, obj) -> (evidence, rule)
         self.t: dict[tuple, tuple] = {}
-        for s, p, o, e, r in zip(
-            pdf["subj"], pdf["pred"], pdf["obj"], pdf["evidence"], pdf["rule"]
-        ):
+        for s, p, o, e, r in rows:
             k = (s, p, o)
             cur = self.t.get(k)
             if cur is None or (e, r) < cur:
@@ -151,10 +150,27 @@ def _inverse_multimap_from(g: _Graph, pred) -> dict:
 def apply_rules_local(
     pdf: pd.DataFrame, drug_reactions: set, dims: LocalDims
 ) -> pd.DataFrame:
-    """B10, B1..B9, B11 in reference order over one model's triples.
-    Mirrors stage_b.py rule for rule (see its file:line cites)."""
-    g = _Graph(pdf)
-    model_id = pdf["model_id"].iloc[0]
+    """pandas adapter over `apply_rules_rows` for the cogroup path."""
+    rows = apply_rules_rows(
+        pdf["model_id"].iloc[0],
+        zip(pdf["subj"], pdf["pred"], pdf["obj"], pdf["evidence"], pdf["rule"]),
+        drug_reactions,
+        dims,
+    )
+    return pd.DataFrame(
+        rows, columns=["model_id", "subj", "pred", "obj", "evidence", "rule"]
+    )
+
+
+def apply_rules_rows(
+    model_id: str, triple_rows, drug_reactions: set, dims: LocalDims
+) -> list[tuple]:
+    """B10, B1..B9, B11 in reference order over one model's triples —
+    pure-python rows in, rows out (no per-model pandas: the fused per-doc
+    path calls this directly, so DataFrames exist only at Arrow batch
+    boundaries). Mirrors stage_b.py rule for rule (see its file:line
+    cites)."""
+    g = _Graph(triple_rows)
     audits: list[tuple] = []
 
     # ---- B10 drug-reaction removal (GoCAM.java:2009-2075) ----
@@ -335,12 +351,9 @@ def apply_rules_local(
     if not has_activity:
         g.t.clear()  # audits kept: reference logs during rules, before gate
 
-    rows = [
+    return [
         (model_id, s, p, o, e, r) for (s, p, o), (e, r) in g.t.items()
     ] + [
         (model_id, rxn, AUDIT_PRED, detail, "", "DELETING_NON_SMALL_MOL_REGULATOR")
         for rxn, detail in sorted(set(audits))
     ]
-    return pd.DataFrame(
-        rows, columns=["model_id", "subj", "pred", "obj", "evidence", "rule"]
-    )

@@ -1,0 +1,91 @@
+"""Streaming ingestion: continuous document arrival -> the same KG stages.
+
+The reference is strictly batch (SURVEY.md §2.8: no streaming operators
+exist in pathways2GO) — this module is the forward-looking surface the
+Spark-native engine gets for free: a Structured Streaming job that tails
+a documents directory (or any file source the cluster exposes) and runs
+the identical batch pipeline per micro-batch via foreachBatch, writing
+into the same resumable bucketed sink (sinks.py). Semantics are exactly
+the batch pipeline's — foreachBatch hands each micro-batch to
+`run_pipeline`, so rule order, node-id determinism and lineage manifests
+are shared, and the stream can be replayed idempotently (content-keyed
+node ids + checkpointLocation).
+
+No watermarks/session windows are needed: documents are independent
+units (one pathway model per doc), so ingestion is embarrassingly
+parallel and late data is just a new micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dims import Dims
+from .ingest import DOCUMENTS_SCHEMA
+from .pipeline import run_pipeline
+from .sinks import write_triples
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """readStream over a documents directory (parquet files of the
+    BASELINE.json input shape)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def start_kg_stream(
+    spark: SparkSession,
+    docs_path: str,
+    dims: Dims,
+    out_path: str,
+    checkpoint_dir: str,
+    buckets: int = 16,
+    max_files_per_trigger: int = 8,
+):
+    """documents dir -> streaming KG construction -> bucketed triple sink.
+
+    Each micro-batch runs the full batch pipeline (stage A + ordered
+    stage-B rules); the sink write is resume-aware per bucket, and the
+    stream itself is exactly-once via checkpointLocation. Returns the
+    StreamingQuery (caller awaits/stops)."""
+    stream = read_document_stream(spark, docs_path, max_files_per_trigger)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = run_pipeline(spark, batch_df, dims)
+        # one bucketed sub-sink per micro-batch: a replayed batch
+        # overwrites exactly itself (content-keyed ids -> byte-identical),
+        # never a neighbour batch's buckets
+        write_triples(
+            spark,
+            res.triples,
+            f"{out_path}/batch={batch_id}",
+            buckets=buckets,
+            resume=False,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_triples(spark: SparkSession, out_path: str) -> DataFrame:
+    """Union of every micro-batch's bucketed sink under out_path."""
+    import glob
+    import os
+
+    datas = sorted(glob.glob(os.path.join(out_path, "batch=*", "data")))
+    out = None
+    for d in datas:
+        df = spark.read.parquet(d).drop("bucket")
+        out = df if out is None else out.unionByName(df)
+    return out

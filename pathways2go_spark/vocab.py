@@ -47,6 +47,11 @@ INTERACTS_WITH = "RO_0002434"
 FUNCTIONALLY_RELATED = "RO_0002328"
 SM_ACTIVATOR = "RO_0012001"     # has_small_molecule_activator
 SM_INHIBITOR = "RO_0012002"     # has_small_molecule_inhibitor
+# B12 transport inference (disabled in the reference per issue #345,
+# GoCAM.java:978-979; kept for the optional rule)
+HAS_TARGET_START_LOC = "RO_0002338"
+HAS_TARGET_END_LOC = "RO_0002339"
+HAS_PRIMARY_INPUT = "RO_0004009"
 
 # every pred that counts as an object-property edge for the
 # unconnected-node cleanup (B9; GoCAM.java:1974-2007)
@@ -56,6 +61,7 @@ EDGE_PREDS = [
     DIRECTLY_NEG_REGULATES, INV_REG, INV_POS_REG, INV_NEG_REG,
     LOCATED_IN, INTERACTS_WITH, FUNCTIONALLY_RELATED,
     SM_ACTIVATOR, SM_INHIBITOR,
+    HAS_TARGET_START_LOC, HAS_TARGET_END_LOC, HAS_PRIMARY_INPUT,
 ]
 
 # -- classes (GoCAM.java:289-333) ---------------------------------------
@@ -64,6 +70,8 @@ BP_ROOT = "GO_0008150"
 CC_ROOT = "GO_0005575"
 COMPLEX_GO = "GO_0032991"       # protein-containing complex
 BINDING = "GO_0005488"
+TRANSPORTER = "GO_0005215"          # transporter activity
+PROTEIN_TRANSPORTER = "GO_0140318"  # protein transporter activity
 PROTEIN_ROOT = "CHEBI_36080"
 CHEMICAL_ROOT = "CHEBI_24431"
 NUCLEIC_ACID = "CHEBI_33696"

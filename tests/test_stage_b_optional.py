@@ -1,0 +1,130 @@
+"""B12 transport inference (optional rule; disabled in the reference per
+issue #345, GoCAM.java:978-979 — tested here against its documented
+semantics, GoCAM.java:1075-1167 + query2update_localization.rq)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathways2go_spark import vocab as V
+from pathways2go_spark.dims import Dims
+from pathways2go_spark.stage_b import b12_transport_inference
+
+TRIPLE_SCHEMA = (
+    "model_id string, subj string, pred string, obj string, "
+    "evidence string, rule string"
+)
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(
+        [(m, s, p, o, V.ECO_IMPORTED, "A0") for m, s, p, o in rows], TRIPLE_SCHEMA
+    )
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    anc = spark.createDataFrame(
+        [
+            ("UniProtKB_U1", "UniProtKB_U1"),
+            ("UniProtKB_U1", V.PROTEIN_ROOT),
+            ("GO_0005829", "GO_0005829"),
+            ("GO_0005634", "GO_0005634"),
+        ],
+        "class_iri string, ancestor_iri string",
+    )
+    empty2 = spark.createDataFrame([], "xref string, class_iri string")
+    return Dims(
+        onto_ancestors=anc,
+        onto_xrefs=empty2,
+        complex_parts=spark.createDataFrame(
+            [], "complex_class string, part_class string"
+        ),
+        sssom=spark.createDataFrame(
+            [], "subject_id string, object_id string, confidence double, "
+                "mapping_tool string"
+        ),
+        accession_map=spark.createDataFrame(
+            [], "source string, acc string, target_iri string"
+        ),
+        drug_ids=spark.createDataFrame([], "entity_id string, iuphar_id string"),
+    )
+
+
+def test_b12_protein_transport(spark, dims):
+    m = "m1"
+    rows = [
+        (m, "P", V.TYPE, V.BP_ROOT),
+        (m, "R", V.PART_OF, "P"),
+        (m, "R", V.TYPE, V.MOLECULAR_EVENT),
+        (m, "R", V.HAS_INPUT, "ni"),
+        (m, "R", V.HAS_OUTPUT, "no"),
+        (m, "ni", V.TYPE, "UniProtKB_U1"),
+        (m, "no", V.TYPE, "UniProtKB_U1"),
+        (m, "ni", V.EXACT, "E1"),
+        (m, "no", V.EXACT, "E1"),
+        (m, "ni", V.LOCATED_IN, "l1"),
+        (m, "no", V.LOCATED_IN, "l2"),
+        (m, "l1", V.TYPE, "GO_0005829"),
+        (m, "l2", V.TYPE, "GO_0005634"),
+    ]
+    out = b12_transport_inference(_t(spark, rows), dims)
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+
+    # retyped to protein transporter, molecular_event dropped
+    assert ("R", V.TYPE, V.PROTEIN_TRANSPORTER) in got
+    assert ("R", V.TYPE, V.MOLECULAR_EVENT) not in got
+    # start/end location individuals
+    assert ("R", V.HAS_TARGET_START_LOC, "R~tstart~GO_0005829") in got
+    assert ("R~tstart~GO_0005829", V.TYPE, "GO_0005829") in got
+    assert ("R", V.HAS_TARGET_END_LOC, "R~tend~GO_0005634") in got
+    # transported clone with type + provenance
+    assert ("R", V.HAS_PRIMARY_INPUT, "ni~transported") in got
+    assert ("ni~transported", V.TYPE, "UniProtKB_U1") in got
+    assert ("ni~transported", V.EXACT, "E1") in got
+    # IO edges and IO nodes fully removed
+    assert ("R", V.HAS_INPUT, "ni") not in got
+    assert ("R", V.HAS_OUTPUT, "no") not in got
+    assert not any(s in ("ni", "no") or o in ("ni", "no") for s, _, o in got)
+
+
+def test_b12_skips_unmoved_and_differently_named(spark, dims):
+    m = "m2"
+    rows = [
+        (m, "R", V.TYPE, V.MOLECULAR_EVENT),
+        (m, "R", V.HAS_INPUT, "ni"),
+        (m, "R", V.HAS_OUTPUT, "no"),
+        (m, "ni", V.TYPE, "UniProtKB_U1"),
+        (m, "no", V.TYPE, "UniProtKB_U1"),
+        (m, "ni", V.EXACT, "E1"),
+        (m, "no", V.EXACT, "E2"),        # different entity -> no transport
+        (m, "ni", V.LOCATED_IN, "l1"),
+        (m, "no", V.LOCATED_IN, "l2"),
+        (m, "l1", V.TYPE, "GO_0005829"),
+        (m, "l2", V.TYPE, "GO_0005634"),
+    ]
+    before = _t(spark, rows)
+    out = b12_transport_inference(before, dims)
+    assert out.count() == before.count()
+    assert out.filter(F.col("pred") == V.HAS_PRIMARY_INPUT).count() == 0
+
+
+def test_b12_skips_non_transporter_typed_reaction(spark, dims):
+    m = "m3"
+    rows = [
+        (m, "R", V.TYPE, "GO_0016616"),   # a real MF not in transporter closure
+        (m, "R", V.HAS_INPUT, "ni"),
+        (m, "R", V.HAS_OUTPUT, "no"),
+        (m, "ni", V.TYPE, "UniProtKB_U1"),
+        (m, "no", V.TYPE, "UniProtKB_U1"),
+        (m, "ni", V.EXACT, "E1"),
+        (m, "no", V.EXACT, "E1"),
+        (m, "ni", V.LOCATED_IN, "l1"),
+        (m, "no", V.LOCATED_IN, "l2"),
+        (m, "l1", V.TYPE, "GO_0005829"),
+        (m, "l2", V.TYPE, "GO_0005634"),
+    ]
+    before = _t(spark, rows)
+    out = b12_transport_inference(before, dims)
+    assert out.count() == before.count()

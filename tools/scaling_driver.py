@@ -1,0 +1,79 @@
+"""spark-submit driver for the N-vs-4N scaling-efficiency benchmark.
+
+Usage (via tools/scaling_bench.py):
+    spark-submit --master local[N] --py-files p2g.zip \
+        tools/scaling_driver.py <corpus_dir> <cores> [<rounds>]
+
+Runs the full KG-construction pipeline (span parse -> stage A -> stage B)
+over the interleaved-document corpus at <corpus_dir> and prints ONE JSON
+line per timed round: {"cores": N, "round": i, "elapsed": sec,
+"triples": n, "docs": n}.  Round 0 is a JIT/codegen warm-up; the
+orchestrator uses the best post-warm-up round.
+
+The job is the same DAG at every parallelism level; only the master and
+the shuffle-partition count (sized to cores by session.get_spark) differ —
+this is the sandbox proxy for the north rule's N vs 4N executors run
+(BASELINE.json: scaling efficiency >= 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pathways2go_spark.dims import load_dims
+from pathways2go_spark.ingest import read_documents
+from pathways2go_spark.pipeline import prepare_local_dims, run_pipeline
+from pathways2go_spark.session import get_spark
+
+
+def main() -> None:
+    corpus_dir = sys.argv[1]
+    cores = int(sys.argv[2])
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    # split-friendly scan: the synthetic corpus is byte-small but
+    # compute-heavy (60 MB of spans -> minutes of parsing+rules), so the
+    # default 128 MB maxPartitionBytes would fold the whole scan into one
+    # task and serialize the job. 2 MB splits over the multi-file corpus
+    # give every core work — the sandbox analogue of a many-file 100 TB
+    # table, where default split sizing is already fine.
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app_name=f"p2g_scale_{cores}",
+        extra={
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(128 * 1024),
+        },
+    )
+    dims = load_dims(spark, corpus_dir)
+    # one-time dictionary build (ontology-bounded in production, not
+    # corpus-proportional) — excluded from the steady-state throughput
+    # measurement, same as corpus generation
+    prepared = prepare_local_dims(dims)
+
+    for i in range(rounds):
+        t0 = time.perf_counter()
+        docs = read_documents(spark, f"{corpus_dir}/documents.parquet")
+        res = run_pipeline(spark, docs, dims, prepared=prepared)
+        n_triples = res.triples.count()
+        elapsed = time.perf_counter() - t0
+        n_docs = docs.count()
+        print(
+            json.dumps(
+                {
+                    "cores": cores,
+                    "round": i,
+                    "elapsed": round(elapsed, 3),
+                    "triples": n_triples,
+                    "docs": n_docs,
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
