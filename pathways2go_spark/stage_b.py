@@ -572,3 +572,138 @@ def b12_transport_inference(t: DataFrame, dims: Dims) -> DataFrame:
         deletes=[old_ty.select(*_KEY), io_edges.select(*_KEY)],
         node_deletes=[io_nodes],
     )
+
+
+# ----------------------------------------------------------------------
+# B13 (OPTIONAL — disabled in the reference, call site commented out at
+# GoCAM.java:981): enabler-from-upstream. Reference impl
+# GoCAM.inferEnablersFromUpstream (GoCAM.java:1027-1063) + match query
+# query2update_enabled_by_events.rq (QRunner.findMolecularEvents
+# QRunner.java:1156-1182).
+# ----------------------------------------------------------------------
+
+# causal relations accepted as "upstream" by the reference's VALUES list
+_B13_UP_RELS = [
+    V.DIRECTLY_POS_REGULATED_BY, V.DIRECTLY_NEG_REGULATED_BY,
+    V.PROVIDES_INPUT, V.CAUSALLY_UPSTREAM, V.NEG_REGULATES, V.POS_REGULATES,
+]
+
+
+def b13_enabler_from_upstream(t: DataFrame, dims: Dims) -> DataFrame:
+    """Match: a molecular_event reaction whose input's type equals the
+    output type of a causally-upstream reaction. Gate: exactly ONE such
+    (input, type) pair for the reaction (inputs.size()==1,
+    GoCAM.java:1038) and the input type is in the protein or complex
+    closure (:1044). Rewrite: has_input -> enabled_by (:1049-1052)."""
+    me = (
+        t.filter((F.col("pred") == V.TYPE) & (F.col("obj") == V.MOLECULAR_EVENT))
+        .select("model_id", F.col("subj").alias("reaction"))
+        .distinct()
+    )
+    ty = _p(t, V.TYPE, "node", "cls").filter(F.col("cls") != V.MOLECULAR_EVENT)
+    hi = _p(t, V.HAS_INPUT, "reaction", "input")
+    inputs = (
+        hi.join(me, ["model_id", "reaction"], "left_semi")
+        .join(ty.withColumnRenamed("node", "input").withColumnRenamed("cls", "in_cls"),
+              ["model_id", "input"])
+    )
+    up = t.filter(F.col("pred").isin(_B13_UP_RELS)).select(
+        "model_id", F.col("subj").alias("upstream"), F.col("obj").alias("reaction")
+    )
+    up_out_ty = (
+        _p(t, V.HAS_OUTPUT, "upstream", "out_node")
+        .join(ty.withColumnRenamed("node", "out_node").withColumnRenamed("cls", "in_cls"),
+              ["model_id", "out_node"])
+        .select("model_id", "upstream", "in_cls")
+        .distinct()
+    )
+    matched = (
+        inputs.join(up, ["model_id", "reaction"])
+        .join(up_out_ty, ["model_id", "upstream", "in_cls"], "left_semi")
+        .select("model_id", "reaction", "input", "in_cls")
+        .distinct()
+    )
+    gated = (
+        matched.groupBy("model_id", "reaction")
+        .agg(F.collect_set(F.struct("input", "in_cls")).alias("pairs"))
+        .filter(F.size("pairs") == 1)
+        .select("model_id", "reaction",
+                F.col("pairs")[0]["input"].alias("input"),
+                F.col("pairs")[0]["in_cls"].alias("in_cls"))
+    )
+    prot_or_cx = dims.onto_ancestors.filter(
+        F.col("ancestor_iri").isin(V.PROTEIN_ROOT, V.COMPLEX_GO)
+    ).select(F.col("class_iri").alias("in_cls"))
+    gated = gated.join(F.broadcast(prot_or_cx), ["in_cls"], "left_semi")
+    dels = gated.select(
+        "model_id", F.col("reaction").alias("subj"),
+        F.lit(V.HAS_INPUT).alias("pred"), F.col("input").alias("obj"),
+    )
+    adds = [_adds(gated, F.col("reaction"), V.ENABLED_BY, F.col("input"), "B13")]
+    return apply_delta(t, adds=adds, deletes=[dels])
+
+
+# ----------------------------------------------------------------------
+# B14 (OPTIONAL — disabled in the reference, call site commented out at
+# GoCAM.java:982): negative regulation by sequestration. Reference impl
+# GoCAM.inferNegativeRegulationByBinding (GoCAM.java:1310-1341) + match
+# query2update_regulation_by_sequestration.rq (QRunner.java:490-517).
+# ----------------------------------------------------------------------
+
+def b14_regulation_by_sequestration(t: DataFrame) -> DataFrame:
+    """Match (same pathway; the query's explosion guard): binder R1 has
+    two distinct inputs A,B and an output (the A/B complex); R2 is
+    enabled by an instance sharing A's exactMatch ref. Guards: R1's
+    output ref must not feed any other reaction (FILTER !BOUND), and no
+    active-unit complex contributes_to R2 (FILTER NOT EXISTS). Rewrite:
+    add R1 directly_negatively_regulates R2 (eco inferred, :1334)."""
+    po = _p(t, V.PART_OF, "r", "pathway")
+    ex = _p(t, V.EXACT, "node", "ref")
+    hi = _p(t, V.HAS_INPUT, "r1", "ia")
+    ho = _p(t, V.HAS_OUTPUT, "r1", "out_node")
+    en = _p(t, V.ENABLED_BY, "r2", "enabler")
+
+    # R1 must have >= 2 distinct inputs (?inputA != ?inputB)
+    multi_in = (
+        hi.groupBy("model_id", "r1").agg(F.countDistinct("ia").alias("n"))
+        .filter(F.col("n") >= 2).select("model_id", "r1")
+    )
+    a_ref = hi.join(multi_in, ["model_id", "r1"], "left_semi").join(
+        ex.withColumnRenamed("node", "ia"), ["model_id", "ia"]
+    )
+    en_ref = en.join(ex.withColumnRenamed("node", "enabler"), ["model_id", "enabler"])
+    pair = (
+        a_ref.join(en_ref, ["model_id", "ref"])
+        .filter(F.col("r1") != F.col("r2"))
+        .join(po.withColumnRenamed("r", "r1"), ["model_id", "r1"])
+        .join(po.withColumnRenamed("r", "r2")
+                .withColumnRenamed("pathway", "p2"), ["model_id", "r2"])
+        .filter(F.col("pathway") == F.col("p2"))
+        .select("model_id", "r1", "r2", "enabler")
+        .distinct()
+    )
+
+    # guard 1: R1's output ref is consumed nowhere (input or enabler)
+    out_ref = ho.join(ex.withColumnRenamed("node", "out_node"), ["model_id", "out_node"])
+    consumed = (
+        t.filter(F.col("pred").isin(V.HAS_INPUT, V.ENABLED_BY))
+        .select("model_id", F.col("obj").alias("node"))
+        .join(ex, ["model_id", "node"])
+        .select("model_id", "ref")
+        .distinct()
+    )
+    active_out = out_ref.join(consumed, ["model_id", "ref"], "left_semi").select(
+        "model_id", "r1"
+    )
+    pair = pair.join(active_out, ["model_id", "r1"], "left_anti")
+
+    # guard 2: no active-unit complex (has_part enabler + contributes_to R2)
+    au = (
+        _p(t, V.HAS_PART, "cx", "enabler")
+        .join(_p(t, V.CONTRIBUTES_TO, "cx", "r2"), ["model_id", "cx"])
+        .select("model_id", "enabler", "r2")
+    )
+    pair = pair.join(au, ["model_id", "enabler", "r2"], "left_anti")
+
+    adds = [_adds(pair, F.col("r1"), V.DIRECTLY_NEG_REGULATES, F.col("r2"), "B14")]
+    return apply_delta(t, adds=adds)

@@ -52,6 +52,12 @@ SM_INHIBITOR = "RO_0012002"     # has_small_molecule_inhibitor
 HAS_TARGET_START_LOC = "RO_0002338"
 HAS_TARGET_END_LOC = "RO_0002339"
 HAS_PRIMARY_INPUT = "RO_0004009"
+# B13/B14 optional rules (GoCAM.java:1027-1063, :1310-1341)
+DIRECTLY_POS_REGULATED_BY = "RO_0002024"
+DIRECTLY_NEG_REGULATED_BY = "RO_0002023"
+NEG_REGULATES = "RO_0002212"
+POS_REGULATES = "RO_0002213"
+CONTRIBUTES_TO = "RO_0002326"
 
 # every pred that counts as an object-property edge for the
 # unconnected-node cleanup (B9; GoCAM.java:1974-2007)
@@ -62,6 +68,8 @@ EDGE_PREDS = [
     LOCATED_IN, INTERACTS_WITH, FUNCTIONALLY_RELATED,
     SM_ACTIVATOR, SM_INHIBITOR,
     HAS_TARGET_START_LOC, HAS_TARGET_END_LOC, HAS_PRIMARY_INPUT,
+    DIRECTLY_POS_REGULATED_BY, DIRECTLY_NEG_REGULATED_BY,
+    NEG_REGULATES, POS_REGULATES, CONTRIBUTES_TO,
 ]
 
 # -- classes (GoCAM.java:289-333) ---------------------------------------

@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 
 from pathways2go_spark import vocab as V
 from pathways2go_spark.dims import Dims
-from pathways2go_spark.stage_b import b12_transport_inference
+from pathways2go_spark.stage_b import (
+    b12_transport_inference,
+    b13_enabler_from_upstream,
+    b14_regulation_by_sequestration,
+)
 
 TRIPLE_SCHEMA = (
     "model_id string, subj string, pred string, obj string, "
@@ -128,3 +132,74 @@ def test_b12_skips_non_transporter_typed_reaction(spark, dims):
     before = _t(spark, rows)
     out = b12_transport_inference(before, dims)
     assert out.count() == before.count()
+
+
+def test_b13_enabler_from_upstream(spark, dims):
+    """B13 (GoCAM.java:1027-1063): molecular_event reaction whose single
+    typed input matches an upstream output type -> has_input becomes
+    enabled_by; protein/complex closure gate."""
+    m = "m13"
+    rows = [
+        (m, "R2", V.TYPE, V.MOLECULAR_EVENT),
+        (m, "R2", V.HAS_INPUT, "i1"),
+        (m, "i1", V.TYPE, "UniProtKB_U1"),
+        (m, "R1", V.CAUSALLY_UPSTREAM, "R2"),
+        (m, "R1", V.HAS_OUTPUT, "o1"),
+        (m, "o1", V.TYPE, "UniProtKB_U1"),
+    ]
+    out = b13_enabler_from_upstream(_t(spark, rows), dims)
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("R2", V.ENABLED_BY, "i1") in got
+    assert ("R2", V.HAS_INPUT, "i1") not in got
+
+    # two matching inputs -> size==1 gate blocks the rewrite
+    m = "m13b"
+    rows2 = [
+        (m, "R2", V.TYPE, V.MOLECULAR_EVENT),
+        (m, "R2", V.HAS_INPUT, "i1"),
+        (m, "R2", V.HAS_INPUT, "i2"),
+        (m, "i1", V.TYPE, "UniProtKB_U1"),
+        (m, "i2", V.TYPE, "UniProtKB_U1"),
+        (m, "R1", V.CAUSALLY_UPSTREAM, "R2"),
+        (m, "R1", V.HAS_OUTPUT, "o1"),
+        (m, "o1", V.TYPE, "UniProtKB_U1"),
+    ]
+    out2 = b13_enabler_from_upstream(_t(spark, rows2), dims)
+    assert out2.filter(F.col("pred") == V.ENABLED_BY).count() == 0
+
+
+def test_b14_sequestration(spark, dims):
+    """B14 (GoCAM.java:1310-1341): R1 binds A+B into an inert complex;
+    R2 enabled by A's ref -> R1 directly_negatively_regulates R2."""
+    m = "m14"
+    base = [
+        (m, "R1", V.PART_OF, "P"),
+        (m, "R2", V.PART_OF, "P"),
+        (m, "R1", V.HAS_INPUT, "a"),
+        (m, "R1", V.HAS_INPUT, "b"),
+        (m, "R1", V.HAS_OUTPUT, "ab"),
+        (m, "a", V.EXACT, "EA"),
+        (m, "b", V.EXACT, "EB"),
+        (m, "ab", V.EXACT, "EAB"),
+        (m, "R2", V.ENABLED_BY, "e"),
+        (m, "e", V.EXACT, "EA"),
+    ]
+    out = b14_regulation_by_sequestration(_t(spark, base))
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("R1", V.DIRECTLY_NEG_REGULATES, "R2") in got
+
+    # guard 1: if R1's output feeds another reaction, no inference
+    rows_g1 = base + [
+        (m, "R3", V.HAS_INPUT, "c"),
+        (m, "c", V.EXACT, "EAB"),
+    ]
+    out_g1 = b14_regulation_by_sequestration(_t(spark, rows_g1))
+    assert out_g1.filter(F.col("pred") == V.DIRECTLY_NEG_REGULATES).count() == 0
+
+    # guard 2: active-unit complex contributes_to R2 suppresses the rule
+    rows_g2 = base + [
+        (m, "CX", V.HAS_PART, "e"),
+        (m, "CX", V.CONTRIBUTES_TO, "R2"),
+    ]
+    out_g2 = b14_regulation_by_sequestration(_t(spark, rows_g2))
+    assert out_g2.filter(F.col("pred") == V.DIRECTLY_NEG_REGULATES).count() == 0
