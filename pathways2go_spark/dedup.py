@@ -93,14 +93,19 @@ def minhash_lsh_pairs(
         F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select("doc_id", *band_cols)
-    pairs = None
-    for b in range(bands):
-        lhs = banded.select(F.col("doc_id").alias("a"), F.col(f"band{b}").alias("bh"))
-        rhs = banded.select(F.col("doc_id").alias("b"), F.col(f"band{b}").alias("bh"))
-        p = lhs.join(rhs, "bh").filter(F.col("a") < F.col("b")).select("a", "b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
+    # long format: one (band_idx, band_hash) self-join instead of `bands`
+    # separate shuffles — the join key extension keeps buckets disjoint
+    banded = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("bi", "bh")
+    )
+    lhs = banded.select(F.col("doc_id").alias("a"), "bi", "bh")
+    rhs = banded.select(F.col("doc_id").alias("b"), "bi", "bh")
+    cand = (
+        lhs.join(rhs, ["bi", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
     sa = sig.select(F.col("doc_id").alias("a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
     sb = sig.select(F.col("doc_id").alias("b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
     agree = sum(
