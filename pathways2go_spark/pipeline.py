@@ -182,7 +182,11 @@ def run_pipeline(
         links = links.localCheckpoint(eager=True)
     sa = extract(elements, links, dims)
 
-    t = sa.triples.repartition("model_id")
+    # NOTE: no repartition("model_id") here — a mega model would collapse
+    # into a single partition (the skew we are defending against). The
+    # local path's cogroup shuffles by model_id itself; the distributed
+    # rules shuffle on their own wider (model_id, node/type) keys.
+    t = sa.triples
     drugs = sa.drug_reactions.localCheckpoint(eager=True)
 
     if stage_b_mode == "distributed":

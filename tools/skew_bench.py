@@ -1,0 +1,143 @@
+"""Hub-pathway skew stress bench.
+
+The north rule calls out Reactome mega-complex / hub-pathway skew as the
+thing the pipeline must defuse explicitly. The defenses in this repo:
+
+  1. size routing — documents above `span_threshold` skip the fused
+     per-doc path (which would pin one Python worker for minutes) and run
+     through the distributed stage-A/B operators (pipeline.run_pipeline
+     stage_a_mode="auto");
+  2. join-key extension — every stage-B self-join carries model_id (+
+     reaction / type) in the key, so a hub TYPE never becomes a single
+     shuffle key (the reference's same-pathway guard, SURVEY.md §4);
+  3. AQE skew-join splitting for whatever residual imbalance remains.
+
+This tool builds a corpus of normal documents PLUS one mega-document
+(`--rxns` reactions in one pathway, every reaction enabled by the same
+hub enabler type and threading the same shared small molecule — the B4/B5
+hub shapes), runs the auto-routed pipeline end to end, and prints one
+JSON line with the routing decision and wall times.
+
+    python tools/skew_bench.py [--rxns 150000] [--normal 20000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_mega_doc(n_rxn: int) -> dict:
+    """One pathway, n_rxn chained reactions: Ri consumes Mi + shared ATP-like
+    molecule, outputs M(i+1); every Ri is CATALYSIS-enabled by the same hub
+    protein (one enabler TYPE across the whole model — the B4 hub shape);
+    steps chain Ri -> Ri+1 (same-pathway causal edges for B5)."""
+    spans = []
+    off = 0
+
+    def push(kind: str, **attrs) -> None:
+        nonlocal off
+        text = ";".join(f"{k}={v}" for k, v in attrs.items() if v is not None)
+        spans.append({"kind": kind, "text": text, "media_ref": "", "offset": off})
+        off += len(text) + 1
+
+    rxns = ",".join(f"MEGA-R{i}" for i in range(n_rxn))
+    push("pathway", id="MEGA-P", displayName="mega pathway", isDisease=0,
+         components=rxns)
+    push("protein", id="MEGA-E", displayName="hub enzyme", uniprot="U-HUB-1",
+         location="cytosol")
+    push("small_molecule", id="MEGA-ATP", displayName="hub molecule",
+         chebi="CHEBI_15422", location="cytosol")
+    for i in range(n_rxn + 1):
+        push("small_molecule", id=f"MEGA-M{i}", displayName=f"m{i}",
+             chebi=f"CHEBI_77{i:06d}", location="cytosol")
+    for i in range(n_rxn):
+        push("reaction", id=f"MEGA-R{i}", displayName=f"r{i}",
+             direction="LEFT-TO-RIGHT",
+             left=f"MEGA-M{i},MEGA-ATP", right=f"MEGA-M{i + 1}")
+        push("control", id=f"MEGA-C{i}", type="CATALYSIS",
+             controllerId="MEGA-E", controlledId=f"MEGA-R{i}")
+        push("step", id=f"MEGA-S{i}", reactionId=f"MEGA-R{i}",
+             nextStepIds=f"MEGA-S{i + 1}" if i + 1 < n_rxn else "")
+    return {"doc_id": "MEGA-DOC", "spans": spans}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rxns", type=int, default=150_000)
+    ap.add_argument("--normal", type=int, default=20_000,
+                    help="normal-corpus replicas running beside the mega doc")
+    ap.add_argument("--span-threshold", type=int, default=500_000)
+    args = ap.parse_args()
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pathways2go_spark.datagen import DOCUMENTS_SCHEMA, ensure_fixture
+    from pathways2go_spark.dims import load_dims
+    from pathways2go_spark.ingest import read_documents
+    from pathways2go_spark.pipeline import prepare_local_dims, run_pipeline
+    from pathways2go_spark.session import get_spark
+
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        f".kg_bench_r{args.normal}")
+    paths = ensure_fixture(base, replicas=args.normal)
+    mega_path = os.path.join(base, "mega_doc.parquet")
+    if not os.path.exists(mega_path):
+        t0 = time.perf_counter()
+        doc = build_mega_doc(args.rxns)
+        pq.write_table(pa.Table.from_pylist([doc], schema=DOCUMENTS_SCHEMA),
+                       mega_path)
+        print(f"mega-doc gen {time.perf_counter() - t0:.1f}s "
+              f"({len(doc['spans'])} spans)", file=sys.stderr)
+
+    spark = get_spark(extra={
+        "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(128 * 1024),
+    })
+    dims = load_dims(spark, base)
+    prepared = prepare_local_dims(dims)
+
+    normal = read_documents(spark, os.path.join(base, "documents.parquet"))
+    mega = read_documents(spark, mega_path)
+
+    from pyspark.sql import functions as F
+
+    n_mega_spans = mega.select(F.size("spans")).collect()[0][0]
+    routed_distributed = n_mega_spans > args.span_threshold
+
+    t0 = time.perf_counter()
+    base_triples = run_pipeline(spark, normal, dims, prepared=prepared).triples.count()
+    t_normal = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    both = normal.unionByName(mega)
+    all_triples = run_pipeline(
+        spark, both, dims, prepared=prepared,
+        span_threshold=args.span_threshold,
+    ).triples.count()
+    t_both = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "skew_overhead_ratio",
+        "value": round(t_both / t_normal, 3),
+        "unit": "ratio",
+        "mega_spans": n_mega_spans,
+        "mega_routed_distributed": routed_distributed,
+        "normal_docs": args.normal * 15,
+        "normal_triples": base_triples,
+        "total_triples": all_triples,
+        "mega_triples": all_triples - base_triples,
+        "sec_normal_only": round(t_normal, 2),
+        "sec_with_mega": round(t_both, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
