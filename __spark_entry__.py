@@ -175,6 +175,12 @@ def q_kg_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(t, dims.onto_ancestors)
 
 
+def q_kg_unclassified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: per-model count of nodes with no GO/CHEBI-rooted type."""
+    dims = load_dims(spark, KG_FIXTURE_DIR)
+    return G.count_unclassified(_kg(spark)[0], dims.onto_ancestors)
+
+
 def q_kg_span_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         explode_spans(_docs(spark))
@@ -389,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_ontology": q_kg_entity_ontology,
         "kg_gpad": q_kg_gpad,
         "kg_validation": q_kg_validation,
+        "kg_unclassified": q_kg_unclassified,
         "kg_span_kind_counts": q_kg_span_kind_counts,
         "kg_span_invariant": q_kg_span_invariant,
         "kg_relation_counts": q_kg_relation_counts,
@@ -633,6 +640,25 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": f"SELECT model_id, subj, pred, obj FROM '{tri}'",
         "kg_audit": f"SELECT rule, model_id, reaction, detail FROM '{aud}'",
         "kg_entity_ontology": eo_sql,
+        "kg_unclassified": f"""
+            WITH ty AS (
+              SELECT model_id, subj AS node, obj AS cls FROM '{tri}'
+              WHERE pred = 'type'
+            ), rooted AS (
+              SELECT class_iri AS cls FROM '{anc}'
+              WHERE ancestor_iri IN ('GO_0003674','GO_0008150','GO_0005575',
+                                     'CHEBI_24431','CHEBI_36080','GO_0032991')
+            ), classified AS (
+              SELECT DISTINCT model_id, node FROM ty JOIN rooted USING (cls)
+            ), allnodes AS (
+              SELECT DISTINCT model_id, node FROM ty
+            )
+            SELECT a.model_id, count(*) AS n_unclassified
+            FROM allnodes a
+            WHERE NOT EXISTS (SELECT 1 FROM classified c
+                              WHERE c.model_id = a.model_id AND c.node = a.node)
+            GROUP BY a.model_id
+        """,
         "kg_validation": """
             SELECT '' AS "check", '' AS model_id, '' AS node, '' AS pred
             WHERE false
