@@ -843,9 +843,11 @@ def write_fixture(fx: Fixture, out_dir: str) -> dict[str, str]:
                            row_group_size=1000)
         paths["documents"] = ddir
     w("onto_ancestors", pa.Table.from_pylist(
-        [{"class_iri": c, "ancestor_iri": a} for c, a in sorted(fx.onto_ancestors)]))
+        [{"class_iri": c, "ancestor_iri": a} for c, a in sorted(fx.onto_ancestors)],
+        schema=pa.schema([("class_iri", pa.string()), ("ancestor_iri", pa.string())])))
     w("onto_xrefs", pa.Table.from_pylist(
-        [{"xref": x, "class_iri": c} for x, c in sorted(fx.onto_xrefs)]))
+        [{"xref": x, "class_iri": c} for x, c in sorted(fx.onto_xrefs)],
+        schema=pa.schema([("xref", pa.string()), ("class_iri", pa.string())])))
     w("complex_parts", pa.Table.from_pylist(
         [{"complex_class": c, "part_class": p} for c, p in sorted(fx.complex_parts)]
         or [{"complex_class": "", "part_class": ""}][:0],
@@ -855,9 +857,12 @@ def write_fixture(fx: Fixture, out_dir: str) -> dict[str, str]:
         schema=pa.schema([("subject_id", pa.string()), ("object_id", pa.string()),
                           ("confidence", pa.float64()), ("mapping_tool", pa.string())])))
     w("accession_map", pa.Table.from_pylist(
-        [{"source": s, "acc": a, "target_iri": t} for s, a, t in sorted(fx.accession_map)]))
+        [{"source": s, "acc": a, "target_iri": t} for s, a, t in sorted(fx.accession_map)],
+        schema=pa.schema([("source", pa.string()), ("acc", pa.string()),
+                          ("target_iri", pa.string())])))
     w("drug_ids", pa.Table.from_pylist(
-        [{"entity_id": e, "iuphar_id": i} for e, i in sorted(fx.drug_ids)]))
+        [{"entity_id": e, "iuphar_id": i} for e, i in sorted(fx.drug_ids)],
+        schema=pa.schema([("entity_id", pa.string()), ("iuphar_id", pa.string())])))
     w("expected_triples", pa.Table.from_pylist(
         [{"model_id": m, "subj": s, "pred": p, "obj": o}
          for m, s, p, o in sorted(fx.expected)]))

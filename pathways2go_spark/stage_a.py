@@ -24,8 +24,11 @@ Operators implemented (SURVEY.md §2.3):
   A19    control -> enabled_by / involved_in_*_regulation_of (:1539-1600)
   A20/21 active-unit resolution + enablement rewiring (:2027-2133, :1692-1744)
   A22    control GO-xref types the reaction (:1601-1614)
-  A24    molecular_event fallback typing (:1829-1911)
+  A23    reaction BP-xref linkage: BP individual via part_of, default
+         pathway edge dropped (:1786-1820, issue #66)
+  A24    molecular_event fallback typing incl. accumulated go_bp (:1829-1911)
   A25    drug detection & reaction registration (PEOB.java:1016-1073)
+  A26    upstream-controller import, OFF by default (:1616-1663)
   A27    evidence column (ECO_0000313) on every assertion
 """
 
@@ -254,8 +257,70 @@ def _entity_node_triples(df: DataFrame, node: str, rule: str) -> DataFrame:
 # main extraction
 # ----------------------------------------------------------------------
 
-def extract(elements: DataFrame, links: DataFrame, dims: Dims) -> StageA:
+def a26_upstream_imports(
+    elements: DataFrame, links: DataFrame, event_pathway: DataFrame
+) -> DataFrame:
+    """A26 (OFF by default; `add_upstream_controller_events_from_other_
+    pathways`, BioPaxtoGO.java:1616-1663): for every non-small-molecule
+    controller of an in-pathway reaction that does not otherwise
+    participate in the pathway, import the cross-pathway reactions that
+    OUTPUT it (directionality assumption per :1640: the `right` side) as
+    members of the controlled reaction's pathway — the normal extraction
+    machinery then types them and emits their io/causal context."""
+    kinds = elements.select("doc_id", "elem_id", "kind")
+    ctl = links.filter(F.col("link") == "controller").select(
+        "doc_id", F.col("src_id").alias("ctrl_id"), F.col("dst_id").alias("controller")
+    )
+    cted = links.filter(F.col("link") == "controlled").select(
+        "doc_id", F.col("src_id").alias("ctrl_id"), F.col("dst_id").alias("event_id")
+    )
+    ep = event_pathway.select("doc_id", "event_id", "pathway_id")
+    tgt = (
+        ctl.join(cted, ["doc_id", "ctrl_id"])
+        .join(ep, ["doc_id", "event_id"])
+        .select("doc_id", "controller", "pathway_id")
+        .join(kinds.filter(F.col("kind") != "small_molecule")
+                   .select("doc_id", F.col("elem_id").alias("controller")),
+              ["doc_id", "controller"], "left_semi")
+        .distinct()
+    )
+    # skip controllers already participating in the pathway (:1628-1636)
+    io = links.filter(F.col("link").isin("left", "right", "participant", "product")).select(
+        "doc_id", F.col("src_id").alias("event_id"), F.col("dst_id").alias("controller")
+    )
+    in_p = io.join(ep, ["doc_id", "event_id"]).select(
+        "doc_id", "controller", "pathway_id"
+    )
+    tgt = tgt.join(in_p, ["doc_id", "controller", "pathway_id"], "left_anti")
+    # candidate reactions outside the pathway whose outputs contain the controller
+    out_side = links.filter(F.col("link") == "right").select(
+        "doc_id", F.col("src_id").alias("event_id"), F.col("dst_id").alias("controller")
+    )
+    cand = (
+        tgt.join(out_side, ["doc_id", "controller"])
+        .join(kinds.filter(F.col("kind") == "reaction")
+                   .select("doc_id", F.col("elem_id").alias("event_id")),
+              ["doc_id", "event_id"], "left_semi")
+        .join(ep.withColumn("pathway_id", F.col("pathway_id")),
+              ["doc_id", "event_id", "pathway_id"], "left_anti")
+        .select("doc_id", "event_id", "pathway_id")
+        .distinct()
+        .withColumn("event_kind", F.lit("reaction"))
+    )
+    return cand
+
+
+def extract(
+    elements: DataFrame,
+    links: DataFrame,
+    dims: Dims,
+    import_upstream_controllers: bool = False,
+) -> StageA:
     kept_pw, event_pathway = pathways_and_events(elements, links)
+    if import_upstream_controllers:
+        event_pathway = event_pathway.unionByName(
+            a26_upstream_imports(elements, links, event_pathway)
+        )
     ent = entity_master(elements, links, dims)
     event_pathway = event_pathway.localCheckpoint(eager=True)
     ent = ent.localCheckpoint(eager=True)
