@@ -170,3 +170,19 @@ def build_accession_map(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def read_pro_mapping(spark: SparkSession, path: str,
+                     rtype: str | None = None) -> DataFrame:
+    """S8 — Reactome→PRO promapping.txt (PRO.readReact2PRO,
+    PRO.java:101-135): 3-col TSV `PR:x  Reactome:R-XXX-n  exact|is_a`;
+    keep Reactome rows, optionally filtered to one relation type;
+    Reactome id loses its prefix, the PRO CURIE becomes a local name."""
+    df = _tsv(spark, path).filter(F.col("_c1").contains("Reactome"))
+    if rtype is not None:
+        df = df.filter(F.col("_c2") == rtype)
+    return df.select(
+        F.concat(F.lit("pro_"), F.col("_c2")).alias("source"),
+        F.split(F.col("_c1"), ":").getItem(1).alias("acc"),
+        F.regexp_replace("_c0", ":", "_").alias("target_iri"),
+    ).distinct()

@@ -89,6 +89,7 @@ def pathways_and_events(elements: DataFrame, links: DataFrame) -> tuple[DataFram
     pw = elements.filter(F.col("kind") == "pathway").select(
         "doc_id",
         F.col("elem_id").alias("pid"),
+        _attr("displayName").alias("display_name"),
         _attr("goXref").alias("go_xref"),
         (F.coalesce(_attr("isDisease"), F.lit("0")) == "1").alias("is_disease"),
     )
@@ -315,8 +316,17 @@ def extract(
     links: DataFrame,
     dims: Dims,
     import_upstream_controllers: bool = False,
+    test_pathways: list[str] | None = None,
 ) -> StageA:
     kept_pw, event_pathway = pathways_and_events(elements, links)
+    if test_pathways is not None:
+        # A3 (the `-tp` allowlist, BioPaxtoGO.java:249-251): convert only
+        # the named pathways
+        kept_pw = kept_pw.filter(F.col("display_name").isin(test_pathways))
+        event_pathway = event_pathway.join(
+            kept_pw.select("doc_id", F.col("pid").alias("pathway_id")),
+            ["doc_id", "pathway_id"], "left_semi",
+        )
     if import_upstream_controllers:
         event_pathway = event_pathway.unionByName(
             a26_upstream_imports(elements, links, event_pathway)

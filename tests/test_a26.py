@@ -66,3 +66,16 @@ def test_a26_imports_upstream_producer(spark, two_pathway_corpus):
     assert ("A26-R0", V.PART_OF, "A26-P2") in got
     # and its io context is emitted under the import too
     assert ("A26-R0", V.HAS_OUTPUT, "U-A26-1~A26-R0") in got
+
+
+def test_a3_test_pathway_allowlist(spark, two_pathway_corpus):
+    """A3 (`-tp`, BioPaxtoGO.java:249-251): only named pathways convert."""
+    paths, out = two_pathway_corpus
+    docs = read_documents(spark, paths["documents"])
+    dims = load_dims(spark, out)
+    elements, links = ingest(docs)
+    sa = extract(elements, links, dims, test_pathways=["main"])
+    got = {(r.subj, r.pred, r.obj) for r in sa.triples.collect()}
+    assert ("A26-R1", V.PART_OF, "A26-P1") in got
+    assert not any(s == "A26-R0" for s, _, _ in got)   # P2 not converted
+    assert not any(s == "A26-P2" for s, _, _ in got)

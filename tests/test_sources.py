@@ -86,3 +86,19 @@ def test_build_accession_map_union(spark, tsv_dir):
     )
     srcs = {r.source for r in df.collect()}
     assert srcs == {"gpi", "monomer2sgd", "pathway2go", "sgd2ec", "yeastcyc2chebi"}
+
+
+def test_pro_mapping(spark, tsv_dir):
+    p = tsv_dir / "promapping.txt"
+    p.write_text(
+        "PR:000000031\tReactome:R-HSA-1027362\tis_a\n"
+        "PR:000000032\tReactome:R-HSA-2\texact\n"
+        "PR:000000033\tUniProtKB:P1\texact\n"
+    )
+    rows = {tuple(r) for r in S.read_pro_mapping(spark, str(p)).collect()}
+    assert rows == {
+        ("pro_is_a", "R-HSA-1027362", "PR_000000031"),
+        ("pro_exact", "R-HSA-2", "PR_000000032"),
+    }
+    exact = {tuple(r) for r in S.read_pro_mapping(spark, str(p), "exact").collect()}
+    assert exact == {("pro_exact", "R-HSA-2", "PR_000000032")}
