@@ -55,14 +55,16 @@ def _stage_b_distributed(
     def ck(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=False) if checkpoint else df
 
-    t = ck(B.b10_remove_drug_reactions(t, drugs))
-    t = ck(B.b1_mf_from_enablers(t))
+    # checkpoint only after the join-heavy rules — lineage between the
+    # cheap filter/anti-join rules stays shallow enough for Catalyst
+    t = B.b10_remove_drug_reactions(t, drugs)
+    t = B.b1_mf_from_enablers(t)
     t = ck(B.b2_occurs_in(t))
     t = ck(B.b3_regulates_via_output_regulates(t))
     t = ck(B.b4_b5_causal_rewrites(t, dims))
     t, audit = B.b6_small_molecule_regulators(t, dims)
     t = ck(t)
-    t = ck(B.b7_delete_complexes_with_active_units(t))
+    t = B.b7_delete_complexes_with_active_units(t)
     t = B.b8_delete_disallowed(t)
     t = ck(B.b9_clean_unconnected(t))
     t = B.b11_model_gate(t, dims)
