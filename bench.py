@@ -8,7 +8,7 @@ Prints ONE JSON line:
 
 The KG pipeline benchmark runs over a deterministically generated
 interleaved-document corpus (replicas scaled by SPARK_GRAFT_KG_REPLICAS,
-default 2000 -> 26,000 pathway documents); corpus generation time is NOT
+default 20000 -> 300,000 pathway documents); corpus generation time is NOT
 counted. Set SPARK_GRAFT_BENCH_MASTER to override the master (used by
 tools/scaling_bench.py for the N-vs-4N-cores scaling-efficiency run).
 """
@@ -36,7 +36,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     master = os.environ.get("SPARK_GRAFT_BENCH_MASTER", f"local[{cpus}]")
-    replicas = int(os.environ.get("SPARK_GRAFT_KG_REPLICAS", 2000))
+    replicas = int(os.environ.get("SPARK_GRAFT_KG_REPLICAS", 20000))
     try:
         sf = float(sf_dir.rstrip("/").split("sf")[-1])
     except ValueError:
