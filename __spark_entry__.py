@@ -317,6 +317,20 @@ def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(SIM.cosine_scores(pre, q), k=10)
 
 
+def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: cells from 16 deterministic centroids (the first 16
+    vectors — a trained codebook in production), probe the 4 nearest."""
+    q = _query_vec(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    return _rounded_topk(
+        SIM.ann_topk_ivf(emb, q, cents, k=10, probe=4, round_to=6), k=10
+    )
+
+
 def q_media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.media_table(_docs(spark))
     return media.groupBy("media_kind").agg(
@@ -416,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh_topk": q_sim_ann_lsh_topk,
+        "sim_ann_ivf_topk": q_sim_ann_ivf_topk,
         "media_kind_stats": q_media_kind_stats,
         "media_feature_bytes": q_media_feature_bytes,
         "events_hourly": q_events_hourly,
@@ -858,6 +873,53 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             WHERE bit_count(xor(CAST({_BKT("e.embedding")} AS BIGINT),
                                 CAST(q.qbkt AS BIGINT))) <= 1
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "sim_ann_ivf_topk": """
+            WITH c AS (
+              SELECT vec_id AS cid, embedding AS ce FROM embeddings
+              WHERE vec_id < 16
+            ), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            sims AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.ce AS DOUBLE[]))
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(CAST(c.ce AS DOUBLE[]),
+                                                      CAST(c.ce AS DOUBLE[])))),
+                           6) AS sim
+              FROM embeddings e CROSS JOIN c
+            ), assigned AS (
+              SELECT vec_id, embedding, cid AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY sim DESC, cid ASC) AS rn
+                FROM sims
+              ) WHERE rn = 1
+            ), probe AS (
+              SELECT cid AS cell FROM (
+                SELECT c.cid,
+                       round(list_dot_product(CAST(c.ce AS DOUBLE[]),
+                                              CAST(q.qe AS DOUBLE[]))
+                             / (sqrt(list_dot_product(CAST(c.ce AS DOUBLE[]),
+                                                      CAST(c.ce AS DOUBLE[])))
+                                * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                                        CAST(q.qe AS DOUBLE[])))),
+                             6) AS qsim
+                FROM c CROSS JOIN q
+                ORDER BY qsim DESC, cid ASC LIMIT 4
+              )
+            )
+            SELECT e.vec_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qe AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                                    CAST(q.qe AS DOUBLE[])))),
+                         6) AS cosine
+            FROM assigned e
+            JOIN probe p ON e.cell = p.cell, q
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "media_kind_stats": f"""

@@ -79,3 +79,65 @@ def ann_topk_lsh(
         F.col("bkt").isin(probe)
     )
     return cosine_topk(pre, query, k, vec_col)
+
+
+def centroid_scores(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Array of cosine similarities of `vec_col` against each centroid."""
+    import math
+
+    cols = []
+    for c in centroids:
+        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        cols.append(_dot_with_query(vec_col, c) / (_norm(vec_col) * F.lit(cn)))
+    return F.array(*cols)
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding",
+               round_to: int | None = None) -> DataFrame:
+    """IVF coarse quantization: each vector joins the cell of its nearest
+    centroid (argmax cosine; first index wins ties — deterministic).
+    Centroids here are caller-provided (a trained k-means codebook in
+    production; any deterministic pick for tests) and broadcast into the
+    expression — assignment is one narrow codegen'd pass, and at corpus
+    scale `cell` is the partition key the probe prunes on."""
+    scores = centroid_scores(F.col(vec_col), centroids)
+    if round_to is not None:
+        # cross-engine determinism: quantize before the argmax so ULP-level
+        # float drift between engines cannot flip a cell assignment
+        scores = F.transform(scores, lambda x: F.round(x, round_to))
+    return emb.withColumn(
+        "cell",
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("int"),
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    probe: int = 4,
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVF-flat ANN: probe the `probe` cells whose centroids are nearest
+    the query, exact cosine inside — the classic inverted-file scale path
+    beside the sign-LSH variant (ann_topk_lsh)."""
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
+
+    def cos(c: list[float]) -> float:
+        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        dot = 0.0
+        for x, y in zip(c, query):
+            dot = dot + float(x) * float(y)
+        return dot / (cn * qn)
+
+    key = (lambda i: (-round(cos(centroids[i]), round_to), i)) if round_to \
+        else (lambda i: (-cos(centroids[i]), i))
+    ranked = sorted(range(len(centroids)), key=key)
+    cells = ranked[:probe]
+    assigned = ivf_assign(emb, centroids, vec_col, round_to)
+    return cosine_topk(assigned.filter(F.col("cell").isin(cells)), query, k, vec_col)

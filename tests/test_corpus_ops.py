@@ -132,3 +132,21 @@ def test_media_pipeline(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"bytes")
+
+
+def test_ann_ivf_matches_bruteforce_top1(spark, sf_dir):
+    """IVF with probe covering the query's own cell must return the query
+    vector itself as top-1 (cosine 1.0)."""
+    from pyspark.sql import functions as F
+
+    from pathways2go_spark import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    top = SIM.ann_topk_ivf(emb, q, cents, k=3, probe=2, round_to=6).collect()
+    assert top[0].vec_id == 0
+    assert abs(top[0].cosine - 1.0) < 1e-9
