@@ -317,6 +317,7 @@ def extract(
     dims: Dims,
     import_upstream_controllers: bool = False,
     test_pathways: list[str] | None = None,
+    explode_entity_sets: bool = False,
 ) -> StageA:
     kept_pw, event_pathway = pathways_and_events(elements, links)
     if test_pathways is not None:
@@ -555,6 +556,45 @@ def extract(
         _triples(ctl.filter(F.col("ctl_go_xref").isNotNull()),
                  F.col("event_id"), V.TYPE, F.col("ctl_go_xref"), "A22")
     )
+
+    # A14-set explosion (OPTIONAL — `has_substitutable_entity` emission is
+    # disabled in the reference, BioPaxtoGO.java:1185-1215): each
+    # non-small-molecule member of an entity-set io/controller node gets a
+    # member individual linked via RO_0019003. Complex members (which the
+    # reference reduces via getComplexActiveUnitRecursive) are skipped —
+    # the active-unit reduction path covers that shape when enabled.
+    if explode_entity_sets:
+        set_nodes = (
+            io.filter(F.col("kind") == "entity_set")
+            .select("doc_id", F.col("elem_id").alias("set_id"),
+                    F.col("node").alias("set_node"))
+            .unionByName(
+                ctl.filter(F.col("kind") == "entity_set")
+                .select("doc_id", F.col("controller_id").alias("set_id"),
+                        F.col("ctl_node").alias("set_node"))
+            )
+            .distinct()
+        )
+        members = (
+            links.filter(F.col("link") == "member")
+            .select("doc_id", F.col("src_id").alias("set_id"),
+                    F.col("dst_id").alias("member_id"))
+            .join(set_nodes, ["doc_id", "set_id"])
+            .join(ent.select("doc_id", F.col("elem_id").alias("member_id"),
+                             F.col("kind").alias("mkind"),
+                             F.col("ref_id").alias("mref"),
+                             F.col("class_iri").alias("mcls")),
+                  ["doc_id", "member_id"])
+            .filter(~F.col("mkind").isin("small_molecule", "complex"))
+            .withColumn("mnode", F.concat("mref", F.lit("~"), "set_node",
+                                          F.lit("~sub")))
+        )
+        frames.append(_triples(members, F.col("set_node"), V.HAS_SUBSTITUTABLE,
+                               F.col("mnode"), "A14"))
+        frames.append(_triples(members, F.col("mnode"), V.TYPE,
+                               F.col("mcls"), "A14"))
+        frames.append(_triples(members, F.col("mnode"), V.EXACT,
+                               F.col("member_id"), "A14"))
 
     # ------------------------------------------------------------------
     # typing ladders (A4/A7 pathways; A10/A11/A24 + SSSOM events)

@@ -52,6 +52,7 @@ SM_INHIBITOR = "RO_0012002"     # has_small_molecule_inhibitor
 HAS_TARGET_START_LOC = "RO_0002338"
 HAS_TARGET_END_LOC = "RO_0002339"
 HAS_PRIMARY_INPUT = "RO_0004009"
+HAS_SUBSTITUTABLE = "RO_0019003"   # A14 set members (disabled in ref)
 # B13/B14 optional rules (GoCAM.java:1027-1063, :1310-1341)
 DIRECTLY_POS_REGULATED_BY = "RO_0002024"
 DIRECTLY_NEG_REGULATED_BY = "RO_0002023"
@@ -69,7 +70,7 @@ EDGE_PREDS = [
     SM_ACTIVATOR, SM_INHIBITOR,
     HAS_TARGET_START_LOC, HAS_TARGET_END_LOC, HAS_PRIMARY_INPUT,
     DIRECTLY_POS_REGULATED_BY, DIRECTLY_NEG_REGULATED_BY,
-    NEG_REGULATES, POS_REGULATES, CONTRIBUTES_TO,
+    NEG_REGULATES, POS_REGULATES, CONTRIBUTES_TO, HAS_SUBSTITUTABLE,
 ]
 
 # -- classes (GoCAM.java:289-333) ---------------------------------------

@@ -79,3 +79,22 @@ def test_a3_test_pathway_allowlist(spark, two_pathway_corpus):
     assert ("A26-R1", V.PART_OF, "A26-P1") in got
     assert not any(s == "A26-R0" for s, _, _ in got)   # P2 not converted
     assert not any(s == "A26-P2" for s, _, _ in got)
+
+
+def test_a14_set_explosion_optional(spark, fixture_paths):
+    """A14 has_substitutable_entity (disabled in the reference,
+    BioPaxtoGO.java:1185-1215): set members attach via RO_0019003 when
+    the flag is on; never by default."""
+    import os
+
+    docs = read_documents(spark, fixture_paths["documents"])
+    dims = load_dims(spark, os.path.dirname(fixture_paths["documents"]))
+    elements, links = ingest(docs)
+    on = extract(elements, links, dims, explode_entity_sets=True).triples
+    got = {(r.subj, r.pred, r.obj) for r in on.collect()}
+    # T10: set S1 (controller of R1) has protein members E1/E2
+    sn = "T10x00000-S1~T10x00000-R1~ctl"
+    assert (sn, V.HAS_SUBSTITUTABLE, f"U-T10x00000-1~{sn}~sub") in got
+    assert (f"U-T10x00000-1~{sn}~sub", V.TYPE, "UniProtKB_U-T10x00000-1") in got
+    off = extract(elements, links, dims).triples
+    assert off.filter(off.pred == V.HAS_SUBSTITUTABLE).count() == 0
