@@ -391,7 +391,9 @@ def q_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # broadcast only the fixed-size dim (nation, 25 rows); customer
+        # grows with scale factor, so its join strategy is left to AQE
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(

@@ -170,6 +170,7 @@ def t1_linear_chain(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     Mirrors proline_catabolism.owl; testInferProvidesInput
     (BioPaxtoGOTest.java:1036-1070) + testSharedIntermediateInputs (:1072-1108).
     """
+    dpfx = dpfx or pfx  # guard against literal "U-None-*" accessions
     m = f"{pfx}"
     P = f"{pfx}-P"
     R1, R2, R3, R4 = (f"{pfx}-R{i}" for i in range(1, 5))
@@ -246,6 +247,7 @@ def t1_linear_chain(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
 def t2_enabler_location(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T2: occurs_in from enabler location (testOccursInFromEnablerLocation
     BioPaxtoGOTest.java:748-782) vs mixed entity locations (:703-737)."""
+    dpfx = dpfx or pfx  # guard against literal "U-None-*" accessions
     m = f"{pfx}"
     P = f"{pfx}-P"
     R1, R2 = f"{pfx}-R1", f"{pfx}-R2"
@@ -286,6 +288,7 @@ def t3_entity_regulator(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T3: B3 regulation rule 1 — upstream reaction outputs complex Z, Z
     ACTIVATION-controls downstream (testInferRegulatesViaOutputRegulates
     BioPaxtoGOTest.java:790-825; GoCAM.java:1250-1296)."""
+    dpfx = dpfx or pfx  # guard against literal "U-None-*" accessions
     m = f"{pfx}"
     P = f"{pfx}-P"
     R1, R2 = f"{pfx}-R1", f"{pfx}-R2"
@@ -343,6 +346,7 @@ def t4_output_enables(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T4: B4 regulation rule 3, case 1 (direct type match) and case 2
     (complex-part tbox match) — testInferRegulatesViaOutputEnables
     (BioPaxtoGOTest.java:985-1021; GoCAM.java:1343-1508)."""
+    dpfx = dpfx or pfx  # guard against literal "U-None-*" accessions
     m = f"{pfx}"
     P = f"{pfx}-P"
     R1, R2, R3, R4 = (f"{pfx}-R{i}" for i in range(1, 5))
@@ -403,6 +407,7 @@ def t5_active_unit(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T5: active units (A20/A21) + complex-with-active-unit deletion (B7) +
     same-UniProt reduction — testActiveSiteInController
     (BioPaxtoGOTest.java:938-971; BioPaxtoGO.java:2027-2097)."""
+    dpfx = dpfx or pfx  # guard against literal "U-None-*" accessions
     m = f"{pfx}"
     P = f"{pfx}-P"
     R1, R2 = f"{pfx}-R1", f"{pfx}-R2"
@@ -453,6 +458,7 @@ def t6_small_mol_regulators(fx: Fixture, pfx: str, dpfx: str | None = None) -> N
     """T6: B6 small-molecule regulators, 2 activators + 2 inhibitors + 1
     protein regulator deleted+audited (testInferSmallMoleculeRegulators
     BioPaxtoGOTest.java:895-926; GoCAM.java:1667-1747)."""
+    dpfx = dpfx or pfx  # guard against literal "U-None-*" accessions
     m = f"{pfx}"
     P = f"{pfx}-P"
     R1 = f"{pfx}-R1"
@@ -499,6 +505,7 @@ def t7_disease_drug(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T7: disease-pathway drop (A1/A2) + drug-reaction removal (A25/B10) —
     testDiseaseReactionDeletion (BioPaxtoGOTest.java:303-364) /
     testDrugReactionDeletion (:365-482)."""
+    dpfx = dpfx or pfx  # guard against literal "U-None-*" accessions
     # doc a: disease ancestry -> no triples at all
     ma = f"{pfx}a"
     PD, P1, RX = f"{pfx}a-PD", f"{pfx}a-P1", f"{pfx}a-RX"
@@ -546,6 +553,7 @@ def t7_disease_drug(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
 def t8_yeast_right_to_left(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T8: stepDirection RIGHT-TO-LEFT swaps inputs/outputs (A17;
     testYeastStepDirection BioPaxtoGOTest.java:1363-1390)."""
+    dpfx = dpfx or pfx  # guard against literal "U-None-*" accessions
     m = f"{pfx}"
     P, R1 = f"{pfx}-P", f"{pfx}-R1"
     A, B = f"{pfx}-A", f"{pfx}-B"
@@ -567,6 +575,7 @@ def t8_yeast_right_to_left(fx: Fixture, pfx: str, dpfx: str | None = None) -> No
 def t9_yeast_linking(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T9: SSSOM best-match typing, SGD EC->MF lookup, manual pathway->GO
     map, SGD complex components (BioPaxtoGOTest.java:1152-1361)."""
+    dpfx = dpfx or pfx  # guard against literal "U-None-*" accessions
     # doc a
     ma = f"{pfx}a"
     P, R1, R2 = f"{ma}-P", f"{ma}-R1", f"{ma}-R2"
@@ -647,6 +656,7 @@ def t10_sets_and_chebi(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T10: entity-set controller (root election), ChEBI ids, water
     do-not-join, provides-input via same-ref distinct instances
     (BioPaxtoGOTest.java:1392-1414; GoCAM.java:121-122)."""
+    dpfx = dpfx or pfx  # guard against literal "U-None-*" accessions
     m = f"{pfx}"
     P = f"{pfx}-P"
     R1, R2, R3 = f"{pfx}-R1", f"{pfx}-R2", f"{pfx}-R3"
@@ -697,6 +707,7 @@ def t11_untyped_fallbacks(fx: Fixture, pfx: str, dpfx: str | None = None) -> Non
     """T11: molecular_event fallback + B1 retype; BP root fallback for
     pathway whose only sssom match is below confidence 0.5
     (GoCAM.java:1001-1025; BioPaxtoGO.java:990-993)."""
+    dpfx = dpfx or pfx  # guard against literal "U-None-*" accessions
     m = f"{pfx}"
     P = f"{pfx}-P"
     R1, R2 = f"{pfx}-R1", f"{pfx}-R2"
@@ -732,6 +743,7 @@ def t11_untyped_fallbacks(fx: Fixture, pfx: str, dpfx: str | None = None) -> Non
 def t12_gate_and_misc(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     """T12: empty-model gate (B11, BioPaxtoGO.java:588-599) + template
     reaction (A16) + generic interaction (A15)."""
+    dpfx = dpfx or pfx  # guard against literal "U-None-*" accessions
     # doc a: pathway with no activities -> model not written
     ma = f"{pfx}a"
     da = Doc(fx, ma)

@@ -273,7 +273,10 @@ def build_reacto(elements: DataFrame, links: DataFrame, dims: Dims) -> DataFrame
     )
     seen = direct.select("doc_id", "elem_id")
     frontier = seen
-    for _ in range(4):  # bounded nesting depth, same as A25
+    # unbounded: loop until the frontier empties (each hop is a bounded
+    # broadcast-side join; the oracle's WITH RECURSIVE is also unbounded,
+    # so arbitrarily nested complex/set containers stay in agreement)
+    while True:
         up = (
             containers.join(frontier.withColumnRenamed("elem_id", "child"),
                             ["doc_id", "child"])

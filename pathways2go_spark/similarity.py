@@ -135,7 +135,9 @@ def ann_topk_ivf(
             dot = dot + float(x) * float(y)
         return dot / (cn * qn)
 
-    key = (lambda i: (-round(cos(centroids[i]), round_to), i)) if round_to \
+    # `is not None` (not truthiness): round_to=0 must round here exactly as
+    # ivf_assign does, or probe ranking and cell assignment disagree
+    key = (lambda i: (-round(cos(centroids[i]), round_to), i)) if round_to is not None \
         else (lambda i: (-cos(centroids[i]), i))
     ranked = sorted(range(len(centroids)), key=key)
     cells = ranked[:probe]

@@ -496,11 +496,23 @@ def b12_transport_inference(t: DataFrame, dims: Dims) -> DataFrame:
     keep = moved_ty.filter(F.col("retype")).unionByName(in_trans).dropDuplicates(
         ["model_id", "reaction", "in_node", "out_node", "rcls"]
     )
-    # one transport decision per reaction (reference guards with a set)
-    rxn = keep.groupBy("model_id", "reaction").agg(
-        F.min("start_cls").alias("start_cls"),
-        F.min("end_cls").alias("end_cls"),
-        F.max(F.col("retype").cast("int")).alias("retype"),
+    # one transport decision per reaction (reference guards with a set).
+    # The (start, end) pair is picked as one matched struct — column-wise
+    # mins could combine a start and an end that never co-occurred when a
+    # reaction matches two transported entities with different compartment
+    # pairs.
+    rxn = (
+        keep.groupBy("model_id", "reaction")
+        .agg(
+            F.min(F.struct("start_cls", "end_cls")).alias("se"),
+            F.max(F.col("retype").cast("int")).alias("retype"),
+        )
+        .select(
+            "model_id", "reaction",
+            F.col("se.start_cls").alias("start_cls"),
+            F.col("se.end_cls").alias("end_cls"),
+            "retype",
+        )
     )
 
     # protein-closure membership of the transported thing's class

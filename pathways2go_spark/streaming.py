@@ -79,11 +79,20 @@ def start_kg_stream(
 
 
 def read_stream_triples(spark: SparkSession, out_path: str) -> DataFrame:
-    """Union of every micro-batch's bucketed sink under out_path."""
-    import glob
-    import os
+    """Union of every micro-batch's bucketed sink under out_path.
 
-    datas = sorted(glob.glob(os.path.join(out_path, "batch=*", "data")))
+    Enumerates batch directories through the Hadoop FileSystem API (not a
+    local glob), so the read-back path works on any filesystem the write
+    path supports (HDFS/S3/local)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    datas = sorted(
+        str(st.getPath().toString()) + "/data"
+        for st in fs.listStatus(path)
+        if st.isDirectory() and st.getPath().getName().startswith("batch=")
+    )
     out = None
     for d in datas:
         df = spark.read.parquet(d).drop("bucket")
