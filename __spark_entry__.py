@@ -21,9 +21,11 @@ offset>>), returning the final GO-CAM triples DataFrame.
 
 Oracle SQL is engineered for *bit-exact* value agreement with the Spark
 plan: only integer-derived doubles (exact in IEEE754), sequential-fold
-dot products on both sides, and string/count outputs elsewhere.
-MinHash band hashing (murmur3) and SimHash are not reproducible in
-DuckDB, so `dedup_simhash` carries no oracle (rows-only check).
+dot products on both sides, md5-bit-slice token hashes for SimHash
+(bit-reproducible cross-engine, unlike murmur3), and string/count
+outputs elsewhere. MinHash band hashing (murmur3) remains the one
+construct DuckDB cannot reproduce, so its oracle pins the known
+duplicate structure of the doubled corpus instead.
 """
 
 from __future__ import annotations
@@ -254,7 +256,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
         _doubled_docs(spark, sf_dir, max_id=50), max_hamming=0
-    ).select("a", "b", "hamming")
+    ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,6 +490,16 @@ _COSINE = (
 
 _BKT = lambda col: " + ".join(  # noqa: E731
     f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+# SimHash in SQL: same md5-bit-slice token hash the Spark side uses
+# (dedup.simhash), so the 32-bit signature reproduces bit-exactly.
+_SIMHASH_BITS = ",\n         ".join(
+    f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(32)
+)
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
 )
 
 
@@ -812,6 +824,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             SELECT doc_id AS a, doc_id + {DOC_OFFSET} AS b, 1.0 AS est_jaccard
             FROM documents WHERE doc_id < 50
+        """,
+        "dedup_simhash": f"""
+            WITH {_CORPUS50_CTE},
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+              FROM corpus
+            ), th AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th
+              FROM toks
+            ), bits AS (
+              SELECT doc_id,
+         {_SIMHASH_BITS}
+              FROM th GROUP BY doc_id
+            ), sig AS (
+              SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS sh FROM bits
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.sh = b.sh AND a.doc_id < b.doc_id
         """,
         "dedup_embedding": f"""
             WITH corpus AS (

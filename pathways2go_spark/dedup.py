@@ -121,10 +121,17 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, col: str = "text", bits: int = 32) -> DataFrame:
     """(doc_id, simhash): classic bitwise-majority token signature, built
-    as `bits` aggregate expressions in one pass."""
+    as `bits` aggregate expressions in one pass.
+
+    The per-token hash is the first 8 hex chars of md5 (a 32-bit slice),
+    not murmur3: md5 is bit-reproducible across engines, so the whole
+    signature — and therefore the near-pair output — has an exact DuckDB
+    oracle (`('0x' || substr(md5(tok),1,8))::BIGINT`)."""
     toks = df.select(
         "doc_id", F.explode(F.split(F.trim(F.lower(F.col(col))), r"\s+")).alias("tok")
-    ).withColumn("th", F.hash("tok"))
+    ).withColumn(
+        "th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
