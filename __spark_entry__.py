@@ -309,12 +309,11 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir)
     emb = _emb(spark, sf_dir)
-    pre = emb.withColumn("bkt", SIM.sign_bucket(F.col("embedding"), 8))
-    qb = 0
-    for i in range(8):
-        if q[i] >= 0:
-            qb |= 1 << i
-    probe = [qb] + [qb ^ (1 << i) for i in range(8)]
+    pre = emb.withColumn(
+        "bkt", SIM.sign_bucket(F.col("embedding"), LSH_PLANES, EMB_DIM)
+    )
+    qb = SIM.query_sign_bucket(q, LSH_PLANES, EMB_DIM)
+    probe = [qb] + [qb ^ (1 << i) for i in range(LSH_PLANES)]
     pre = pre.filter(F.col("bkt").isin(probe))
     return _rounded_topk(SIM.cosine_scores(pre, q), k=10)
 
@@ -328,6 +327,19 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [float(x) for x in r.embedding]
         for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
     ]
+    return _rounded_topk(
+        SIM.ann_topk_ivf(emb, q, cents, k=10, probe=4, round_to=6), k=10
+    )
+
+
+def q_sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN over a codebook TRAINED by the distributed k-means
+    Lloyd trainer (similarity.kmeans_fit): deterministic init (first 8
+    vec_ids), 2 iterations, exact_mean sorted-fold updates so the oracle
+    can replay the training bit-exactly in SQL."""
+    q = _query_vec(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    cents = SIM.kmeans_fit(emb, k=8, iters=2, round_to=6, exact_mean=True)
     return _rounded_topk(
         SIM.ann_topk_ivf(emb, q, cents, k=10, probe=4, round_to=6), k=10
     )
@@ -435,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh_topk": q_sim_ann_lsh_topk,
         "sim_ann_ivf_topk": q_sim_ann_ivf_topk,
+        "sim_ann_ivf_trained": q_sim_ann_ivf_trained,
         "media_kind_stats": q_media_kind_stats,
         "media_feature_bytes": q_media_feature_bytes,
         "events_hourly": q_events_hourly,
@@ -488,9 +501,97 @@ _COSINE = (
     + " * sqrt(" + _DOT.format(a="q.qe", b="q.qe") + "))"
 )
 
-_BKT = lambda col: " + ".join(  # noqa: E731
-    f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
-)
+# Sign-LSH bucket in SQL: signs of dot products with the SAME seeded
+# random-hyperplane matrix the Spark side uses (similarity.random_hyperplanes
+# — plane values embedded as literals, exact round-trip via repr). Raw-dim
+# signs would collapse non-centered embeddings into one bucket.
+EMB_DIM = 64  # embeddings.parquet vector width (all testdata scale factors)
+LSH_PLANES = 8
+_HP = SIM.random_hyperplanes(LSH_PLANES, EMB_DIM)
+
+
+def _BKT(col: str) -> str:
+    terms = []
+    for i in range(LSH_PLANES):
+        lits = ", ".join(repr(v) for v in _HP[i])
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), [{lits}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+def _kmeans_ivf_sql(k: int = 8, iters: int = 2, probe: int = 4) -> str:
+    """Unrolled Lloyd k-means (matching similarity.kmeans_fit with
+    exact_mean=True) + IVF probe/top-k, as one DuckDB query. Assignment
+    uses the same quantized argmax (round 6, ties -> lowest cell); means
+    are sequential folds over values sorted ascending (list_sum over
+    list(val ORDER BY val) == F.aggregate over sort_array — verified
+    bit-equal folds); centroids round to 6 decimals per iteration."""
+
+    def cos(e: str, c: str) -> str:
+        return (
+            f"round(list_dot_product({e}, {c}) / "
+            f"(sqrt(list_dot_product({e}, {e})) * "
+            f"sqrt(list_dot_product({c}, {c}))), 6)"
+        )
+
+    ev = "CAST(e.embedding AS DOUBLE[])"
+    ctes = [
+        f"c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce "
+        f"FROM embeddings WHERE vec_id < {k})"
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        ctes.append(f"""a{it} AS (
+          SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos(ev, "c.ce")} DESC,
+                                               c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN {prev} c
+          ) WHERE rn = 1
+        )""")
+        ctes.append(f"""m{it} AS (
+          SELECT cell, pos,
+                 round(list_sum(list(val ORDER BY val)) / count(*), 6) AS m
+          FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM a{it})
+          GROUP BY cell, pos
+        )""")
+        ctes.append(f"""c{it} AS (
+          SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+          FROM {prev} p
+          LEFT JOIN (SELECT cell AS cid, list(m ORDER BY pos) AS ce
+                     FROM m{it} GROUP BY cell) n USING (cid)
+        )""")
+    fin = f"c{iters}"
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body},
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+              WHERE vec_id = 0),
+        probe AS (
+          SELECT cid AS cell FROM (
+            SELECT c.cid, {cos("c.ce", "q.qe")} AS qsim
+            FROM {fin} c CROSS JOIN q
+            ORDER BY qsim DESC, cid ASC LIMIT {probe}
+          )
+        ),
+        assigned AS (
+          SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos(ev, "c.ce")} DESC,
+                                               c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN {fin} c
+          ) WHERE rn = 1
+        )
+        SELECT e.vec_id, {cos(ev, "q.qe")} AS cosine
+        FROM assigned e JOIN probe p ON e.cell = p.cell, q
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
 
 # SimHash in SQL: same md5-bit-slice token hash the Spark side uses
 # (dedup.simhash), so the 32-bit signature reproduces bit-exactly.
@@ -956,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN probe p ON e.cell = p.cell, q
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
+        "sim_ann_ivf_trained": _kmeans_ivf_sql(k=8, iters=2, probe=4),
         "media_kind_stats": f"""
             SELECT split_part(s.media_ref, '://', 1) AS media_kind,
                    count(*) AS n_media, count(DISTINCT doc_id) AS n_docs

@@ -43,23 +43,52 @@ def _shingles(df: DataFrame, col: str, n: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, col: str = "text", n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 256,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard >= threshold, blocked by shared shingles
-    (pairs with zero shared shingles are never materialized)."""
+    """N-gram Jaccard >= threshold, blocked by shared shingles (pairs
+    with zero shared shingles are never materialized).
+
+    Candidate generation uses only shingles with document frequency
+    <= max_df: a hub shingle (a stop-trigram shared by 1M docs) would
+    otherwise create a quadratic bucket. Verification then computes the
+    EXACT Jaccard over each candidate pair's FULL shingle sets, so the
+    cap affects recall only for pairs whose every shared shingle is a
+    hub — vanishingly rare in the high-threshold near-dup regime."""
     sh = _shingles(df, col, n).cache()
-    sizes = sh.groupBy("doc_id").count().withColumnRenamed("count", "sz")
-    a = sh.withColumnRenamed("doc_id", "a")
-    b = sh.withColumnRenamed("doc_id", "b")
-    inter = (
+    block = sh
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        block = sh.join(
+            dfreq.filter(F.col("df") <= max_df), "shingle", "left_semi"
+        )
+    a = block.withColumnRenamed("doc_id", "a")
+    b = block.withColumnRenamed("doc_id", "b")
+    cand = (
         a.join(b, "shingle")
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_inter"))
+        .select("a", "b")
+        .distinct()
+    )
+    docsets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("s"),
+        F.count("*").alias("sz"),
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        cand.join(
+            docsets.select(F.col("doc_id").alias("a"),
+                           F.col("s").alias("sa"), F.col("sz").alias("sza")),
+            "a",
+        )
+        .join(
+            docsets.select(F.col("doc_id").alias("b"),
+                           F.col("s").alias("sb"), F.col("sz").alias("szb")),
+            "b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")))
         .withColumn("jaccard",
                     F.col("n_inter") / (F.col("sza") + F.col("szb") - F.col("n_inter")))
         .filter(F.col("jaccard") >= threshold)
@@ -172,18 +201,31 @@ def simhash_near_pairs(df: DataFrame, col: str = "text", max_hamming: int = 3) -
 
 
 def embedding_near_dupes(
-    emb: DataFrame, threshold: float = 0.95, planes: int = 8
+    emb: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 8,
+    dim: int | None = None,
+    seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with a deterministic sign-LSH
-    bucket prefilter: bucket = sign bits of the first `planes` dims;
-    exact cosine within buckets only."""
+    bucket prefilter; exact cosine within buckets only.
+
+    Buckets are signs of dot products with a seeded random-hyperplane
+    matrix (similarity.random_hyperplanes): raw-dim signs collapse to a
+    single bucket on anisotropic or non-negative encoder embeddings,
+    turning the within-bucket join into all-pairs. `dim` is inferred
+    from the first row when not given."""
+    from pathways2go_spark.similarity import sign_bucket
+
+    if dim is None:
+        head = emb.select("embedding").head()
+        dim = len(head["embedding"]) if head else 0
     v = F.col("embedding")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x))
-    bucket = sum(
-        F.when(F.element_at(v, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(planes)
+    e = emb.select(
+        "vec_id", "embedding", norm.alias("norm"),
+        sign_bucket(v, planes, dim, seed).alias("bkt"),
     )
-    e = emb.select("vec_id", "embedding", norm.alias("norm"), bucket.alias("bkt"))
     a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
                  F.col("norm").alias("na"), "bkt")
     b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),

@@ -50,12 +50,72 @@ def cosine_topk(
     ).limit(k)
 
 
-def sign_bucket(vec_col: Column, planes: int = 8) -> Column:
-    """Deterministic sign-LSH bucket id from the first `planes` dims."""
+def random_hyperplanes(planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic seeded hyperplane matrix for sign-LSH (`planes` rows
+    of `dim` uniform values in [-1, 1)).
+
+    A pure-Python 64-bit LCG (MMIX constants) keeps the matrix identical
+    across platforms, Spark versions, and the DuckDB oracle (the values
+    are embedded as literals on both sides). Projecting onto random
+    hyperplanes — rather than taking signs of the raw leading dims —
+    keeps buckets balanced for anisotropic or non-negative encoder
+    embeddings, where raw-dim signs collapse every vector into one
+    bucket and the within-bucket join degenerates to all-pairs."""
+    x = (seed * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF
+    out: list[list[float]] = []
+    for _ in range(planes):
+        row = []
+        for _ in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            row.append(((x >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def sign_bucket(
+    vec_col: Column,
+    planes: int = 8,
+    dim: int | None = None,
+    seed: int = 7,
+) -> Column:
+    """Deterministic sign-LSH bucket id.
+
+    With `dim` given, bit i is the sign of the dot product with seeded
+    random hyperplane i (the scale-safe default). Without `dim`, falls
+    back to signs of the first `planes` raw dims — only valid for
+    zero-centered embeddings."""
+    if dim is None:
+        return sum(
+            F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(planes)
+        ).cast("int")
+    hp = random_hyperplanes(planes, dim, seed)
     return sum(
-        F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(_dot_with_query(vec_col, hp[i]) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(planes)
     ).cast("int")
+
+
+def query_sign_bucket(
+    query: list[float], planes: int = 8, dim: int | None = None, seed: int = 7
+) -> int:
+    """Driver-side bucket of a query vector — same fold order (sequential
+    left-to-right double adds) as sign_bucket, so the bits agree."""
+    if dim is None:
+        qb = 0
+        for i in range(planes):
+            if query[i] >= 0:
+                qb |= 1 << i
+        return qb
+    hp = random_hyperplanes(planes, dim, seed)
+    qb = 0
+    for i in range(planes):
+        acc = 0.0
+        for x, y in zip(query, hp[i]):
+            acc += float(x) * y
+        if acc >= 0:
+            qb |= 1 << i
+    return qb
 
 
 def ann_topk_lsh(
@@ -65,17 +125,19 @@ def ann_topk_lsh(
     planes: int = 8,
     probe_hamming: int = 1,
     vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: prefilter to buckets within `probe_hamming` of
     the query's sign bucket (multi-probe), exact cosine inside. At corpus
     scale the bucket column is a partition/cluster key, so the probe is a
-    partition-pruned scan instead of a full pass."""
-    qb = 0
-    for i in range(planes):
-        if query[i] >= 0:
-            qb |= 1 << i
+    partition-pruned scan instead of a full pass. Pass `dim` to bucket on
+    seeded random-hyperplane projections (see random_hyperplanes) — the
+    scale-safe choice for non-centered embeddings."""
+    dim = dim if dim is not None else len(query)
+    qb = query_sign_bucket(query, planes, dim, seed)
     probe = [qb] + [qb ^ (1 << i) for i in range(planes)] if probe_hamming >= 1 else [qb]
-    pre = emb.withColumn("bkt", sign_bucket(F.col(vec_col), planes)).filter(
+    pre = emb.withColumn("bkt", sign_bucket(F.col(vec_col), planes, dim, seed)).filter(
         F.col("bkt").isin(probe)
     )
     return cosine_topk(pre, query, k, vec_col)
@@ -110,6 +172,64 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]],
         "cell",
         (F.array_position(scores, F.array_max(scores)) - 1).cast("int"),
     )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+    exact_mean: bool = False,
+) -> list[list[float]]:
+    """Distributed Lloyd k-means codebook trainer for IVF ANN.
+
+    Deterministic throughout: init = the k rows with the smallest
+    `id_col` (ordered), assignment = ivf_assign's quantized argmax-cosine
+    (ties -> lowest cell), update = per-cell per-dimension mean as a
+    DataFrame aggregation. Only the k x dim codebook ever reaches the
+    driver (one collect per iteration — bounded by the codebook, not the
+    corpus), so the trainer scales with executors.
+
+    exact_mean=True computes each mean as a sequential fold over the
+    cell's values sorted ascending (sort_array + F.aggregate) instead of
+    F.avg: bit-reproducible regardless of partitioning, and identical to
+    DuckDB's list_sum(list(val ORDER BY val)) — the mode the value-exact
+    oracle uses. F.avg (default) is the faster map-side-combined path for
+    production, deterministic up to float addition order.
+
+    Centroid components are rounded to `round_to` decimals after every
+    update so ULP-level drift cannot flip later assignments cross-engine.
+    Empty cells keep their previous centroid.
+    """
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    ]
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, vec_col, round_to)
+        comp = assigned.select(
+            "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        ).withColumn("val", F.col("val").cast("double"))
+        if exact_mean:
+            mean = (F.aggregate(F.sort_array(F.collect_list("val")),
+                                F.lit(0.0), lambda a, x: a + x)
+                    / F.count("*"))
+        else:
+            mean = F.avg("val")
+        if round_to is not None:
+            mean = F.round(mean, round_to)
+        rows = (
+            comp.groupBy("cell", "pos").agg(mean.alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.col("pm.m").alias("c"))
+            .collect()
+        )
+        new = {r["cell"]: [float(x) for x in r["c"]] for r in rows}
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return cents
 
 
 def ann_topk_ivf(

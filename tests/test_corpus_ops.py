@@ -134,6 +134,64 @@ def test_decode_stub_raises():
         multimodal.decode_media(b"bytes")
 
 
+def test_kmeans_fit_deterministic_and_improving(spark, sf_dir):
+    """Lloyd trainer: deterministic across repartitionings (exact_mean),
+    and the trained codebook assigns vectors closer (higher mean max-sim)
+    than the raw init codebook."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = similarity.kmeans_fit(emb, k=4, iters=2, exact_mean=True)
+    c2 = similarity.kmeans_fit(emb.repartition(13), k=4, iters=2, exact_mean=True)
+    assert c1 == c2
+    init = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+
+    def mean_max_sim(cents):
+        scored = emb.select(
+            F.array_max(similarity.centroid_scores(F.col("embedding"), cents))
+            .alias("s")
+        )
+        return scored.agg(F.avg("s")).head()[0]
+
+    assert mean_max_sim(c1) >= mean_max_sim(init)
+
+
+def test_sign_bucket_hyperplanes_spread_nonneg(spark, sf_dir):
+    """All-positive vectors collapse to one bucket under raw-dim signs but
+    spread under the seeded hyperplane projection."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    pos = emb.withColumn("embedding", F.transform("embedding", lambda x: F.abs(x)))
+    raw = pos.withColumn("b", similarity.sign_bucket(F.col("embedding"), 8))
+    proj = pos.withColumn("b", similarity.sign_bucket(F.col("embedding"), 8, 64))
+    assert raw.select("b").distinct().count() == 1
+    assert proj.select("b").distinct().count() > 8
+    # driver-side query bucket agrees with the DataFrame-side bucket
+    row = emb.orderBy("vec_id").head()
+    q = [float(x) for x in row.embedding]
+    qb = similarity.query_sign_bucket(q, 8, 64)
+    got = (
+        emb.filter(F.col("vec_id") == row.vec_id)
+        .select(similarity.sign_bucket(F.col("embedding"), 8, 64).alias("b"))
+        .head()["b"]
+    )
+    assert qb == got
+
+
+def test_ngram_jaccard_df_cap_preserves_exactness(spark):
+    """A hub shingle shared by every doc is dropped from blocking by the
+    df cap, but verification over full shingle sets keeps Jaccard exact."""
+    hub = "the of and"
+    rows = [(i, f"{hub} unique{i} tail{i} word{i} extra{i}") for i in range(20)]
+    rows.append((100, f"{hub} unique1 tail1 word1 extra1"))  # dup of doc 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.9, max_df=5)
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.9, max_df=None)
+    a = sorted((r["a"], r["b"], r["jaccard"]) for r in capped.collect())
+    b = sorted((r["a"], r["b"], r["jaccard"]) for r in uncapped.collect())
+    assert a == b == [(1, 100, 1.0)]
+
+
 def test_ann_ivf_matches_bruteforce_top1(spark, sf_dir):
     """IVF with probe covering the query's own cell must return the query
     vector itself as top-1 (cosine 1.0)."""

@@ -123,6 +123,46 @@ def main() -> None:
     ).triples.count()
     t_both = time.perf_counter() - t0
 
+    # ---- LLM-pipeline skew stresses --------------------------------------
+    # (a) all-positive (non-centered) embeddings: raw-dim sign buckets
+    # would collapse every vector into bucket 0xFF and the within-bucket
+    # join would go all-pairs; hyperplane-projected buckets must spread.
+    from pathways2go_spark import dedup as D
+    from pathways2go_spark.similarity import sign_bucket
+
+    n_vec, dim = 20_000, 64
+    comp = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.abs(
+            (F.pmod(F.hash(F.col("vec_id") * dim + j), F.lit(1000)) / 500.0) - 1.0
+        ).cast("float"),
+    )
+    allpos = (
+        spark.range(n_vec).select(F.col("id").alias("vec_id"))
+        .withColumn("embedding", comp)
+    )
+    t0 = time.perf_counter()
+    bkt = (
+        allpos.withColumn("bkt", sign_bucket(F.col("embedding"), 8, dim))
+        .groupBy("bkt").count().collect()
+    )
+    n_cand = sum(r["count"] * (r["count"] - 1) // 2 for r in bkt)
+    t_embed = time.perf_counter() - t0
+    all_pairs = n_vec * (n_vec - 1) // 2
+
+    # (b) hub shingles: every doc shares one stop-phrase; the df<=256 cap
+    # must keep the blocking join off the 12.5M-pair hub bucket.
+    n_doc = 5_000
+    texts = spark.range(n_doc).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the of and in to unique "),
+                 F.col("id").cast("string"), F.lit(" tail "),
+                 (F.col("id") * 7).cast("string")).alias("text"),
+    )
+    t0 = time.perf_counter()
+    n_jac = D.ngram_jaccard_pairs(texts, threshold=0.5, max_df=256).count()
+    t_jac = time.perf_counter() - t0
+
     print(json.dumps({
         "metric": "skew_overhead_ratio",
         "value": round(t_both / t_normal, 3),
@@ -135,6 +175,11 @@ def main() -> None:
         "mega_triples": all_triples - base_triples,
         "sec_normal_only": round(t_normal, 2),
         "sec_with_mega": round(t_both, 2),
+        "embed_allpos_buckets": len(bkt),
+        "embed_allpos_candidate_frac": round(n_cand / all_pairs, 4),
+        "sec_embed_stress": round(t_embed, 2),
+        "hub_shingle_pairs": n_jac,
+        "sec_hub_shingle": round(t_jac, 2),
     }))
     spark.stop()
 
