@@ -167,6 +167,24 @@ def q_kg_gpad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.gpad_export(_kg(spark)[0], dims.onto_ancestors)
 
 
+def q_kg_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 TTL export: one N-Triples/Turtle line per triple (the
+    reference's one-.ttl-per-pathway artifact, GoCAM.java:1873-1886)."""
+    from pathways2go_spark.sinks import ttl_lines
+
+    return ttl_lines(_kg(spark)[0])
+
+
+def q_kg_gpad_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4b GPAD comparison vs the deterministic 'existing annotations'
+    fixture (ReactomeGPAD.compareAnnotations)."""
+    from pathways2go_spark.datagen import ensure_reference_gpad
+
+    dims = load_dims(spark, KG_FIXTURE_DIR)
+    ref = spark.read.parquet(ensure_reference_gpad(KG_FIXTURE_DIR))
+    return G.gpad_compare(G.gpad_export(_kg(spark)[0], dims.onto_ancestors), ref)
+
+
 def q_kg_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 structural validation: all checks must return zero violations
     on the final corpus (the reference's consistency gate)."""
@@ -424,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_audit": q_kg_audit,
         "kg_entity_ontology": q_kg_entity_ontology,
         "kg_gpad": q_kg_gpad,
+        "kg_ttl": q_kg_ttl,
+        "kg_gpad_diff": q_kg_gpad_diff,
         "kg_validation": q_kg_validation,
         "kg_unclassified": q_kg_unclassified,
         "kg_span_kind_counts": q_kg_span_kind_counts,
@@ -766,34 +786,47 @@ def oracle_sql() -> dict[str, str]:
           SELECT cls, 'iuphar', 'inherited', '' FROM drug_inherited
         )
     """
-    return {
-        "kg_triples": f"SELECT model_id, subj, pred, obj FROM '{tri}'",
-        "kg_audit": f"SELECT rule, model_id, reaction, detail FROM '{aud}'",
-        "kg_entity_ontology": eo_sql,
-        "kg_unclassified": f"""
-            WITH ty AS (
-              SELECT model_id, subj AS node, obj AS cls FROM '{tri}'
-              WHERE pred = 'type'
-            ), rooted AS (
-              SELECT class_iri AS cls FROM '{anc}'
-              WHERE ancestor_iri IN ('GO_0003674','GO_0008150','GO_0005575',
-                                     'CHEBI_24431','CHEBI_36080','GO_0032991')
-            ), classified AS (
-              SELECT DISTINCT model_id, node FROM ty JOIN rooted USING (cls)
-            ), allnodes AS (
-              SELECT DISTINCT model_id, node FROM ty
-            )
-            SELECT a.model_id, count(*) AS n_unclassified
-            FROM allnodes a
-            WHERE NOT EXISTS (SELECT 1 FROM classified c
-                              WHERE c.model_id = a.model_id AND c.node = a.node)
-            GROUP BY a.model_id
-        """,
-        "kg_validation": """
-            SELECT '' AS "check", '' AS model_id, '' AS node, '' AS pred
-            WHERE false
-        """,
-        "kg_gpad": f"""
+    from pathways2go_spark.datagen import ensure_reference_gpad
+
+    ref_gpad = ensure_reference_gpad(KG_FIXTURE_DIR)
+    # K1 TTL lines: same IRI mapping as sinks.ttl_lines, in SQL
+    _cls_iri = """CASE
+            WHEN starts_with(obj, 'UniProtKB_')
+              THEN 'http://identifiers.org/uniprot/' || substr(obj, 11)
+            WHEN starts_with(obj, 'SGD_')
+              THEN 'http://identifiers.org/sgd/' || substr(obj, 5)
+            WHEN starts_with(obj, 'ENSEMBL_')
+              THEN 'http://identifiers.org/ensembl/' || substr(obj, 9)
+            WHEN starts_with(obj, 'REACTO_')
+              THEN 'http://purl.obolibrary.org/obo/go/extensions/reacto.owl#'
+                   || substr(obj, 8)
+            ELSE 'http://purl.obolibrary.org/obo/' || obj
+          END"""
+    ttl_sql = f"""
+        SELECT model_id,
+          '<http://model.geneontology.org/' || model_id || '/' || subj || '> '
+          || CASE pred
+               WHEN 'type'
+                 THEN '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+               WHEN 'exactMatch'
+                 THEN '<http://www.w3.org/2004/02/skos/core#exactMatch>'
+               WHEN 'label'
+                 THEN '<http://www.w3.org/2000/01/rdf-schema#label>'
+               ELSE '<http://purl.obolibrary.org/obo/' || pred || '>'
+             END
+          || ' '
+          || CASE
+               WHEN pred = 'type' THEN '<' || {_cls_iri} || '>'
+               WHEN pred IN ('exactMatch', 'label')
+                 THEN '"' || replace(replace(obj, chr(92), chr(92) || chr(92)),
+                                     '"', chr(92) || '"') || '"'
+               ELSE '<http://model.geneontology.org/' || model_id || '/'
+                    || obj || '>'
+             END
+          || ' .' AS line
+        FROM '{tri}'
+    """
+    gpad_sql = f"""
             WITH t AS (SELECT * FROM '{tri}'),
             types AS (
               SELECT model_id, subj AS node, obj AS cls FROM t WHERE pred = 'type'
@@ -830,6 +863,62 @@ def oracle_sql() -> dict[str, str]:
                       JOIN bp b ON po.model_id = b.model_id
                                AND po.pathway = b.pathway
             )
+        """
+    return {
+        "kg_triples": f"SELECT model_id, subj, pred, obj FROM '{tri}'",
+        "kg_audit": f"SELECT rule, model_id, reaction, detail FROM '{aud}'",
+        "kg_ttl": ttl_sql,
+        "kg_entity_ontology": eo_sql,
+        "kg_unclassified": f"""
+            WITH ty AS (
+              SELECT model_id, subj AS node, obj AS cls FROM '{tri}'
+              WHERE pred = 'type'
+            ), rooted AS (
+              SELECT class_iri AS cls FROM '{anc}'
+              WHERE ancestor_iri IN ('GO_0003674','GO_0008150','GO_0005575',
+                                     'CHEBI_24431','CHEBI_36080','GO_0032991')
+            ), classified AS (
+              SELECT DISTINCT model_id, node FROM ty JOIN rooted USING (cls)
+            ), allnodes AS (
+              SELECT DISTINCT model_id, node FROM ty
+            )
+            SELECT a.model_id, count(*) AS n_unclassified
+            FROM allnodes a
+            WHERE NOT EXISTS (SELECT 1 FROM classified c
+                              WHERE c.model_id = a.model_id AND c.node = a.node)
+            GROUP BY a.model_id
+        """,
+        "kg_validation": """
+            SELECT '' AS "check", '' AS model_id, '' AS node, '' AS pred
+            WHERE false
+        """,
+        "kg_gpad": gpad_sql,
+        "kg_gpad_diff": f"""
+            WITH export AS (
+              SELECT DISTINCT db, db_object_id, qualifier, go_id, reference
+              FROM ({gpad_sql})
+            ), ref AS (
+              SELECT DISTINCT db, db_object_id, qualifier, go_id, reference
+              FROM '{ref_gpad}'
+            )
+            SELECT coalesce(e.db, r.db) AS db,
+                   coalesce(e.db_object_id, r.db_object_id) AS db_object_id,
+                   coalesce(e.qualifier, r.qualifier) AS qualifier,
+                   coalesce(e.go_id, r.go_id) AS go_id,
+                   coalesce(e.reference, r.reference) AS reference,
+                   CASE WHEN e.db IS NOT NULL AND r.db IS NOT NULL
+                          THEN 'overlap'
+                        WHEN r.db IS NOT NULL THEN 'missing'
+                        ELSE 'extra' END AS status,
+                   EXISTS (SELECT 1 FROM export x
+                           WHERE x.db_object_id =
+                                 coalesce(e.db_object_id, r.db_object_id))
+                     AS gene_in_export
+            FROM export e
+            FULL OUTER JOIN ref r
+              ON e.db = r.db AND e.db_object_id = r.db_object_id
+             AND e.qualifier = r.qualifier AND e.go_id = r.go_id
+             AND e.reference = r.reference
         """,
         "kg_span_kind_counts": f"""
             SELECT s.kind AS kind, count(*) AS n_spans

@@ -115,6 +115,41 @@ def corpus_summary(t: DataFrame) -> DataFrame:
     )
 
 
+def gpad_compare(exported: DataFrame, reference: DataFrame) -> DataFrame:
+    """K4b — diff the GPAD export against an existing annotation set
+    (ReactomeGPAD.java:177-194 compareAnnotations): set overlap on the
+    annotation key, then for reference-only rows whether the gene id has
+    ANY exported annotation at all (the reference's n_id_present /
+    n_id_missing split).
+
+    Output: one row per distinct annotation key with
+      status         'overlap' | 'missing' (reference-only) |
+                     'extra' (export-only)
+      gene_in_export whether db_object_id appears anywhere in the export.
+    Both inputs are keyed streams; the diff is one full-outer shuffle on
+    the annotation key plus a broadcast-size distinct gene-id join."""
+    key = ["db", "db_object_id", "qualifier", "go_id", "reference"]
+    e = exported.select(*key).distinct().withColumn("in_export", F.lit(True))
+    r = reference.select(*key).distinct().withColumn("in_ref", F.lit(True))
+    genes = (
+        exported.select("db_object_id").distinct()
+        .withColumn("gene_in_export", F.lit(True))
+    )
+    return (
+        e.join(r, key, "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("in_export").isNotNull() & F.col("in_ref").isNotNull(),
+                   F.lit("overlap"))
+            .when(F.col("in_ref").isNotNull(), F.lit("missing"))
+            .otherwise(F.lit("extra")),
+        )
+        .join(genes, "db_object_id", "left")
+        .select(*key, "status",
+                F.coalesce("gene_in_export", F.lit(False)).alias("gene_in_export"))
+    )
+
+
 def gpad_export(t: DataFrame, ancestors: DataFrame) -> DataFrame:
     """K4 — GPAD annotation export (GPAD.java:18-60;
     ReactomeGPAD.java:113-194). Re-derives GO annotation records from the

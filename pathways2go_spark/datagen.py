@@ -885,6 +885,74 @@ def write_fixture(fx: Fixture, out_dir: str) -> dict[str, str]:
     return paths
 
 
+def ensure_reference_gpad(out_dir: str) -> str:
+    """Deterministic 'existing annotations' fixture for the K4b GPAD diff
+    (ReactomeGPAD.java:177-194 compareAnnotations): an independent Python
+    re-derivation of the GPAD export from the golden triple set +
+    ancestor closure, deterministically perturbed —
+
+      * ~1/5 of true rows dropped   -> export-only rows ('extra')
+      * ~1/3 of gene ids get a fake GO_9999999 row -> fixture-only
+        rows ('missing')
+
+    so every diff status is exercised. Generated on demand beside an
+    existing fixture (reads the parquet, no rebuild)."""
+    import hashlib
+
+    dest = os.path.join(out_dir, "reference_gpad.parquet")
+    if os.path.exists(dest):
+        return dest
+    exp = pq.read_table(os.path.join(out_dir, "expected_triples.parquet"))
+    anc = pq.read_table(os.path.join(out_dir, "onto_ancestors.parquet"))
+    mf = {c for c, a in zip(anc.column("class_iri").to_pylist(),
+                            anc.column("ancestor_iri").to_pylist())
+          if a == V.MF_ROOT}
+    bp = {c for c, a in zip(anc.column("class_iri").to_pylist(),
+                            anc.column("ancestor_iri").to_pylist())
+          if a == V.BP_ROOT}
+    types: dict[tuple[str, str], set[str]] = {}
+    enabled: list[tuple[str, str, str]] = []
+    po: dict[tuple[str, str], set[str]] = {}
+    for m, s, p, o in zip(exp.column("model_id").to_pylist(),
+                          exp.column("subj").to_pylist(),
+                          exp.column("pred").to_pylist(),
+                          exp.column("obj").to_pylist()):
+        if p == V.TYPE:
+            types.setdefault((m, s), set()).add(o)
+        elif p == V.ENABLED_BY:
+            enabled.append((m, s, o))
+        elif p == V.PART_OF:
+            po.setdefault((m, s), set()).add(o)
+    rows: set[tuple[str, str, str, str]] = set()
+    for m, r, n in enabled:
+        accs = [c[len("UniProtKB_"):] for c in types.get((m, n), ())
+                if c.startswith("UniProtKB_")]
+        for acc in accs:
+            for c in types.get((m, r), ()):
+                if c in mf:
+                    rows.add((m, acc, "enables", c))
+            for pw in po.get((m, r), ()):
+                for c in types.get((m, pw), ()):
+                    if c in bp:
+                        rows.add((m, acc, "involved_in", c))
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+    out = [(m, a, q, g) for m, a, q, g in sorted(rows)
+           if h(f"{m}|{a}|{q}|{g}") % 5 != 0]
+    out += [(m, a, "involved_in", "GO_9999999")
+            for m, a in sorted({(m, a) for m, a, _, _ in rows})
+            if h(f"{m}|{a}") % 3 == 0]
+    pq.write_table(pa.Table.from_pylist(
+        [{"db": "UniProtKB", "db_object_id": a, "qualifier": q,
+          "go_id": g, "reference": m} for m, a, q, g in sorted(out)],
+        schema=pa.schema([("db", pa.string()), ("db_object_id", pa.string()),
+                          ("qualifier", pa.string()), ("go_id", pa.string()),
+                          ("reference", pa.string())])), dest)
+    return dest
+
+
 def ensure_fixture(out_dir: str, replicas: int = 1) -> dict[str, str]:
     """Idempotent: write the fixture only if not already present."""
     marker = os.path.join(out_dir, "expected_triples.parquet")

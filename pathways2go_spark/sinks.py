@@ -20,7 +20,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -90,3 +90,121 @@ def write_triples(
 
 def read_triples(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "data"))
+
+
+# ----------------------------------------------------------------------
+# K1 optional TTL export — the reference's primary output artifact is one
+# .ttl file per pathway model (GoCAM.java:1873-1886 writeGoCAM, turtle
+# format; QRunner.java:919-928). Formatting is pure Column expressions
+# (JVM-side, codegen'd); the writer partitions by model_id so each model
+# lands in its own directory, mirroring one-file-per-pathway.
+# ----------------------------------------------------------------------
+
+OBO = "http://purl.obolibrary.org/obo/"
+MODEL_BASE = "http://model.geneontology.org/"
+REACTO_BASE = "http://purl.obolibrary.org/obo/go/extensions/reacto.owl#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+SKOS_EXACT = "http://www.w3.org/2004/02/skos/core#exactMatch"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+
+
+def _class_iri(col: Column) -> Column:
+    """CURIE -> class IRI (OBO classes, identifiers.org gene products,
+    REACTO extension classes — the reference's IRI bases, GoCAM.java:
+    289-387)."""
+    return (
+        F.when(col.startswith("UniProtKB_"),
+               F.concat(F.lit("http://identifiers.org/uniprot/"),
+                        F.substring(col, 11, 10_000)))
+        .when(col.startswith("SGD_"),
+              F.concat(F.lit("http://identifiers.org/sgd/"),
+                       F.substring(col, 5, 10_000)))
+        .when(col.startswith("ENSEMBL_"),
+              F.concat(F.lit("http://identifiers.org/ensembl/"),
+                       F.substring(col, 9, 10_000)))
+        .when(col.startswith("REACTO_"),
+              F.concat(F.lit(REACTO_BASE), F.substring(col, 8, 10_000)))
+        .otherwise(F.concat(F.lit(OBO), col))
+    )
+
+
+def _escape_literal(col: Column) -> Column:
+    bs = "\\"
+    return F.replace(F.replace(col, F.lit(bs), F.lit(bs + bs)),
+                     F.lit('"'), F.lit(bs + '"'))
+
+
+def ttl_lines(triples: DataFrame) -> DataFrame:
+    """(model_id, line): one N-Triples line (a valid Turtle subset) per
+    triple. Individuals get model-scoped IRIs ({MODEL_BASE}{model}/{id});
+    rdf:type objects map through _class_iri; exactMatch/label objects are
+    escaped string literals."""
+    ind = lambda c: F.concat(  # noqa: E731
+        F.lit("<" + MODEL_BASE), F.col("model_id"), F.lit("/"), c, F.lit(">")
+    )
+    pred = (
+        F.when(F.col("pred") == "type", F.lit(f"<{RDF_TYPE}>"))
+        .when(F.col("pred") == "exactMatch", F.lit(f"<{SKOS_EXACT}>"))
+        .when(F.col("pred") == "label", F.lit(f"<{RDFS_LABEL}>"))
+        .otherwise(F.concat(F.lit("<" + OBO), F.col("pred"), F.lit(">")))
+    )
+    obj = (
+        F.when(F.col("pred") == "type",
+               F.concat(F.lit("<"), _class_iri(F.col("obj")), F.lit(">")))
+        .when(F.col("pred").isin("exactMatch", "label"),
+              F.concat(F.lit('"'), _escape_literal(F.col("obj")), F.lit('"')))
+        .otherwise(ind(F.col("obj")))
+    )
+    return triples.select(
+        "model_id",
+        F.concat_ws(" ", ind(F.col("subj")), pred, obj, F.lit(".")).alias("line"),
+    )
+
+
+def write_ttl(triples: DataFrame, path: str) -> None:
+    """One named-graph directory per model_id (path/model_id=<id>/*.txt,
+    turtle-parsable lines). At corpus scale swap partitionBy for the
+    bucketed layout of write_triples; per-model files mirror the
+    reference's one-.ttl-per-pathway contract."""
+    ttl_lines(triples).write.partitionBy("model_id").mode("overwrite").text(path)
+
+
+def parse_ttl_lines(lines: DataFrame) -> DataFrame:
+    """Inverse of ttl_lines for round-trip verification: re-derives
+    (model_id, subj, pred, obj) in the CURIE vocabulary."""
+    s_iri = F.regexp_extract("line", r"^<([^>]*)> ", 1)
+    p_iri = F.regexp_extract("line", r"^<[^>]*> <([^>]*)> ", 1)
+    o_rest = F.regexp_extract("line", r"^<[^>]*> <[^>]*> (.*) \.$", 1)
+    model = F.regexp_extract(s_iri, MODEL_BASE + r"([^/]*)/", 1)
+    subj = F.regexp_extract(s_iri, MODEL_BASE + r"[^/]*/(.*)", 1)
+    pred = (
+        F.when(p_iri == RDF_TYPE, F.lit("type"))
+        .when(p_iri == SKOS_EXACT, F.lit("exactMatch"))
+        .when(p_iri == RDFS_LABEL, F.lit("label"))
+        .otherwise(F.regexp_replace(p_iri, "^" + OBO, ""))
+    )
+    o_iri = F.regexp_extract(o_rest, r"^<(.*)>$", 1)
+    o_lit = F.regexp_extract(o_rest, r'^"(.*)"$', 1)
+    bs = "\\"
+    obj = F.when(
+        o_rest.startswith('"'),
+        F.replace(F.replace(o_lit, F.lit(bs + '"'), F.lit('"')),
+                  F.lit(bs + bs), F.lit(bs)),
+    ).otherwise(
+        F.when(o_iri.startswith(MODEL_BASE),
+               F.regexp_extract(o_iri, MODEL_BASE + r"[^/]*/(.*)", 1))
+        .when(o_iri.startswith("http://identifiers.org/uniprot/"),
+              F.concat(F.lit("UniProtKB_"), F.substring(o_iri, 32, 10_000)))
+        .when(o_iri.startswith("http://identifiers.org/sgd/"),
+              F.concat(F.lit("SGD_"), F.substring(o_iri, 28, 10_000)))
+        .when(o_iri.startswith("http://identifiers.org/ensembl/"),
+              F.concat(F.lit("ENSEMBL_"), F.substring(o_iri, 32, 10_000)))
+        .when(o_iri.startswith(REACTO_BASE),
+              F.concat(F.lit("REACTO_"),
+                       F.substring(o_iri, len(REACTO_BASE) + 1, 10_000)))
+        .otherwise(F.regexp_replace(o_iri, "^" + OBO, ""))
+    )
+    return lines.select(
+        model.alias("model_id"), subj.alias("subj"),
+        pred.alias("pred"), obj.alias("obj"),
+    )

@@ -47,3 +47,39 @@ def test_validation_clean(result):
     bad = validate(res.triples, dims.onto_ancestors)
     rows = bad.collect()
     assert rows == [], rows[:20]
+
+
+def test_gpad_compare_statuses(spark):
+    """K4b diff: overlap / missing / extra classification + the
+    reference's gene-id-present split for missing rows."""
+    from pathways2go_spark.analytics import gpad_compare
+
+    cols = ["db", "db_object_id", "qualifier", "go_id", "reference"]
+    exp = spark.createDataFrame(
+        [("UniProtKB", "P1", "enables", "GO_1", "m1"),
+         ("UniProtKB", "P2", "enables", "GO_2", "m1")], cols)
+    ref = spark.createDataFrame(
+        [("UniProtKB", "P1", "enables", "GO_1", "m1"),      # overlap
+         ("UniProtKB", "P2", "involved_in", "GO_3", "m1"),  # missing, gene known
+         ("UniProtKB", "P9", "enables", "GO_4", "m1")], cols)  # missing, unknown
+    got = {(r.db_object_id, r.qualifier, r.go_id): (r.status, r.gene_in_export)
+           for r in gpad_compare(exp, ref).collect()}
+    assert got[("P1", "enables", "GO_1")] == ("overlap", True)
+    assert got[("P2", "enables", "GO_2")] == ("extra", True)
+    assert got[("P2", "involved_in", "GO_3")] == ("missing", True)
+    assert got[("P9", "enables", "GO_4")] == ("missing", False)
+
+
+def test_gpad_compare_against_fixture(spark, result, fixture_paths):
+    """The deterministic reference fixture exercises every status."""
+    import os as _os
+
+    from pathways2go_spark.analytics import gpad_compare
+    from pathways2go_spark.datagen import ensure_reference_gpad
+
+    res, dims = result
+    fdir = _os.path.dirname(fixture_paths["documents"])
+    ref = spark.read.parquet(ensure_reference_gpad(fdir))
+    d = gpad_compare(gpad_export(res.triples, dims.onto_ancestors), ref)
+    statuses = {r["status"] for r in d.select("status").distinct().collect()}
+    assert statuses == {"overlap", "missing", "extra"}
