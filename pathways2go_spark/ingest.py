@@ -216,7 +216,44 @@ def parse_doc_meta(spans: DataFrame) -> DataFrame:
     )
 
 
-def ingest(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """documents -> (elements, element_links)."""
-    elements = parse_elements(explode_spans(documents))
+def ingest(
+    documents: DataFrame, repartition: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """documents -> (elements, element_links).
+
+    `repartition`: spread the span parse over N partitions. A
+    mega-document is ONE input row, so without this every downstream
+    narrow op (str_to_map over 600k spans) runs in a single task. The
+    spans are shuffled as ~4k-span CHUNK rows, not individual spans:
+    the bytes moved are the same but per-record serialization overhead
+    drops ~4000x, which is what dominates a single-writer shuffle. The
+    global span ordinal is reconstructed as chunk_ord*CHUNK + sub_ord.
+    Leave None for normal corpora, where file splits already parallelize."""
+    if repartition is None:
+        elements = parse_elements(explode_spans(documents))
+        return elements, element_links(elements)
+    chunk = 4096
+    n_chunks = F.ceil(F.size("spans") / chunk).cast("int")
+    chunks = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+                lambda i: F.slice("spans", i * chunk + 1, chunk),
+            )
+        ).alias("chunk_ord", "chunk"),
+    ).repartition(repartition)
+    spans = chunks.select(
+        "doc_id",
+        "chunk_ord",
+        F.posexplode("chunk").alias("sub_ord", "span"),
+    ).select(
+        "doc_id",
+        (F.col("chunk_ord") * chunk + F.col("sub_ord")).alias("ord"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    elements = parse_elements(spans)
     return elements, element_links(elements)

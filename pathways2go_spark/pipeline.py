@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dims import Dims
-from .ingest import ingest
+from .ingest import element_links as ingest_links, ingest
 from .stage_a import extract
 from . import stage_a_local as AL
 from . import stage_b as B
@@ -52,27 +52,79 @@ class PipelineResult:
 def _stage_b_distributed(
     t: DataFrame, drugs: DataFrame, dims: Dims, checkpoint: bool
 ) -> tuple[DataFrame, DataFrame]:
+    # AQE stays ON for the chain: measured on the 150k-reaction mega doc
+    # (tools/skew_bench.py corpus) the chain runs 37.5s with AQE vs
+    # 64-72s without — partition coalescing collapses the near-empty
+    # post-shuffle partitions of the merge/B9 full-table shuffles, and
+    # skew-join splitting stays available as the residual-skew defense.
     def ck(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=False) if checkpoint else df
+        # eager materializer for the per-rule HIT tables (small: bounded
+        # by rule matches, not corpus size). Materializing each hit set
+        # truncates its join-tree lineage to a leaf, so downstream
+        # references replay a cached scan, not the joins.
+        return df.localCheckpoint(eager=True) if checkpoint else df
 
-    # checkpoint only after the join-heavy rules — lineage between the
-    # cheap filter/anti-join rules stays shallow enough for Catalyst
-    t = B.b10_remove_drug_reactions(t, drugs)
-    t = B.b1_mf_from_enablers(t)
-    t = ck(B.b2_occurs_in(t))
-    t = ck(B.b3_regulates_via_output_regulates(t))
-    t = ck(B.b4_b5_causal_rewrites(t, dims))
-    t, audit = B.b6_small_molecule_regulators(t, dims)
-    t = ck(t)
-    t = B.b7_delete_complexes_with_active_units(t)
-    t = B.b8_delete_disallowed(t)
-    t = ck(B.b9_clean_unconnected(t))
+    # Delta-virtual chain: the full triple table is NEVER materialized
+    # between rules. Each snapshot t_k is a virtual plan —
+    #   base (one eager checkpoint upstream)
+    #   + broadcast anti-joins on the materialized delete/hit sets
+    #   + unions of the (small, materialized) add sets
+    # — so every rule's match job costs one scan of base plus cheap
+    # broadcast probes, and the chain pays exactly ONE full-table
+    # shuffle: the final merge_triples set-dedupe. merge=False end to
+    # end; duplicate keys that accumulate are harmless to the match sets
+    # (hit/add/delete sets are distinct()ed) and collapse in the final
+    # merge. Ordering is preserved because apply_delta composes
+    # anti-joins/unions in rule order (a later node-delete also removes
+    # triples added by an earlier rule, as in the reference's in-place
+    # model mutation).
+    t = B.apply_delta(t, **B.b10_delta(t, drugs, ck=ck), merge=False)
+    # B1+B2+B3 superstep: the three match sets are provably independent of
+    # each other's deltas (B1 touches reaction molecular_event types only;
+    # B2 reads io/enabler edges + location-node types; B3 reads exact/
+    # has_part/part_of/causal/inv-reg edges — no overlap), exactly as in
+    # the reference where each SPARQL match runs against its own snapshot
+    # before mutation; all three deltas are computed against the same
+    # post-B10 snapshot and applied together.
+    t1 = t
+    d1, d2, d3 = B.par(
+        lambda: B.b1_delta(t1, ck=ck),
+        lambda: B.b2_delta(t1, ck=ck),
+        lambda: B.b3_delta(t1, ck=ck),
+    )
+    t = B.apply_delta(
+        t,
+        adds=d1["adds"] + d2["adds"] + d3["adds"],
+        deletes=d1["deletes"] + d3["deletes"],
+        merge=False,
+    )
+    t = B.apply_delta(t, **B.b4_b5_delta(t, dims, ck=ck), merge=False)
+    d6, audit = B.b6_delta(t, dims, ck=ck)
+    t = B.apply_delta(t, **d6, merge=False)
+    # B7+B8 superstep: B8's matches (located_in edges / leftover inv-reg
+    # preds) are disjoint from B7's complex-node deletions — B8 applied to
+    # the pre-B7 snapshot removes at most the location nodes of deleted
+    # complexes, which B9's orphan sweep removes identically either way.
+    # No ck: each hit set is consumed exactly once (the broadcast build
+    # of the merge job's anti-join), so materializing it would only add
+    # a barrier.
+    d7, d8 = B.b7_delta(t), B.b8_delta(t)
+    t = B.b8_pred_filter(B.apply_delta(
+        t, node_deletes=d7["node_deletes"] + d8["node_deletes"], merge=False,
+    ))
+    # set-dedupe BEFORE B9 — the chain's single full-table shuffle +
+    # materialization: B9 only deletes (key-set semantics unchanged by
+    # dedupe), so merging here keeps B9/B11 on the deduped table and the
+    # B9 output needs no further merge. B9 still runs before the B11
+    # gate, as in the reference (gate at write time).
+    t = ck(B.merge_triples(t))
+    t = B.b9_clean_unconnected(t, merge=False)
     t = B.b11_model_gate(t, dims)
     return t, audit
 
 
 def _stage_b_local(
-    t: DataFrame, drugs: DataFrame, dims: Dims
+    t: DataFrame, drugs: DataFrame, dims: Dims, checkpoint: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     local_dims = BL.build_local_dims(
         dims.onto_ancestors.toPandas(), dims.complex_parts.toPandas()
@@ -88,6 +140,10 @@ def _stage_b_local(
         .cogroup(drugs.groupBy("model_id"))
         .applyInPandas(run, schema=_TRIPLE_SCHEMA)
     )
+    if checkpoint:
+        # materialize the Python pass NOW (see _fused docstring: Python
+        # stages must run before the distributed rule chain)
+        out = out.localCheckpoint(eager=True)
     triples = out.filter(F.col("pred") != BL.AUDIT_PRED)
     audit = out.filter(F.col("pred") == BL.AUDIT_PRED).select(
         F.col("rule"),
@@ -112,14 +168,25 @@ def prepare_local_dims(dims: Dims) -> tuple:
 
 
 def _fused(
-    documents: DataFrame, dims: Dims, prepared: tuple | None = None
+    documents: DataFrame, dims: Dims, prepared: tuple | None = None,
+    checkpoint: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Zero-shuffle path: span parse + stage A + stage B fused into one
-    mapInPandas over documents (stage_a_local.py)."""
+    mapInPandas over documents (stage_a_local.py).
+
+    checkpoint=True materializes the Python pass eagerly. Use it whenever
+    the distributed rule chain will ALSO run in this pipeline: measured on
+    this host, a Python (Arrow-duplex) stage scheduled AFTER the chain's
+    burst of small eager JVM jobs runs 5-10x slower than the identical
+    stage before it (task threads blocked in the Arrow socket ping-pong;
+    second run recovers). Ordering Python stages first sidesteps the
+    pathology entirely and costs one block-manager write of the result."""
     a_dims, b_dims = prepared if prepared is not None else prepare_local_dims(dims)
     out = documents.mapInPandas(
         AL.fused_pipeline_udf(a_dims, b_dims), schema=_TRIPLE_SCHEMA
     )
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
     triples = out.filter(F.col("pred") != BL.AUDIT_PRED)
     audit = out.filter(F.col("pred") == BL.AUDIT_PRED).select(
         F.col("rule"),
@@ -156,15 +223,27 @@ def run_pipeline(
         return PipelineResult(triples=tt, audit=audit, drug_reactions=empty_drugs)
     if stage_a_mode == "auto":
         small = documents.filter(F.size("spans") <= span_threshold)
+        # materialize the routed big-doc slice ONCE: the size(spans)
+        # routing predicate cannot push down to the parquet scan (array
+        # length needs the column read), so without this every job of the
+        # distributed branch (isEmpty probe, span-parse checkpoint)
+        # re-scans the WHOLE corpus' spans column just to find the few
+        # mega docs. Big docs are few by definition of the threshold, so
+        # the checkpoint is small.
         big = documents.filter(F.size("spans") > span_threshold)
-        ts, audit_s = _fused(small, dims, prepared)
+        if checkpoint:
+            big = big.localCheckpoint(eager=True)
         if big.isEmpty():
+            ts, audit_s = _fused(small, dims, prepared)
             empty_drugs = documents.sparkSession.createDataFrame(
                 [], "model_id string, reaction string"
             )
             return PipelineResult(
                 triples=ts, audit=audit_s, drug_reactions=empty_drugs
             )
+        # mega docs present: run (and materialize) the fused Python pass
+        # BEFORE the distributed chain — see _fused docstring
+        ts, audit_s = _fused(small, dims, prepared, checkpoint=checkpoint)
         rb = run_pipeline(
             spark, big, dims, checkpoint=checkpoint,
             stage_b_mode=stage_b_mode, local_threshold=local_threshold,
@@ -176,12 +255,18 @@ def run_pipeline(
             drug_reactions=rb.drug_reactions,
         )
 
-    elements, links = ingest(documents)
+    # distributed path: spread span parsing across the cluster — the docs
+    # here are mega-documents (few rows, huge span arrays), so file splits
+    # give no parallelism and the parse must be repartitioned explicitly
+    elements, links = ingest(documents, repartition=spark.sparkContext.defaultParallelism)
     if checkpoint:
         # materialize the span parse ONCE — every stage-A loop iteration and
-        # eager checkpoint otherwise re-runs the whole ingest lineage
+        # eager checkpoint otherwise re-runs the whole ingest lineage.
+        # links is RE-DERIVED from the checkpointed elements (ingest's
+        # links plan would otherwise replay the whole chunked span parse
+        # a second time just to explode the link columns)
         elements = elements.localCheckpoint(eager=True)
-        links = links.localCheckpoint(eager=True)
+        links = ingest_links(elements).localCheckpoint(eager=True)
     sa = extract(elements, links, dims)
 
     # NOTE: no repartition("model_id") here — a mega model would collapse
@@ -190,6 +275,11 @@ def run_pipeline(
     # rules shuffle on their own wider (model_id, node/type) keys.
     t = sa.triples
     drugs = sa.drug_reactions.localCheckpoint(eager=True)
+    if checkpoint:
+        # materialize stage A once: every stage-B rule references the
+        # triple table several times, and an unmaterialized ~25-join
+        # stage-A plan re-analyzed per reference explodes the driver
+        t = t.localCheckpoint(eager=True)
 
     if stage_b_mode == "distributed":
         tt, audit = _stage_b_distributed(t, drugs, dims, checkpoint)
@@ -202,7 +292,6 @@ def run_pipeline(
     # auto: route mega-models (per-model stage-A triple count above the
     # threshold) through the distributed rules — the skew defense — and
     # everything else through the one-shuffle local path.
-    t = t.localCheckpoint(eager=True)
     big = (
         t.groupBy("model_id")
         .count()
@@ -218,7 +307,9 @@ def run_pipeline(
     t_big = t.join(big, "model_id", "left_semi")
     d_small = drugs.join(big, "model_id", "left_anti")
     d_big = drugs.join(big, "model_id", "left_semi")
-    ts, audit_s = _stage_b_local(t_small, d_small, dims)
+    # Python cogroup pass first + materialized, JVM rule chain second —
+    # same ordering rule as the fused/_fused composition (see _fused)
+    ts, audit_s = _stage_b_local(t_small, d_small, dims, checkpoint=checkpoint)
     tb, audit_b = _stage_b_distributed(t_big, d_big, dims, checkpoint)
     return PipelineResult(
         triples=ts.unionByName(tb),

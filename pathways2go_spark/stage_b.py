@@ -23,6 +23,8 @@ promiscuous molecules) — defended by the same-pathway key extension
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,21 +51,41 @@ def apply_delta(
     adds: list[DataFrame] | None = None,
     deletes: list[DataFrame] | None = None,
     node_deletes: list[DataFrame] | None = None,
+    merge: bool = True,
 ) -> DataFrame:
     """Apply add/delete sets. deletes: (model_id,subj,pred,obj) keys;
     node_deletes: (model_id, node) -> remove every triple referencing the
-    node (deleteOwlEntityAndAllReferencesToIt, GoCAM.java:885-928)."""
+    node (deleteOwlEntityAndAllReferencesToIt, GoCAM.java:885-928).
+
+    Delete key sets are rule hits — bounded by the reactions of the models
+    on this path, never by corpus size (the distributed path only carries
+    mega-models; everything else is fused per-doc) — so they broadcast,
+    turning every anti-join into a shuffle-free BroadcastHashJoin of the
+    fact table.
+
+    merge=False defers the set-semantics dedupe: the result may carry
+    duplicate (model_id,subj,pred,obj) keys (rule matches are themselves
+    deduped via distinct() on the hit/add/delete sets, so duplicates only
+    multiply intermediate rows, never change any rule's match set). The
+    rule chain runs merge=False end to end and pays ONE final full-table
+    groupBy instead of ten (merge_triples)."""
     t = triples
     for d in deletes or []:
-        t = t.join(d.select(*_KEY).distinct(), _KEY, "left_anti")
+        t = t.join(F.broadcast(d.select(*_KEY).distinct()), _KEY, "left_anti")
     for nd in node_deletes or []:
-        nodes = nd.select("model_id", "node").distinct()
+        nodes = F.broadcast(nd.select("model_id", "node").distinct())
         t = t.join(nodes, (t.model_id == nodes.model_id) & (t.subj == nodes.node),
                    "left_anti")
         t = t.join(nodes, (t.model_id == nodes.model_id) & (t.obj == nodes.node),
                    "left_anti")
     for a in adds or []:
         t = t.unionByName(a)
+    return merge_triples(t) if merge else t
+
+
+def merge_triples(t: DataFrame) -> DataFrame:
+    """Set-semantics dedupe on the triple key (min evidence/rule per key —
+    deterministic provenance pick)."""
     return t.groupBy(*_KEY).agg(
         F.min("evidence").alias("evidence"), F.min("rule").alias("rule")
     )
@@ -95,14 +117,35 @@ def _same_pathway_causal(t: DataFrame) -> DataFrame:
 # GoCAM.removeDrugReactions :2009-2075)
 # ----------------------------------------------------------------------
 
-def b10_remove_drug_reactions(t: DataFrame, drug_reactions: DataFrame) -> DataFrame:
+def _ident(df: DataFrame) -> DataFrame:
+    return df
+
+
+def par(*fns):
+    """Run independent delta/hit computations on concurrent driver
+    threads. Spark job submission is thread-safe; each eager
+    localCheckpoint is a blocking job of few short tasks, so running
+    independent ones concurrently fills the scheduler gaps a sequential
+    chain leaves (same pattern a multi-tenant cluster sees anyway)."""
+    if len(fns) == 1:
+        return [fns[0]()]
+    with ThreadPoolExecutor(len(fns)) as ex:
+        return [f.result() for f in [ex.submit(fn) for fn in fns]]
+
+
+def b10_delta(t: DataFrame, drug_reactions: DataFrame, ck=_ident) -> dict:
     dr = drug_reactions.select("model_id", F.col("reaction").alias("node")).distinct()
     neigh = (
         t.filter(F.col("pred").isin(V.HAS_INPUT, V.HAS_OUTPUT, V.ENABLED_BY, V.OCCURS_IN))
         .join(dr.withColumnRenamed("node", "subj"), ["model_id", "subj"])
         .select("model_id", F.col("obj").alias("node"))
     )
-    return apply_delta(t, node_deletes=[dr.unionByName(neigh)])
+    return {"node_deletes": [ck(dr.unionByName(neigh).distinct())]}
+
+
+def b10_remove_drug_reactions(t: DataFrame, drug_reactions: DataFrame,
+                              merge: bool = True) -> DataFrame:
+    return apply_delta(t, **b10_delta(t, drug_reactions), merge=merge)
 
 
 # ----------------------------------------------------------------------
@@ -110,15 +153,18 @@ def b10_remove_drug_reactions(t: DataFrame, drug_reactions: DataFrame) -> DataFr
 # (inferMolecularFunctionFromEnablers, GoCAM.java:1001-1025)
 # ----------------------------------------------------------------------
 
-def b1_mf_from_enablers(t: DataFrame) -> DataFrame:
+def b1_delta(t: DataFrame, ck=_ident) -> dict:
     me = t.filter((F.col("pred") == V.TYPE) & (F.col("obj") == V.MOLECULAR_EVENT))
     enabled = _p(t, V.ENABLED_BY, "subj", "e").select("model_id", "subj").distinct()
-    hits = me.join(enabled, ["model_id", "subj"])
-    return apply_delta(
-        t,
-        adds=[_adds(hits, F.col("subj"), V.TYPE, V.MF_ROOT, "B1")],
-        deletes=[hits],
-    )
+    hits = ck(me.join(enabled, ["model_id", "subj"]))
+    return {
+        "adds": [_adds(hits, F.col("subj"), V.TYPE, V.MF_ROOT, "B1")],
+        "deletes": [hits],
+    }
+
+
+def b1_mf_from_enablers(t: DataFrame, merge: bool = True) -> DataFrame:
+    return apply_delta(t, **b1_delta(t), merge=merge)
 
 
 # ----------------------------------------------------------------------
@@ -126,7 +172,7 @@ def b1_mf_from_enablers(t: DataFrame) -> DataFrame:
 # GoCAM.java:1178-1234; query2update_occurs_in.rq)
 # ----------------------------------------------------------------------
 
-def b2_occurs_in(t: DataFrame) -> DataFrame:
+def b2_delta(t: DataFrame, ck=_ident) -> dict:
     fwd = t.filter(F.col("pred").isin(V.HAS_INPUT, V.HAS_OUTPUT, V.ENABLED_BY)).select(
         "model_id", F.col("subj").alias("reaction"), F.col("pred").alias("rel"),
         F.col("obj").alias("entity"),
@@ -156,13 +202,17 @@ def b2_occurs_in(t: DataFrame) -> DataFrame:
     ).filter(F.col("loc").isNotNull()).withColumn(
         "loc_node", F.concat("reaction", F.lit("~oc~"), "loc")
     )
-    return apply_delta(
-        t,
-        adds=[
+    chosen = ck(chosen)
+    return {
+        "adds": [
             _adds(chosen, F.col("reaction"), V.OCCURS_IN, F.col("loc_node"), "B2"),
             _adds(chosen, F.col("loc_node"), V.TYPE, F.col("loc"), "B2"),
         ],
-    )
+    }
+
+
+def b2_occurs_in(t: DataFrame, merge: bool = True) -> DataFrame:
+    return apply_delta(t, **b2_delta(t), merge=merge)
 
 
 # ----------------------------------------------------------------------
@@ -171,16 +221,22 @@ def b2_occurs_in(t: DataFrame) -> DataFrame:
 #  query2update_regulation_1.rq: direct exactMatch OR complex has_part)
 # ----------------------------------------------------------------------
 
-def b3_regulates_via_output_regulates(t: DataFrame) -> DataFrame:
+def b3_delta(t: DataFrame, ck=_ident) -> dict:
+    reg = t.filter(F.col("pred").isin(V.INV_POS_REG, V.INV_NEG_REG)).select(
+        "model_id", F.col("subj").alias("z"), F.col("pred").alias("prop"),
+        F.col("obj").alias("r2"),
+    )
+    # rule guard: no entity-regulation edges -> no matches. One narrow
+    # scan of the (checkpointed) input saves the rule's ~6 join stages on
+    # models without regulators (the reference's SPARQL match would also
+    # return empty, but only after running the full query).
+    if reg.isEmpty():
+        return {"adds": [], "deletes": []}
     causal = _same_pathway_causal(t)
     exact = _p(t, V.EXACT, "node", "ref")
     out = _p(t, V.HAS_OUTPUT, "r1", "o").join(
         exact.withColumnRenamed("node", "o").withColumnRenamed("ref", "oref"),
         ["model_id", "o"],
-    )
-    reg = t.filter(F.col("pred").isin(V.INV_POS_REG, V.INV_NEG_REG)).select(
-        "model_id", F.col("subj").alias("z"), F.col("pred").alias("prop"),
-        F.col("obj").alias("r2"),
     )
     # direct: z exactMatch == r1-output exactMatch
     zx = exact.withColumnRenamed("node", "z").withColumnRenamed("ref", "zmatch")
@@ -202,23 +258,27 @@ def b3_regulates_via_output_regulates(t: DataFrame) -> DataFrame:
             .otherwise(F.lit(V.DIRECTLY_NEG_REGULATES)),
         )
     )
-    return apply_delta(
-        t,
-        adds=[
+    hits = ck(hits)
+    return {
+        "adds": [
             _adds(hits, F.col("binding"), V.TYPE, V.BINDING, "B3"),
             _adds(hits, F.col("binding"), V.HAS_INPUT, F.col("z"), "B3"),
             _adds(hits, F.col("binding"), V.PART_OF, F.col("pathway"), "B3"),
             _adds(hits, F.col("r1"), V.PROVIDES_INPUT, F.col("binding"), "B3"),
             _adds(hits, F.col("binding"), F.col("reg_pred"), F.col("r2"), "B3"),
         ],
-        deletes=[
+        "deletes": [
             hits.select("model_id", F.col("z").alias("subj"),
                         F.col("prop").alias("pred"), F.col("r2").alias("obj")),
             hits.select("model_id", F.col("r1").alias("subj"),
                         F.lit(V.CAUSALLY_UPSTREAM).alias("pred"),
                         F.col("r2").alias("obj")),
         ],
-    )
+    }
+
+
+def b3_regulates_via_output_regulates(t: DataFrame, merge: bool = True) -> DataFrame:
+    return apply_delta(t, **b3_delta(t), merge=merge)
 
 
 # ----------------------------------------------------------------------
@@ -231,19 +291,23 @@ def b3_regulates_via_output_regulates(t: DataFrame) -> DataFrame:
 # causally_upstream_of edges B4 deleted (GoCAM.java:1504-1506).
 # ----------------------------------------------------------------------
 
-def b4_b5_causal_rewrites(t: DataFrame, dims: Dims) -> DataFrame:
-    causal = _same_pathway_causal(t).localCheckpoint(eager=False)
+def b4_b5_delta(t: DataFrame, dims: Dims, ck=_ident) -> dict:
+    # ck the shared pair tables: causal feeds three downstream joins
+    # (case1, case2, B5) and out_t/en_t two each — materializing these
+    # small tables once (bounded by reactions per model) beats re-running
+    # their join trees per reference
     types = _p(t, V.TYPE, "node", "cls")
-
-    # ---- B4 ----
-    out_t = _p(t, V.HAS_OUTPUT, "r1", "o").join(
-        types.withColumnRenamed("node", "o").withColumnRenamed("cls", "ot"),
-        ["model_id", "o"],
-    ).select("model_id", "r1", "ot").distinct()
-    en_t = _p(t, V.ENABLED_BY, "r2", "e").join(
-        types.withColumnRenamed("node", "e").withColumnRenamed("cls", "et"),
-        ["model_id", "e"],
-    ).select("model_id", "r2", "et").distinct()
+    causal, out_t, en_t = par(
+        lambda: ck(_same_pathway_causal(t)),
+        lambda: ck(_p(t, V.HAS_OUTPUT, "r1", "o").join(
+            types.withColumnRenamed("node", "o").withColumnRenamed("cls", "ot"),
+            ["model_id", "o"],
+        ).select("model_id", "r1", "ot").distinct()),
+        lambda: ck(_p(t, V.ENABLED_BY, "r2", "e").join(
+            types.withColumnRenamed("node", "e").withColumnRenamed("cls", "et"),
+            ["model_id", "e"],
+        ).select("model_id", "r2", "et").distinct()),
+    )
     # case 1: direct type match (hub-skew join: same-pathway key extension
     # + AQE skew splitting defend hot types)
     case1 = causal.join(out_t, ["model_id", "r1"]).join(
@@ -266,7 +330,6 @@ def b4_b5_causal_rewrites(t: DataFrame, dims: Dims) -> DataFrame:
     case2 = causal.join(out_t, ["model_id", "r1"]).join(
         en_cplx, ["model_id", "r2", "ot"]
     ).select("model_id", "r1", "r2")
-    b4_hits = case1.unionByName(case2).distinct()
 
     # ---- B5 (same snapshot) ----
     exact = _p(t, V.EXACT, "node", "ref")
@@ -279,10 +342,14 @@ def b4_b5_causal_rewrites(t: DataFrame, dims: Dims) -> DataFrame:
         ["model_id", "i"],
     )
     o_types = types.withColumnRenamed("node", "o").withColumnRenamed("cls", "ot")
-    b5_rows = (
-        causal.join(outs, ["model_id", "r1"])
-        .join(ins, ["model_id", "r2", "a"])
-        .join(o_types, ["model_id", "o"])
+    b4_hits, b5_rows = par(
+        lambda: ck(case1.unionByName(case2).distinct()),
+        lambda: ck(
+            causal.join(outs, ["model_id", "r1"])
+            .join(ins, ["model_id", "r2", "a"])
+            .join(o_types, ["model_id", "o"])
+            .select("model_id", "r1", "r2", "i", "o", "ot")
+        ),
     )
     b5_matched = b5_rows.select("model_id", "r1", "r2").distinct()
     b5_adds = (
@@ -295,18 +362,21 @@ def b4_b5_causal_rewrites(t: DataFrame, dims: Dims) -> DataFrame:
         return pairs.select("model_id", F.col("r1").alias("subj"),
                             F.lit(pred).alias("pred"), F.col("r2").alias("obj"))
 
-    return apply_delta(
-        t,
-        adds=[
+    return {
+        "adds": [
             _adds(b4_hits, F.col("r1"), V.DIRECTLY_POS_REGULATES, F.col("r2"), "B4"),
             _adds(b5_adds, F.col("r1"), V.PROVIDES_INPUT, F.col("r2"), "B5"),
         ],
-        deletes=[
+        "deletes": [
             _cu_del(b4_hits, V.CAUSALLY_UPSTREAM),
             _cu_del(b4_hits, V.PROVIDES_INPUT),
             _cu_del(b5_matched, V.CAUSALLY_UPSTREAM),
         ],
-    )
+    }
+
+
+def b4_b5_causal_rewrites(t: DataFrame, dims: Dims, merge: bool = True) -> DataFrame:
+    return apply_delta(t, **b4_b5_delta(t, dims), merge=merge)
 
 
 # ----------------------------------------------------------------------
@@ -315,9 +385,7 @@ def b4_b5_causal_rewrites(t: DataFrame, dims: Dims) -> DataFrame:
 # activator/inhibitor; anything else -> delete regulator node + audit.
 # ----------------------------------------------------------------------
 
-def b6_small_molecule_regulators(
-    t: DataFrame, dims: Dims
-) -> tuple[DataFrame, DataFrame]:
+def b6_delta(t: DataFrame, dims: Dims, ck=_ident) -> tuple[dict, DataFrame]:
     regs = t.filter(F.col("pred").isin(V.INV_POS_REG, V.INV_NEG_REG)).select(
         "model_id", F.col("subj").alias("z"), F.col("pred").alias("prop"),
         F.col("obj").alias("r"),
@@ -335,7 +403,7 @@ def b6_small_molecule_regulators(
             F.min("zt").alias("ztype"),
         )
     )
-    j = regs.join(flags, ["model_id", "z"])
+    j = ck(regs.join(flags, ["model_id", "z"]))
     chem = j.filter((F.col("is_chem") == 1) & (F.coalesce("is_nuc", F.lit(0)) == 0))
     nonchem = j.filter((F.coalesce("is_chem", F.lit(0)) == 0) | (F.col("is_nuc") == 1))
     sm_pred = F.when(F.col("prop") == V.INV_POS_REG, F.lit(V.SM_ACTIVATOR)).otherwise(
@@ -345,14 +413,20 @@ def b6_small_molecule_regulators(
         F.lit("DELETING_NON_SMALL_MOL_REGULATOR").alias("rule"),
         "model_id", F.col("r").alias("reaction"), F.col("ztype").alias("detail"),
     ).distinct()
-    t = apply_delta(
-        t,
-        adds=[_adds(chem, F.col("r"), sm_pred, F.col("z"), "B6")],
-        deletes=[chem.select("model_id", F.col("z").alias("subj"),
-                             F.col("prop").alias("pred"), F.col("r").alias("obj"))],
-        node_deletes=[nonchem.select("model_id", F.col("z").alias("node"))],
-    )
-    return t, audit
+    delta = {
+        "adds": [_adds(chem, F.col("r"), sm_pred, F.col("z"), "B6")],
+        "deletes": [chem.select("model_id", F.col("z").alias("subj"),
+                                F.col("prop").alias("pred"), F.col("r").alias("obj"))],
+        "node_deletes": [nonchem.select("model_id", F.col("z").alias("node"))],
+    }
+    return delta, audit
+
+
+def b6_small_molecule_regulators(
+    t: DataFrame, dims: Dims, merge: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    delta, audit = b6_delta(t, dims)
+    return apply_delta(t, **delta, merge=merge), audit
 
 
 # ----------------------------------------------------------------------
@@ -361,7 +435,7 @@ def b6_small_molecule_regulators(
 # has_input/enabled_by X -> delete the complex node.
 # ----------------------------------------------------------------------
 
-def b7_delete_complexes_with_active_units(t: DataFrame) -> DataFrame:
+def b7_delta(t: DataFrame, ck=_ident) -> dict:
     hp = _p(t, V.HAS_PART, "cx", "x")
     used = (
         t.filter(F.col("pred").isin(V.HAS_INPUT, V.ENABLED_BY))
@@ -371,7 +445,11 @@ def b7_delete_complexes_with_active_units(t: DataFrame) -> DataFrame:
     doomed = hp.join(used, ["model_id", "x"]).select(
         "model_id", F.col("cx").alias("node")
     ).distinct()
-    return apply_delta(t, node_deletes=[doomed])
+    return {"node_deletes": [ck(doomed)]}
+
+
+def b7_delete_complexes_with_active_units(t: DataFrame, merge: bool = True) -> DataFrame:
+    return apply_delta(t, **b7_delta(t), merge=merge)
 
 
 # ----------------------------------------------------------------------
@@ -380,18 +458,25 @@ def b7_delete_complexes_with_active_units(t: DataFrame) -> DataFrame:
 # plus any leftover involved_in_*_regulation_of edges.
 # ----------------------------------------------------------------------
 
-def b8_delete_disallowed(t: DataFrame) -> DataFrame:
+def b8_delta(t: DataFrame, ck=_ident) -> dict:
     loc_nodes = _p(t, V.LOCATED_IN, "s", "node").select("model_id", "node")
-    t = apply_delta(t, node_deletes=[loc_nodes])
+    return {"node_deletes": [ck(loc_nodes.distinct())]}
+
+
+def b8_pred_filter(t: DataFrame) -> DataFrame:
     return t.filter(~F.col("pred").isin(V.LOCATED_IN, V.INV_REG, V.INV_POS_REG,
                                         V.INV_NEG_REG))
+
+
+def b8_delete_disallowed(t: DataFrame, merge: bool = True) -> DataFrame:
+    return b8_pred_filter(apply_delta(t, **b8_delta(t), merge=merge))
 
 
 # ----------------------------------------------------------------------
 # B9: unconnected-node cleanup (cleanOutUnconnectedNodes, GoCAM.java:1974-2007)
 # ----------------------------------------------------------------------
 
-def b9_clean_unconnected(t: DataFrame) -> DataFrame:
+def b9_clean_unconnected(t: DataFrame, merge: bool = True) -> DataFrame:
     edges = t.filter(F.col("pred").isin(V.EDGE_PREDS))
     connected = (
         edges.select("model_id", F.col("subj").alias("node"))
@@ -402,7 +487,7 @@ def b9_clean_unconnected(t: DataFrame) -> DataFrame:
         "model_id", F.col("subj").alias("node")
     ).distinct()
     orphans = candidates.join(connected, ["model_id", "node"], "left_anti")
-    return apply_delta(t, node_deletes=[orphans])
+    return apply_delta(t, node_deletes=[orphans], merge=merge)
 
 
 # ----------------------------------------------------------------------

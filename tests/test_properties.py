@@ -68,3 +68,69 @@ def test_ingest_is_deterministic(spark, docs):
     b_e, b_l = ingest(df)
     assert sorted(map(tuple, a_e.collect())) == sorted(map(tuple, b_e.collect()))
     assert sorted(map(tuple, a_l.collect())) == sorted(map(tuple, b_l.collect()))
+
+
+# ----------------------------------------------------------------------
+# Routing-seam property: the fused/distributed routing thresholds
+# (span_threshold for stage A, local_threshold for stage B) are pure
+# physical-plan switches — the triple SET must be identical on either
+# side of every boundary. Exercised at the exact seam values for the
+# golden fixture (largest doc just inside / just outside the fused
+# path; largest model just inside / just outside the local rules).
+# ----------------------------------------------------------------------
+
+def _keyset(df):
+    return sorted(
+        map(tuple, df.select("model_id", "subj", "pred", "obj").collect())
+    )
+
+
+def test_routing_seams_produce_identical_triples(spark, documents, fixture_paths):
+    import pyspark.sql.functions as F
+
+    from pathways2go_spark.dims import load_dims
+    from pathways2go_spark.ingest import ingest as _ingest
+    from pathways2go_spark.pipeline import run_pipeline
+    from pathways2go_spark.stage_a import extract
+    from tests.conftest import FIXTURE_DIR
+
+    dims = load_dims(spark, FIXTURE_DIR)
+    ref = _keyset(
+        run_pipeline(spark, documents, dims, stage_a_mode="local").triples
+    )
+    assert ref, "golden fixture produced no triples"
+
+    # --- stage-A seam: span_threshold ---------------------------------
+    sizes = sorted(
+        r[0] for r in documents.select(F.size("spans")).collect()
+    )
+    m, mid = sizes[-1], sizes[len(sizes) // 2]
+    # m: every doc fused (inclusive boundary); m-1: largest doc(s) flip
+    # to the distributed path; mid: genuinely mixed; 0: all distributed
+    for thr in {0, mid, m - 1, m}:
+        got = _keyset(
+            run_pipeline(
+                spark, documents, dims, stage_a_mode="auto",
+                span_threshold=thr,
+            ).triples
+        )
+        assert got == ref, f"span_threshold={thr} changed the triple set"
+
+    # --- stage-B seam: local_threshold --------------------------------
+    elements, links = _ingest(documents)
+    sa_counts = sorted(
+        r[0]
+        for r in extract(elements, links, dims)
+        .triples.groupBy("model_id").count().select("count").collect()
+    )
+    bm = sa_counts[-1]
+    # bm: every model local (inclusive); bm-1: largest model(s) flip to
+    # the distributed rules; 0: all distributed
+    for thr in {0, bm - 1, bm}:
+        got = _keyset(
+            run_pipeline(
+                spark, documents, dims, stage_a_mode="distributed",
+                stage_b_mode="auto", local_threshold=thr,
+            ).triples
+        )
+        assert got == ref, f"local_threshold={thr} changed the triple set"
