@@ -185,6 +185,17 @@ def q_kg_gpad_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.gpad_compare(G.gpad_export(_kg(spark)[0], dims.onto_ancestors), ref)
 
 
+def q_kg_biopax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse converter: final GO-CAM triples -> BioPAX statement table
+    (GOtoBioPAX.makeBioPAXFromGoCAM :113-293). Oracle re-derives the
+    same statements in SQL from the independently-generated expected
+    triples."""
+    from pathways2go_spark.biopax_export import kg_to_biopax
+
+    dims = load_dims(spark, KG_FIXTURE_DIR)
+    return kg_to_biopax(_kg(spark)[0], dims.onto_ancestors)
+
+
 def q_kg_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 structural validation: all checks must return zero violations
     on the final corpus (the reference's consistency gate)."""
@@ -444,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gpad": q_kg_gpad,
         "kg_ttl": q_kg_ttl,
         "kg_gpad_diff": q_kg_gpad_diff,
+        "kg_biopax": q_kg_biopax,
         "kg_validation": q_kg_validation,
         "kg_unclassified": q_kg_unclassified,
         "kg_span_kind_counts": q_kg_span_kind_counts,
@@ -919,6 +931,132 @@ def oracle_sql() -> dict[str, str]:
               ON e.db = r.db AND e.db_object_id = r.db_object_id
              AND e.qualifier = r.qualifier AND e.go_id = r.go_id
              AND e.reference = r.reference
+        """,
+        # reverse converter (GOtoBioPAX.java:113-293): same statement
+        # derivation as pathways2go_spark.biopax_export.kg_to_biopax, run
+        # over the independently-generated expected triples
+        "kg_biopax": f"""
+            WITH t AS (SELECT * FROM '{tri}'),
+            ty AS (SELECT model_id, subj AS node, obj AS cls FROM t
+                   WHERE pred = 'type'),
+            anc AS (SELECT class_iri AS cls, ancestor_iri AS anc
+                    FROM '{anc}'),
+            bp AS (SELECT DISTINCT ty.model_id, ty.node AS b
+                   FROM ty JOIN anc USING (cls) WHERE anc = 'GO_0008150'),
+            rxn AS (SELECT DISTINCT p.model_id, p.subj AS r, p.obj AS b
+                    FROM t p JOIN bp ON p.model_id = bp.model_id
+                                    AND p.obj = bp.b
+                    WHERE p.pred = 'BFO_0000050'),
+            rn AS (SELECT DISTINCT model_id, r FROM rxn),
+            rty AS (SELECT ty.model_id, ty.node AS r, ty.cls
+                    FROM ty JOIN rn ON ty.model_id = rn.model_id
+                                   AND ty.node = rn.r),
+            isb AS (SELECT DISTINCT model_id, r FROM rty
+                    JOIN anc USING (cls) WHERE anc = 'GO_0005488'),
+            isc AS (SELECT DISTINCT model_id, r FROM rty
+                    JOIN anc USING (cls) WHERE anc = 'GO_0003824'),
+            ccs AS (SELECT DISTINCT o.model_id, o.r, ty.cls AS cc
+                    FROM (SELECT model_id, subj AS r, obj AS loc FROM t
+                          WHERE pred = 'BFO_0000066') o
+                    JOIN rn USING (model_id, r)
+                    JOIN ty ON ty.model_id = o.model_id
+                           AND ty.node = o.loc),
+            en AS (SELECT t.model_id, subj AS r, obj AS e FROM t
+                   JOIN rn ON t.model_id = rn.model_id AND t.subj = rn.r
+                   WHERE pred = 'RO_0002333'),
+            ins AS (SELECT t.model_id, subj AS r, obj AS i FROM t
+                    JOIN rn ON t.model_id = rn.model_id AND t.subj = rn.r
+                    WHERE pred = 'RO_0002233'),
+            outs AS (SELECT t.model_id, subj AS r, obj AS o FROM t
+                     JOIN rn ON t.model_id = rn.model_id AND t.subj = rn.r
+                     WHERE pred = 'RO_0002234'),
+            parts AS (SELECT DISTINCT model_id, r, e AS p FROM en
+                      UNION SELECT DISTINCT model_id, r, i FROM ins
+                      UNION SELECT DISTINCT model_id, r, o FROM outs),
+            enc AS (SELECT en.model_id, en.r, en.e,
+                           CASE WHEN isc.r IS NOT NULL THEN 'Catalysis'
+                                ELSE 'Control' END AS kind,
+                           en.e || CASE WHEN isc.r IS NOT NULL
+                                        THEN '~as_catalytic_control'
+                                        ELSE '~as_control' END AS cid
+                    FROM en LEFT JOIN isc
+                      ON en.model_id = isc.model_id AND en.r = isc.r),
+            cplx AS (SELECT b.model_id, b.r, b.r || '~cplx' AS cx
+                     FROM isb b
+                     LEFT JOIN (SELECT DISTINCT model_id, r FROM outs) oo
+                       ON b.model_id = oo.model_id AND b.r = oo.r
+                     JOIN (SELECT model_id, r, count(*) AS n FROM ins
+                           GROUP BY 1, 2) ni
+                       ON b.model_id = ni.model_id AND b.r = ni.r
+                     WHERE oo.r IS NULL AND ni.n >= 2),
+            causal AS (SELECT DISTINCT t.model_id, subj AS r, pred,
+                              obj AS r2
+                       FROM t JOIN rn ON t.model_id = rn.model_id
+                                     AND t.subj = rn.r
+                       WHERE pred IN ('RO_0002411', 'RO_0002413',
+                                      'RO_0002629', 'RO_0002630'))
+            SELECT DISTINCT * FROM (
+              SELECT model_id, 'Pathway' AS bp_kind, b AS bp_id,
+                     'dataSource' AS prop, model_id AS val FROM bp
+              UNION ALL
+              SELECT ty.model_id, 'Pathway', bp.b, 'xref', ty.cls
+              FROM ty JOIN bp ON ty.model_id = bp.model_id
+                             AND ty.node = bp.b
+              UNION ALL
+              SELECT model_id, 'BiochemicalReaction', r,
+                     'pathwayComponent', b FROM rxn
+              UNION ALL
+              SELECT model_id, 'BiochemicalReaction', r, 'xref', cls
+              FROM rty
+              UNION ALL
+              SELECT p.model_id, 'PhysicalEntity', p.p,
+                     'cellularLocation', c.cc
+              FROM parts p JOIN ccs c
+                ON p.model_id = c.model_id AND p.r = c.r
+              UNION ALL
+              SELECT model_id, kind, cid, 'controlled', r FROM enc
+              UNION ALL
+              SELECT model_id, kind, cid, 'controller', e FROM enc
+              UNION ALL
+              SELECT model_id, kind, cid, 'controlType', 'ACTIVATION'
+              FROM enc
+              UNION ALL
+              SELECT model_id, 'BiochemicalReaction', r, 'left', i
+              FROM ins
+              UNION ALL
+              SELECT model_id, 'BiochemicalReaction', r, 'right', o
+              FROM outs
+              UNION ALL
+              SELECT c.model_id, 'Complex', c.cx, 'component', i.i
+              FROM cplx c JOIN ins i
+                ON c.model_id = i.model_id AND c.r = i.r
+              UNION ALL
+              SELECT model_id, 'BiochemicalReaction', r, 'right', cx
+              FROM cplx
+              UNION ALL
+              SELECT model_id, 'PathwayStep', r || '~step', 'stepProcess',
+                     r FROM causal
+              UNION ALL
+              SELECT model_id, 'PathwayStep', r2 || '~step', 'stepProcess',
+                     r2 FROM causal
+              UNION ALL
+              SELECT model_id, 'PathwayStep', r || '~step', 'nextStep',
+                     r2 || '~step' FROM causal
+              UNION ALL
+              SELECT model_id, 'Control', r || '~as_function_control',
+                     'controlled', r2 FROM causal
+              UNION ALL
+              SELECT model_id, 'Control', r || '~as_function_control',
+                     'controlType',
+                     CASE WHEN pred = 'RO_0002629' THEN 'ACTIVATION'
+                          ELSE 'INHIBITION' END
+              FROM causal WHERE pred IN ('RO_0002629', 'RO_0002630')
+              UNION ALL
+              SELECT ca.model_id, 'Control',
+                     ca.r || '~as_function_control', 'controller', c.cx
+              FROM causal ca JOIN cplx c
+                ON ca.model_id = c.model_id AND ca.r = c.r
+            )
         """,
         "kg_span_kind_counts": f"""
             SELECT s.kind AS kind, count(*) AS n_spans

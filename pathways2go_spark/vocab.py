@@ -79,6 +79,7 @@ BP_ROOT = "GO_0008150"
 CC_ROOT = "GO_0005575"
 COMPLEX_GO = "GO_0032991"       # protein-containing complex
 BINDING = "GO_0005488"
+CATALYTIC_ACTIVITY = "GO_0003824"   # GOtoBioPAX catalysis check (:188-192)
 TRANSPORTER = "GO_0005215"          # transporter activity
 PROTEIN_TRANSPORTER = "GO_0140318"  # protein transporter activity
 PROTEIN_ROOT = "CHEBI_36080"
