@@ -374,6 +374,23 @@ def q_sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN over the MATERIALIZED bucket-partitioned index
+    (similarity.write_lsh_index): the probe is a partition-pruned read
+    of only the matching bucket directories — the 100 TB layout, where
+    ann_topk_lsh's on-the-fly bucketing would still scan everything.
+    Same results as sim_ann_lsh_topk (shared oracle)."""
+    import os
+
+    q = _query_vec(spark, sf_dir)
+    idx_path = f"/tmp/p2g_ann_idx/lsh_{os.path.basename(os.path.normpath(sf_dir))}"
+    SIM.write_lsh_index(_emb(spark, sf_dir), idx_path, LSH_PLANES, EMB_DIM)
+    qb = SIM.query_sign_bucket(q, LSH_PLANES, EMB_DIM)
+    probe = [qb] + [qb ^ (1 << i) for i in range(LSH_PLANES)]
+    idx = spark.read.parquet(idx_path).filter(F.col("bkt").isin(probe))
+    return _rounded_topk(SIM.cosine_scores(idx, q), k=10)
+
+
 def q_media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.media_table(_docs(spark))
     return media.groupBy("media_kind").agg(
@@ -478,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh_topk": q_sim_ann_lsh_topk,
+        "sim_ann_lsh_indexed": q_sim_ann_lsh_indexed,
         "sim_ann_ivf_topk": q_sim_ann_ivf_topk,
         "sim_ann_ivf_trained": q_sim_ann_ivf_trained,
         "media_kind_stats": q_media_kind_stats,
@@ -876,7 +894,7 @@ def oracle_sql() -> dict[str, str]:
                                AND po.pathway = b.pathway
             )
         """
-    return {
+    sql = {
         "kg_triples": f"SELECT model_id, subj, pred, obj FROM '{tri}'",
         "kg_audit": f"SELECT rule, model_id, reaction, detail FROM '{aud}'",
         "kg_ttl": ttl_sql,
@@ -1333,3 +1351,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
     }
+    # the materialized-index probe returns exactly what the on-the-fly
+    # probe returns (same buckets, same multi-probe set) — shared oracle
+    sql["sim_ann_lsh_indexed"] = sql["sim_ann_lsh_topk"]
+    return sql

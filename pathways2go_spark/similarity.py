@@ -263,3 +263,108 @@ def ann_topk_ivf(
     cells = ranked[:probe]
     assigned = ivf_assign(emb, centroids, vec_col, round_to)
     return cosine_topk(assigned.filter(F.col("cell").isin(cells)), query, k, vec_col)
+
+
+# ----------------------------------------------------------------------
+# Materialized ANN index: bucket-partitioned parquet layout.
+#
+# ann_topk_lsh / ann_topk_ivf compute buckets on the fly, so every probe
+# still SCANS the whole corpus (the bucket filter prunes rows, not
+# files). At 100 TB the index must be a physical layout: write the
+# corpus partitioned by bucket, and a probe becomes a partition-pruned
+# read of only the matching directories (the scan's PartitionFilters —
+# Spark never opens the other buckets' files).
+# ----------------------------------------------------------------------
+
+def write_lsh_index(
+    emb: DataFrame,
+    path: str,
+    planes: int = 8,
+    dim: int | None = None,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize a sign-LSH index: parquet partitioned by bucket id.
+    One shuffle-free pass (bucket is a narrow projection); `partitionBy`
+    fans rows into 2^planes directories. Rewriting is idempotent
+    (mode=overwrite)."""
+    dim_eff = dim
+    (
+        emb.withColumn("bkt", sign_bucket(F.col(vec_col), planes, dim_eff, seed))
+        .write.partitionBy("bkt")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ann_topk_lsh_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    planes: int = 8,
+    probe_hamming: int = 1,
+    dim: int | None = None,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a write_lsh_index layout: the bucket filter is a partition-
+    column predicate, so only the probed directories are read (verify
+    with .explain — the scan shows `PartitionFilters: [bkt IN (...)]`
+    and `inputFiles()` shrinks to the probed buckets). Results are
+    identical to ann_topk_lsh on the same corpus/parameters."""
+    dim = dim if dim is not None else len(query)
+    qb = query_sign_bucket(query, planes, dim, seed)
+    probe = [qb] + ([qb ^ (1 << i) for i in range(planes)]
+                    if probe_hamming >= 1 else [])
+    idx = spark.read.parquet(path).filter(F.col("bkt").isin(probe))
+    return cosine_topk(idx, query, k, vec_col)
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> None:
+    """Materialize an IVF layout: parquet partitioned by coarse cell
+    (nearest-centroid assignment, ivf_assign). The codebook itself is
+    the caller's (kmeans_fit) and must be kept with the index."""
+    (
+        ivf_assign(emb, centroids, vec_col, round_to)
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ann_topk_ivf_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    probe: int = 4,
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Probe a write_ivf_index layout: rank cells by centroid-query
+    cosine on the driver (codebook-sized), read only the top `probe`
+    cell directories. Identical results to ann_topk_ivf."""
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
+
+    def cos(c: list[float]) -> float:
+        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        dot = 0.0
+        for x, y in zip(c, query):
+            dot = dot + float(x) * float(y)
+        return dot / (cn * qn)
+
+    key = (lambda i: (-round(cos(centroids[i]), round_to), i)) \
+        if round_to is not None else (lambda i: (-cos(centroids[i]), i))
+    cells = sorted(range(len(centroids)), key=key)[:probe]
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return cosine_topk(idx, query, k, vec_col)
