@@ -98,3 +98,77 @@ def read_stream_triples(spark: SparkSession, out_path: str) -> DataFrame:
         df = spark.read.parquet(d).drop("bucket")
         out = df if out is None else out.unionByName(df)
     return out
+
+
+# ----------------------------------------------------------------------
+# Stateful streaming dedup (beyond the reference, per the driver brief's
+# "applyInPandasWithState for custom stateful operators"): exact
+# content dedup ACROSS micro-batches. A training-data ingest stream must
+# drop re-crawled/re-delivered documents whose content already arrived
+# in any earlier batch — dropDuplicates on a stream only works within
+# the watermark, and the batch dedup operators (dedup.py) only see one
+# batch. Here the seen-set is keyed state: the stream groups by content
+# hash, and each group's GroupState records that the hash has been
+# emitted, so later arrivals of the same content produce nothing.
+# State size is one empty row per distinct content hash — bounded by
+# corpus cardinality, partitioned across executors by the hash.
+# ----------------------------------------------------------------------
+
+def content_hash(col):
+    """Deterministic content hash of a spans column (md5 of the JSON
+    rendering — stable across partitionings and engines)."""
+    from pyspark.sql import functions as F
+
+    return F.md5(F.to_json(col))
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+):
+    """documents dir -> exactly-one-doc-per-content stream.
+
+    Emits (h, doc_id) once per distinct content hash: the first
+    micro-batch that carries a hash emits its smallest doc_id (ties
+    inside a batch are broken deterministically), every later batch's
+    duplicates are swallowed by the keyed state. Output appends to
+    parquet under out_path; exactly-once via checkpointLocation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = read_document_stream(spark, docs_path, max_files_per_trigger)
+    hashed = stream.select(
+        content_hash(stream["spans"]).alias("h"), "doc_id"
+    )
+
+    def keep_first(key, pdfs, state):
+        if not state.exists:
+            best = None
+            for pdf in pdfs:
+                m = pdf["doc_id"].min()
+                best = m if best is None or m < best else best
+            if best is not None:
+                state.update((1,))
+                yield pd.DataFrame({"h": [key[0]], "doc_id": [best]})
+        else:
+            for _ in pdfs:  # drain the iterator; emit nothing
+                pass
+
+    deduped = hashed.groupBy("h").applyInPandasWithState(
+        keep_first,
+        outputStructType="h string, doc_id string",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -38,3 +38,54 @@ def test_stream_matches_batch(spark, documents, fixture_paths, tmp_path_factory)
     batch = run_pipeline(spark, documents, dims).triples
     pr = precision_recall(streamed, batch)
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
+
+
+def test_stateful_dedup_stream(spark, tmp_path_factory):
+    """applyInPandasWithState cross-batch dedup: a duplicate document
+    arriving in a LATER micro-batch is dropped by the keyed state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pathways2go_spark.datagen import DOCUMENTS_SCHEMA
+    from pathways2go_spark.streaming import start_dedup_stream
+
+    base = tmp_path_factory.mktemp("dedup_stream")
+    src = base / "docs"
+    src.mkdir()
+
+    def doc(doc_id, text):
+        return {"doc_id": doc_id,
+                "spans": [{"kind": "pathway", "text": text,
+                           "media_ref": "", "offset": 0}]}
+
+    # batch file 1: A, B (plus an in-batch duplicate of A under another id)
+    pq.write_table(pa.Table.from_pylist(
+        [doc("doc-A", "alpha"), doc("doc-A2", "alpha"), doc("doc-B", "beta")],
+        schema=DOCUMENTS_SCHEMA), str(src / "b1.parquet"))
+    # batch file 2: duplicate of A's content + a new doc C
+    pq.write_table(pa.Table.from_pylist(
+        [doc("doc-A3", "alpha"), doc("doc-C", "gamma")],
+        schema=DOCUMENTS_SCHEMA), str(src / "b2.parquet"))
+
+    q = start_dedup_stream(
+        spark, str(src), str(base / "out"), str(base / "ck"),
+        max_files_per_trigger=1,  # force one file per micro-batch
+    )
+    q.awaitTermination(120)
+
+    out = {(r.h, r.doc_id) for r in
+           spark.read.parquet(str(base / "out")).collect()}
+    kept = {doc_id for _, doc_id in out}
+    # one survivor per content; in-batch tie broken to the min doc_id;
+    # the later batch's doc-A3 swallowed by state
+    assert len(out) == 3
+    assert "doc-B" in kept and "doc-C" in kept
+    assert "doc-A" in kept and "doc-A2" not in kept and "doc-A3" not in kept
+
+    # restart with the same checkpoint: nothing new to emit (exactly-once)
+    q2 = start_dedup_stream(
+        spark, str(src), str(base / "out"), str(base / "ck"),
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(base / "out")).count() == 3
