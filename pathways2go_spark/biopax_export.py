@@ -234,3 +234,88 @@ def kg_to_biopax(triples: DataFrame, onto_ancestors: DataFrame) -> DataFrame:
     ):
         out = out.unionByName(part)
     return out.distinct()
+
+
+# ----------------------------------------------------------------------
+# BioPAX OWL/XML serialization (the reference's final artifact:
+# SimpleIOHandler.convertToOWL, GOtoBioPAX.java:287-289). One XML
+# element per BioPAX individual, serialized entirely JVM-side: property
+# lines are codegen'd string expressions, elements are a groupBy
+# collect_list + sorted concat — no Python in the loop, and the output
+# is deterministic (sorted property order, sorted element order).
+# ----------------------------------------------------------------------
+
+_XML_BASE = "http://model.geneontology.org/biopax/"
+
+OWL_HEADER = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+    '         xmlns:bp="http://www.biopax.org/release/biopax-level3.owl#"\n'
+    '         xmlns:xsd="http://www.w3.org/2001/XMLSchema#"\n'
+    f'         xml:base="{_XML_BASE}">'
+)
+OWL_FOOTER = "</rdf:RDF>"
+
+# literal-valued BioPAX properties; everything else is an rdf:resource
+_LITERAL_PROPS = ["controlType", "dataSource", "xref"]
+
+
+def _xml_escape(col):
+    out = col
+    for raw, esc in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                     ('"', "&quot;")):
+        out = F.replace(out, F.lit(raw), F.lit(esc))
+    return out
+
+
+def biopax_owl_elements(statements: DataFrame) -> DataFrame:
+    """(model_id, bp_id, xml): one BioPAX OWL/XML element per individual.
+    Write per-model files by partitioning on model_id and wrapping with
+    OWL_HEADER/OWL_FOOTER (write_biopax_owl)."""
+    pline = F.when(
+        F.col("prop").isin(_LITERAL_PROPS),
+        F.concat(
+            F.lit('  <bp:'), F.col("prop"),
+            F.lit(' rdf:datatype="xsd:string">'),
+            _xml_escape(F.col("val")),
+            F.lit("</bp:"), F.col("prop"), F.lit(">"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('  <bp:'), F.col("prop"), F.lit(' rdf:resource="#'),
+            _xml_escape(F.col("val")), F.lit('"/>'),
+        )
+    )
+    return (
+        statements.withColumn("pline", pline)
+        .groupBy("model_id", "bp_kind", "bp_id")
+        .agg(F.concat_ws("\n", F.array_sort(F.collect_list("pline")))
+             .alias("body"))
+        .select(
+            "model_id",
+            "bp_id",
+            F.concat(
+                F.lit("<bp:"), F.col("bp_kind"), F.lit(' rdf:about="#'),
+                _xml_escape(F.col("bp_id")), F.lit('">\n'),
+                F.col("body"),
+                F.lit("\n</bp:"), F.col("bp_kind"), F.lit(">"),
+            ).alias("xml"),
+        )
+    )
+
+
+def write_biopax_owl(statements: DataFrame, path: str) -> None:
+    """One BioPAX .owl document per model_id (the reference writes one
+    biopax file per converted GO-CAM): text files partitioned by model,
+    elements sorted for byte-deterministic output."""
+    docs = (
+        biopax_owl_elements(statements)
+        .groupBy("model_id")
+        .agg(F.concat_ws(
+            "\n",
+            F.lit(OWL_HEADER),
+            F.concat_ws("\n", F.array_sort(F.collect_list("xml"))),
+            F.lit(OWL_FOOTER),
+        ).alias("value"))
+    )
+    docs.write.partitionBy("model_id").mode("overwrite").text(path)

@@ -128,3 +128,51 @@ def test_fixture_statements_consistent(spark, documents, fixture_paths):
     assert bad.count() == 0
     assert st.count() > 0
     st.unpersist()
+
+
+def test_owl_serialization_well_formed(spark, anc, tmp_path):
+    """OWL/XML output parses and reproduces the statement structure
+    (SimpleIOHandler.convertToOWL parity, GOtoBioPAX.java:287-289)."""
+    import os
+    import xml.etree.ElementTree as ET
+
+    from pathways2go_spark.biopax_export import (
+        OWL_FOOTER, OWL_HEADER, biopax_owl_elements, write_biopax_owl,
+    )
+
+    t = _t(spark, [
+        ("P", V.TYPE, "GO_111"),
+        ("R", V.PART_OF, "P"),
+        ("R", V.TYPE, "GO_222"),
+        ("R", V.ENABLED_BY, "E<&>"),   # escaping exercised
+        ("R", V.HAS_INPUT, "I"),
+    ])
+    st = kg_to_biopax(t, anc)
+    elems = {r.bp_id: r.xml for r in biopax_owl_elements(st).collect()}
+    doc = "\n".join([OWL_HEADER] + sorted(elems.values()) + [OWL_FOOTER])
+    root = ET.fromstring(doc)
+    BP = "{http://www.biopax.org/release/biopax-level3.owl#}"
+    RDF = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+    kinds = sorted(e.tag.removeprefix(BP) for e in root)
+    assert kinds == ["BiochemicalReaction", "Catalysis", "Pathway"]
+    rxn = next(e for e in root if e.tag == f"{BP}BiochemicalReaction")
+    props = {(c.tag.removeprefix(BP), c.get(f"{RDF}resource") or c.text)
+             for c in rxn}
+    assert ("left", "#I") in props
+    assert ("pathwayComponent", "#P") in props
+    assert ("xref", "GO_222") in props
+    cat = next(e for e in root if e.tag == f"{BP}Catalysis")
+    assert cat.get(f"{RDF}about") == "#E<&>~as_catalytic_control"
+    assert (f"{BP}controller", "#E<&>") in {
+        (c.tag, c.get(f"{RDF}resource")) for c in cat}
+
+    # per-model .owl files on disk, each one a parseable document
+    write_biopax_owl(st, str(tmp_path / "owl"))
+    parts = [d for d in os.listdir(tmp_path / "owl")
+             if d.startswith("model_id=")]
+    assert parts == ["model_id=M"]
+    txt = "\n".join(
+        open(os.path.join(tmp_path / "owl", parts[0], f)).read()
+        for f in os.listdir(os.path.join(tmp_path / "owl", parts[0]))
+        if f.endswith(".txt") or f.startswith("part-"))
+    ET.fromstring(txt)

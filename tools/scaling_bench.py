@@ -36,6 +36,16 @@ def spark_submit_bin() -> str:
     return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
 
 
+def read_cpu_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — hypervisor CPU
+    steal is the dominant noise source on this shared sandbox host."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_level(submit: str, zip_path: str, corpus: str, cores: int, rounds: int) -> dict:
     # Pin the whole process tree (JVM task threads + Python workers) to
     # exactly `cores` CPUs: a local[N] JVM otherwise borrows idle cores
@@ -60,7 +70,10 @@ def run_level(submit: str, zip_path: str, corpus: str, cores: int, rounds: int) 
     ]
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
+    st0, tot0 = read_cpu_stat()
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=False)
+    st1, tot1 = read_cpu_stat()
+    steal_pct = 100.0 * (st1 - st0) / max(1, tot1 - tot0)
     results = []
     for line in out.stdout.splitlines():
         line = line.strip()
@@ -73,6 +86,7 @@ def run_level(submit: str, zip_path: str, corpus: str, cores: int, rounds: int) 
     # can carry allocator/GC drag — min is the fairest steady-state proxy
     best = min(results, key=lambda r: r["elapsed"])
     best["all_rounds"] = [r["elapsed"] for r in results]
+    best["steal_pct"] = round(steal_pct, 2)
     return best
 
 
@@ -115,6 +129,8 @@ def main() -> None:
         "triples_per_sec_4n": round(tput_4n, 1),
         "rounds_n": small["all_rounds"],
         "rounds_4n": big["all_rounds"],
+        "steal_pct_n": small["steal_pct"],
+        "steal_pct_4n": big["steal_pct"],
         "pass": eff >= 0.8,
     }
     print(json.dumps(summary))
