@@ -288,6 +288,26 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components duplicate clustering (dedup.duplicate_clusters,
+    iterative min-label propagation). Edge list: chains of 9 consecutive
+    doc_ids (i -> i+1 unless i%9 == 8), so the true components have a
+    closed form the oracle derives independently — while the Spark side
+    runs the general propagation loop (needs ~4 doubling rounds for
+    diameter-8 chains)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ids = docs.filter(F.col("doc_id") < 90)
+    pairs = (
+        ids.filter((F.col("doc_id") % 9) != 8)
+        .select(F.col("doc_id").alias("a"),
+                (F.col("doc_id") + 1).alias("b"))
+        .join(ids.withColumnRenamed("doc_id", "b"), "b")
+    )
+    from pathways2go_spark.dedup import duplicate_clusters
+
+    return duplicate_clusters(pairs)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dupes(_doubled_emb(spark, sf_dir), threshold=0.95)
 
@@ -488,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1170,6 +1191,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             SELECT doc_id AS a, doc_id + {DOC_OFFSET} AS b, 1.0 AS est_jaccard
             FROM documents WHERE doc_id < 50
+        """,
+        "dedup_clusters": """
+            SELECT doc_id, doc_id - (doc_id % 9) AS cluster_id
+            FROM documents WHERE doc_id < 90
         """,
         "dedup_simhash": f"""
             WITH {_CORPUS50_CTE},

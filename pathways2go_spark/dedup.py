@@ -240,3 +240,55 @@ def embedding_near_dupes(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ----------------------------------------------------------------------
+# Duplicate clustering: connected components over a duplicate-pair edge
+# list (the north rule's "connected-components-style ID resolution").
+# Pair generators above (minhash/simhash/embedding) emit PAIRS; a
+# training-data pipeline needs the transitive CLUSTERS (a~b, b~c => one
+# group with one canonical survivor). Iterative min-label propagation:
+# O(component diameter) rounds, each a single shuffle keyed by node id —
+# the classic large-graph CC shape (no driver-side union-find, no
+# GraphFrames dependency). Labels only ever decrease, so convergence is
+# detected by the (cheap, exact) global label sum going stationary.
+# ----------------------------------------------------------------------
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 50,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(a, b) duplicate pairs -> (doc_id, cluster_id) where cluster_id is
+    the smallest doc_id in the connected component — the deterministic
+    canonical representative (keep cluster_id, drop the rest)."""
+    ea = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = ea.unionByName(
+        ea.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

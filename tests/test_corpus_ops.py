@@ -208,3 +208,33 @@ def test_ann_ivf_matches_bruteforce_top1(spark, sf_dir):
     top = SIM.ann_topk_ivf(emb, q, cents, k=3, probe=2, round_to=6).collect()
     assert top[0].vec_id == 0
     assert abs(top[0].cosine - 1.0) < 1e-9
+
+
+def test_duplicate_clusters_connected_components(spark):
+    from pathways2go_spark.dedup import duplicate_clusters
+
+    # two non-trivial components + one pair; includes a cycle, a star,
+    # and a long chain (forces several propagation rounds)
+    pairs = spark.createDataFrame(
+        [
+            # component {1,2,3,4,5}: chain + back edge (cycle)
+            (2, 1), (2, 3), (3, 4), (4, 5), (5, 2),
+            # component {10,11,12,13}: star around 12
+            (12, 10), (12, 11), (13, 12),
+            # component {20,21}
+            (21, 20),
+            # long chain {30..37} in descending discovery order
+            (37, 36), (36, 35), (35, 34), (34, 33), (33, 32), (32, 31),
+            (31, 30),
+        ],
+        "a long, b long",
+    )
+    got = {(r.doc_id, r.cluster_id)
+           for r in duplicate_clusters(pairs).collect()}
+    want = (
+        {(i, 1) for i in (1, 2, 3, 4, 5)}
+        | {(i, 10) for i in (10, 11, 12, 13)}
+        | {(i, 20) for i in (20, 21)}
+        | {(i, 30) for i in range(30, 38)}
+    )
+    assert got == want
