@@ -308,6 +308,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs)
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup composition: pairs -> clusters -> canonical
+    survivors (dedup.dedupe_documents). Same closed-form chain edges as
+    dedup_clusters, so the oracle is the surviving-id set in SQL."""
+    from pathways2go_spark.dedup import dedupe_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ids = docs.filter(F.col("doc_id") < 90)
+    pairs = (
+        ids.filter((F.col("doc_id") % 9) != 8)
+        .select(F.col("doc_id").alias("a"),
+                (F.col("doc_id") + 1).alias("b"))
+        .join(ids.withColumnRenamed("doc_id", "b"), "b")
+    )
+    return dedupe_documents(docs, pairs)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dupes(_doubled_emb(spark, sf_dir), threshold=0.95)
 
@@ -509,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus": q_dedup_corpus,
         "dedup_embedding": q_dedup_embedding,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1195,6 +1213,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": """
             SELECT doc_id, doc_id - (doc_id % 9) AS cluster_id
             FROM documents WHERE doc_id < 90
+        """,
+        "dedup_corpus": """
+            SELECT doc_id FROM documents
+            WHERE doc_id >= 90 OR doc_id % 9 = 0
         """,
         "dedup_simhash": f"""
             WITH {_CORPUS50_CTE},

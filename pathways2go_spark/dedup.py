@@ -292,3 +292,22 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def dedupe_documents(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Corpus minus non-canonical duplicates: cluster the pair list
+    (duplicate_clusters) and keep, per component, only the smallest
+    doc_id; documents in no pair pass through untouched. One broadcast
+    anti-join against the (small: one row per clustered duplicate)
+    drop set — the corpus itself is never shuffled."""
+    clusters = duplicate_clusters(pairs, a=a, b=b)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")

@@ -238,3 +238,16 @@ def test_duplicate_clusters_connected_components(spark):
         | {(i, 30) for i in range(30, 38)}
     )
     assert got == want
+
+
+def test_dedupe_documents_keeps_canonicals_and_untouched(spark):
+    from pathways2go_spark.dedup import dedupe_documents
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (11, 10)], "a long, b long")
+    kept = sorted(r.doc_id for r in dedupe_documents(docs, pairs).collect())
+    # one canonical per cluster (min id) + the untouched doc
+    assert kept == [1, 10, 99]
