@@ -284,7 +284,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
-        _doubled_docs(spark, sf_dir, max_id=50), max_hamming=0
+        _doubled_docs(spark, sf_dir, max_id=50), max_hamming=0, bits=64
     ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
@@ -682,14 +682,22 @@ def _kmeans_ivf_sql(k: int = 8, iters: int = 2, probe: int = 4) -> str:
     """
 
 
-# SimHash in SQL: same md5-bit-slice token hash the Spark side uses
-# (dedup.simhash), so the 32-bit signature reproduces bit-exactly.
+# SimHash in SQL: same md5-bit-slice token hashes the Spark side uses
+# (dedup.simhash, bits=64), so the signature reproduces bit-exactly.
+# Bits 0-31 come from md5 chars 1-8 (th), bits 32-63 from chars 9-16
+# (th_hi). The two 32-bit halves are assembled into one signed BIGINT
+# with explicit two's-complement arithmetic (hi >= 2^31 wraps negative),
+# matching Spark's shiftleft/bitwiseOR wrap semantics.
 _SIMHASH_BITS = ",\n         ".join(
-    f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
-    for i in range(32)
+    f"sum(CASE WHEN ({'th' if i < 32 else 'th_hi'} >> {i % 32}) & 1 = 1"
+    f" THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(64)
 )
-_SIMHASH_SIG = " + ".join(
+_SIMHASH_LO = " + ".join(
     f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+)
+_SIMHASH_HI = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << (i - 32)} ELSE 0 END)" for i in range(32, 64)
 )
 
 
@@ -1225,14 +1233,23 @@ def oracle_sql() -> dict[str, str]:
                      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
               FROM corpus
             ), th AS (
-              SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th,
+                     ('0x' || substr(md5(tok), 9, 8))::BIGINT AS th_hi
               FROM toks
             ), bits AS (
               SELECT doc_id,
          {_SIMHASH_BITS}
               FROM th GROUP BY doc_id
+            ), halves AS (
+              SELECT doc_id, CAST({_SIMHASH_LO} AS BIGINT) AS lo,
+                             CAST({_SIMHASH_HI} AS BIGINT) AS hi
+              FROM bits
             ), sig AS (
-              SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS sh FROM bits
+              SELECT doc_id,
+                     (hi - CASE WHEN hi >= 2147483648 THEN 4294967296
+                                ELSE 0 END) * 4294967296 + lo AS sh
+              FROM halves
             )
             SELECT a.doc_id AS a, b.doc_id AS b,
                    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming

@@ -73,22 +73,23 @@ def ngram_jaccard_pairs(
         .select("a", "b")
         .distinct()
     )
-    docsets = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("s"),
-        F.count("*").alias("sz"),
+    # Verification stays fully relational: the exact intersection size is
+    # a join of the (doc, shingle) table onto the candidate pairs plus a
+    # groupBy count — no document's full shingle set is ever collected
+    # into a single array row, so per-row memory is bounded regardless of
+    # document length.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    n_inter = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
     )
     return (
-        cand.join(
-            docsets.select(F.col("doc_id").alias("a"),
-                           F.col("s").alias("sa"), F.col("sz").alias("sza")),
-            "a",
-        )
-        .join(
-            docsets.select(F.col("doc_id").alias("b"),
-                           F.col("s").alias("sb"), F.col("sz").alias("szb")),
-            "b",
-        )
-        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")))
+        n_inter.join(sizes.select(F.col("doc_id").alias("a"),
+                                  F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"),
+                           F.col("sz").alias("szb")), "b")
         .withColumn("jaccard",
                     F.col("n_inter") / (F.col("sza") + F.col("szb") - F.col("n_inter")))
         .filter(F.col("jaccard") >= threshold)
@@ -150,39 +151,73 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, col: str = "text", bits: int = 32) -> DataFrame:
     """(doc_id, simhash): classic bitwise-majority token signature, built
-    as `bits` aggregate expressions in one pass.
+    as `bits` aggregate expressions in one pass. bits is 32 or 64.
 
-    The per-token hash is the first 8 hex chars of md5 (a 32-bit slice),
-    not murmur3: md5 is bit-reproducible across engines, so the whole
-    signature — and therefore the near-pair output — has an exact DuckDB
-    oracle (`('0x' || substr(md5(tok),1,8))::BIGINT`)."""
+    The per-token hash is md5 hex slices (one 8-char slice for 32 bits,
+    two for 64), not murmur3: md5 is bit-reproducible across engines, so
+    the whole signature — and therefore the near-pair output — has an
+    exact DuckDB oracle (`('0x' || substr(md5(tok),1,8))::BIGINT`).
+
+    64 bits is the scale default: 32-bit signatures saturate on large
+    corpora (at ~1e5 docs per 8-bit block value the birthday bound makes
+    block collisions — i.e. false candidates — routine)."""
+    if bits not in (32, 64):
+        raise ValueError(f"simhash bits must be 32 or 64, got {bits}")
     toks = df.select(
         "doc_id", F.explode(F.split(F.trim(F.lower(F.col(col))), r"\s+")).alias("tok")
-    ).withColumn(
-        "th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    ).withColumn("md5", F.md5("tok")).withColumn(
+        "th", F.conv(F.substring("md5", 1, 8), 16, 10).cast("long")
     )
+    if bits == 64:
+        # second independent 32-bit slice supplies bits 32..63
+        toks = toks.withColumn(
+            "th_hi", F.conv(F.substring("md5", 9, 8), 16, 10).cast("long")
+        )
+
+    def _src(i):
+        # bit i of the signature comes from bit (i % 32) of the i//32-th slice
+        return F.col("th") if i < 32 else F.col("th_hi")
+
     bit_aggs = [
         F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(_src(i), i % 32).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(bits)
     ]
     agg = toks.groupBy("doc_id").agg(*bit_aggs)
-    sig = sum(
-        F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)
+    # assemble as two 32-bit halves so no single literal exceeds the
+    # signed-long range (1 << 63 would); shiftleft wraps in two's
+    # complement, matching DuckDB's signed BIGINT arithmetic
+    lo = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(min(bits, 32))
     )
-    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+    if bits == 32:
+        return agg.select("doc_id", lo.cast("long").alias("simhash"))
+    hi = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(1 << (i - 32))).otherwise(F.lit(0))
+        for i in range(32, bits)
+    )
+    sig = F.shiftleft(hi.cast("long"), 32).bitwiseOR(lo.cast("long"))
+    return agg.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on four 8-bit
-    chunks: by pigeonhole, any pair within distance <= 3 has at least one
+def simhash_near_pairs(
+    df: DataFrame, col: str = "text", max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on four
+    equal-width chunks (8-bit for 32-bit signatures, 16-bit for 64-bit):
+    by pigeonhole, any pair within distance <= 3 has at least one
     identical chunk, so candidate generation is 4 equi-joins, never
     all-pairs."""
-    s = simhash(df, col)
+    s = simhash(df, col, bits=bits)
+    w = bits // 4
+    mask = (1 << w) - 1
     for i in range(4):
         s = s.withColumn(
-            f"c{i}", F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(0xFF))
+            f"c{i}", F.shiftright("simhash", w * i).bitwiseAND(F.lit(mask))
         )
     out = None
     for i in range(4):
@@ -251,7 +286,9 @@ def embedding_near_dupes(
 # O(component diameter) rounds, each a single shuffle keyed by node id —
 # the classic large-graph CC shape (no driver-side union-find, no
 # GraphFrames dependency). Labels only ever decrease, so convergence is
-# detected by the (cheap, exact) global label sum going stationary.
+# detected by an exact changed-label count per round (labels are opaque
+# ids — often strings — so a numeric sum fingerprint is not an option:
+# sum(string) crashes under ANSI and is NULL otherwise).
 # ----------------------------------------------------------------------
 
 def duplicate_clusters(
@@ -273,22 +310,31 @@ def duplicate_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    prev_sum = None
     for _ in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "label")
-        labels = (
+        new_labels = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
         if checkpoint:
-            labels = labels.localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        # Exact convergence test: labels only ever shrink, so count the
+        # rows where the new label differs from the old one. Works for
+        # any id type (doc ids are strings); only a scalar reaches the
+        # driver.
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old_label"), "node"
+            )
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             break
-        prev_sum = cur_sum
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -303,11 +349,16 @@ def dedupe_documents(
 ) -> DataFrame:
     """Corpus minus non-canonical duplicates: cluster the pair list
     (duplicate_clusters) and keep, per component, only the smallest
-    doc_id; documents in no pair pass through untouched. One broadcast
-    anti-join against the (small: one row per clustered duplicate)
-    drop set — the corpus itself is never shuffled."""
+    doc_id; documents in no pair pass through untouched.
+
+    The drop set is deliberately NOT broadcast: it has one row per
+    clustered duplicate, and at web-corpus scale duplicates are
+    routinely 20-50% of all documents — billions of rows, far past any
+    broadcast threshold. A plain left-anti join lets AQE broadcast it
+    when it actually fits and fall back to a shuffle join when it
+    doesn't."""
     clusters = duplicate_clusters(pairs, a=a, b=b)
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    return df.join(drop, id_col, "left_anti")

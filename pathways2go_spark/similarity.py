@@ -207,6 +207,11 @@ def kmeans_fit(
         [float(x) for x in r[vec_col]]
         for r in emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     ]
+    if not cents:
+        raise ValueError("kmeans_fit: input DataFrame has no rows")
+    # fewer rows than requested cells -> train the smaller codebook the
+    # data supports rather than indexing past the collected init
+    k = min(k, len(cents))
     for _ in range(iters):
         assigned = ivf_assign(emb, cents, vec_col, round_to)
         comp = assigned.select(

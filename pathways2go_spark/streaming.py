@@ -88,16 +88,25 @@ def read_stream_triples(spark: SparkSession, out_path: str) -> DataFrame:
     jsc = spark.sparkContext._jsc
     path = jvm.org.apache.hadoop.fs.Path(out_path)
     fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        # stream produced no batches yet — documented empty result
+        return None
     datas = sorted(
         str(st.getPath().toString()) + "/data"
         for st in fs.listStatus(path)
         if st.isDirectory() and st.getPath().getName().startswith("batch=")
     )
-    out = None
-    for d in datas:
-        df = spark.read.parquet(d).drop("bucket")
-        out = df if out is None else out.unionByName(df)
-    return out
+    if not datas:
+        return None
+    # ONE multi-path scan, not a per-batch unionByName loop: a long-lived
+    # stream accumulates thousands of micro-batch dirs, and an O(batches)
+    # union tree blows up analysis time while a multi-path FileScan stays
+    # a single plan node. recursiveFileLookup skips partition discovery —
+    # the only partition column under each batch dir is the sink's write
+    # bucket, which this read-back intentionally discards anyway, and
+    # without it Spark would try (and fail) to reconcile the batch=N
+    # roots into one partition spec.
+    return spark.read.option("recursiveFileLookup", "true").parquet(*datas)
 
 
 # ----------------------------------------------------------------------

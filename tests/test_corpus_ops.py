@@ -251,3 +251,55 @@ def test_dedupe_documents_keeps_canonicals_and_untouched(spark):
     kept = sorted(r.doc_id for r in dedupe_documents(docs, pairs).collect())
     # one canonical per cluster (min id) + the untouched doc
     assert kept == [1, 10, 99]
+
+
+def test_duplicate_clusters_string_ids_deep_chain(spark):
+    """Regression: convergence must not depend on numeric labels.
+    sum(doc_id) convergence crashed (ANSI) or silently under-merged
+    (sum(string) = NULL -> one-round exit) on string ids; the
+    changed-count test handles any id type."""
+    from pathways2go_spark.dedup import duplicate_clusters
+
+    chain = [(f"doc{i + 1:02d}", f"doc{i:02d}") for i in range(7)]
+    pairs = spark.createDataFrame(chain, "a string, b string")
+    got = {(r.doc_id, r.cluster_id) for r in duplicate_clusters(pairs).collect()}
+    assert got == {(f"doc{i:02d}", "doc00") for i in range(8)}
+
+
+def test_simhash_64bit(spark):
+    rows = [
+        ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("b", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("c", "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, bits=64).collect()}
+    assert sigs["a"] == sigs["b"] != sigs["c"]
+    # upper 32 bits are populated (not a zero-extended 32-bit signature)
+    assert any((s >> 32) & 0xFFFFFFFF not in (0, 0xFFFFFFFF) for s in sigs.values())
+    pairs = dedup.simhash_near_pairs(df, max_hamming=3, bits=64).collect()
+    assert {(r["a"], r["b"], r["hamming"]) for r in pairs} == {("a", "b", 0)}
+    # 64-bit blocked candidates == brute force for distance <= 3
+    ids = sorted(sigs)
+    brute = {
+        (x, y)
+        for i, x in enumerate(ids)
+        for y in ids[i + 1:]
+        if bin((sigs[x] ^ sigs[y]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert {(r["a"], r["b"]) for r in pairs} == brute
+
+
+def test_simhash_rejects_bad_bits(spark):
+    df = spark.createDataFrame([("a", "x y z")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        dedup.simhash(df, bits=48)
+
+
+def test_kmeans_fit_k_exceeds_rows(spark):
+    rows = [(i, [float(i), 1.0 - i]) for i in range(3)]
+    emb3 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(emb3, k=8, iters=2)
+    assert len(cents) == 3
+    with pytest.raises(ValueError):
+        similarity.kmeans_fit(emb3.filter(F.col("vec_id") < 0), k=4)

@@ -89,3 +89,11 @@ def test_stateful_dedup_stream(spark, tmp_path_factory):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(base / "out")).count() == 3
+
+
+def test_read_stream_triples_missing_or_empty_path(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("nostream"))
+    assert read_stream_triples(spark, os.path.join(base, "never_written")) is None
+    empty = os.path.join(base, "empty_out")
+    os.makedirs(empty)
+    assert read_stream_triples(spark, empty) is None
