@@ -3,8 +3,18 @@
 
 Prints ONE JSON line:
   {"metric": "e2e_seconds", "value": N, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ..., "kg_docs": ...,
+   "queries": {...per-query floor sec...}, "query_rounds": {...all rounds...},
+   "rounds": R, "steal_pct": S, "sf": ..., "kg_docs": ...,
    "kg_triples": ..., "kg_triples_per_sec": ...}
+
+Noise robustness: this sandbox host shows hypervisor CPU steal, and
+adjacent identical runs swing up to +/-55%. Every query therefore runs
+SPARK_GRAFT_BENCH_ROUNDS times (default 3) on a freshly-built DataFrame
+(a reused lineage would silently reuse shuffle files and measure nothing),
+and the reported per-query number is the floor across rounds — the
+steady-state proxy least contaminated by steal bursts. All rounds are
+reported alongside so BENCH_rN files are comparable across rounds, and
+/proc/stat steal is sampled over the whole run.
 
 The KG pipeline benchmark runs over a deterministically generated
 interleaved-document corpus (replicas scaled by SPARK_GRAFT_KG_REPLICAS,
@@ -23,9 +33,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    from pyspark.sql import functions as F
+def read_cpu_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
 
+
+def main() -> None:
     import __spark_entry__ as E
     from pathways2go_spark.datagen import ensure_fixture
     from pathways2go_spark.dims import load_dims
@@ -37,6 +54,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     master = os.environ.get("SPARK_GRAFT_BENCH_MASTER", f"local[{cpus}]")
     replicas = int(os.environ.get("SPARK_GRAFT_KG_REPLICAS", 20000))
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", 3))
     try:
         sf = float(sf_dir.rstrip("/").split("sf")[-1])
     except ValueError:
@@ -56,12 +74,23 @@ def main() -> None:
             "spark.sql.files.openCostInBytes": str(128 * 1024),
         },
     )
-    timings: dict[str, float] = {}
+    floors: dict[str, float] = {}
+    all_rounds: dict[str, list[float]] = {}
+    st0, tot0 = read_cpu_stat()
 
-    def timed(name: str, fn) -> object:
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(name: str, build_and_run) -> object:
+        """Run `build_and_run` `rounds` times; keep the floor. The
+        callable must BUILD the DataFrame fresh each invocation — timing
+        a reused DataFrame object would let Spark reuse its shuffle map
+        outputs and measure only the final stage."""
+        out = None
+        samples = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            out = build_and_run()
+            samples.append(round(time.perf_counter() - t0, 3))
+        floors[name] = min(samples)
+        all_rounds[name] = samples
         return out
 
     # -- KG construction pipeline (the flagship job) -------------------
@@ -85,20 +114,23 @@ def main() -> None:
     ]
     qs = E.queries()
     for name in heads:
-        df = qs[name](spark, sf_dir)
-        timed(name, lambda d=df: d.count())
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
-    total = round(sum(timings.values()), 3)
+    st1, tot1 = read_cpu_stat()
+    total = round(sum(floors.values()), 3)
     print(json.dumps({
         "metric": "e2e_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": floors,
+        "query_rounds": all_rounds,
+        "rounds": rounds,
+        "steal_pct": round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 2),
         "sf": sf,
         "master": master,
         "kg_docs": n_docs,
         "kg_triples": n_triples,
-        "kg_triples_per_sec": round(n_triples / timings["kg_pipeline"], 1),
+        "kg_triples_per_sec": round(n_triples / floors["kg_pipeline"], 1),
     }))
     spark.stop()
 
