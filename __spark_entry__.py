@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pathways2go_spark import analytics as G
 from pathways2go_spark import dedup as D
 from pathways2go_spark import multimodal as MM
+from pathways2go_spark import reports as RP
 from pathways2go_spark import similarity as SIM
 from pathways2go_spark import textops as TX
 from pathways2go_spark import vocab as V
@@ -262,6 +263,62 @@ def q_kg_xref_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("model_id", F.col("subj").alias("node"))
         .agg(F.concat_ws(",", F.sort_array(F.collect_set("obj"))).alias("xrefs"))
     )
+
+
+def _anc(spark: SparkSession) -> DataFrame:
+    return load_dims(spark, KG_FIXTURE_DIR).onto_ancestors
+
+
+def _deprecated_dim(spark: SparkSession) -> DataFrame:
+    """Deterministic stand-in for the ontology's owl:deprecated set:
+    classes whose md5 starts with hex 0/1 (~1/8 of the dim). In
+    production this dim comes from the ontology release; md5 is
+    bit-identical in Spark and DuckDB so the oracle rebuilds the same
+    set."""
+    return (
+        _anc(spark).select(F.col("class_iri").alias("cls")).distinct()
+        .filter(F.substring(F.md5("cls"), 1, 1).isin("0", "1"))
+    )
+
+
+def q_kg_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 full: per-model content + classification report
+    (GoCAMReport/ReasonerReport)."""
+    return RP.model_report(_kg(spark)[0], _anc(spark))
+
+
+def q_kg_entity_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 full: the per-entity curated/rule/inferred mapping table
+    (GoMappingReport manual_plus_inferred_mapping)."""
+    return RP.entity_mapping(_kg(spark)[0], _anc(spark))
+
+
+def q_kg_reaction_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8-deep: per-reaction completeness flags (Manuscript buildVenn)."""
+    return RP.reaction_venn(_kg(spark)[0], _anc(spark))
+
+
+def q_kg_reaction_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8-deep: whole-journal reaction census (Manuscript runCounts)."""
+    return RP.reaction_completeness(_kg(spark)[0], _anc(spark))
+
+
+def q_kg_causal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8-deep: per-model causal-format pair counts
+    (Manuscript getCausalComparison)."""
+    return RP.causal_formats(_kg(spark)[0], _anc(spark))
+
+
+def q_kg_chebi_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 full: chemical-class usage counts (GoMappingReport
+    chebi_usage.txt)."""
+    return RP.chebi_usage(_kg(spark)[0], _anc(spark))
+
+
+def q_kg_deprecated_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 full: deprecated classes still used by the corpus
+    (GoMappingReport deprecated_terms_used.txt)."""
+    return RP.deprecated_terms_used(_kg(spark)[0], _deprecated_dim(spark))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,6 +578,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_component_locations": q_kg_component_locations,
         "kg_untyped_reactions": q_kg_untyped_reactions,
         "kg_xref_map": q_kg_xref_map,
+        "kg_model_report": q_kg_model_report,
+        "kg_entity_mapping": q_kg_entity_mapping,
+        "kg_reaction_venn": q_kg_reaction_venn,
+        "kg_reaction_completeness": q_kg_reaction_completeness,
+        "kg_causal_formats": q_kg_causal_formats,
+        "kg_chebi_usage": q_kg_chebi_usage,
+        "kg_deprecated_terms": q_kg_deprecated_terms,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -707,6 +771,143 @@ def oracle_sql() -> dict[str, str]:
     anc = fx["onto_ancestors"]
     aud = fx["expected_audit"]
     docs = fx["documents"]
+
+    # ---- shared CTEs for the K3/G8 report oracles (reports.py) -------
+    rp_roots = "', '".join([V.BP_ROOT, V.MF_ROOT, V.CC_ROOT, V.COMPLEX_GO,
+                            V.MOLECULAR_EVENT])
+    rp_rules = "', '".join(RP.RULE_ASSIGNED_CLASSES)
+    rp_causal = "', '".join(RP.CAUSAL_FAMILY)
+    rp_edges = "', '".join(V.EDGE_PREDS)
+    ty_cte = (
+        f"ty AS (SELECT model_id, subj AS node, obj AS cls FROM '{tri}' "
+        "WHERE pred = 'type')"
+    )
+    em_cte = f"""{ty_cte},
+        memb AS (
+          SELECT class_iri AS cls,
+                 CASE ancestor_iri WHEN '{V.BP_ROOT}' THEN 0
+                      WHEN '{V.MF_ROOT}' THEN 1 ELSE 2 END AS rk
+          FROM '{anc}'
+          WHERE ancestor_iri IN ('{V.BP_ROOT}', '{V.MF_ROOT}',
+                                 '{V.COMPLEX_GO}')
+        ),
+        kinds AS (
+          SELECT model_id, node,
+                 CASE min(rk) WHEN 0 THEN 'pathway' WHEN 1 THEN 'function'
+                      ELSE 'complex' END AS kind
+          FROM ty JOIN memb USING (cls) GROUP BY 1, 2
+        ),
+        nonroot AS (SELECT * FROM ty WHERE cls NOT IN ('{rp_roots}')),
+        asserted AS (
+          SELECT model_id, node, cls,
+                 CASE WHEN cls IN ('{rp_rules}') THEN 'rule'
+                      ELSE 'curated' END AS bucket
+          FROM nonroot
+        ),
+        inferred AS (
+          SELECT DISTINCT n.model_id, n.node, a.ancestor_iri AS cls,
+                          'inferred' AS bucket
+          FROM nonroot n JOIN '{anc}' a ON n.cls = a.class_iri
+          WHERE a.ancestor_iri <> a.class_iri
+            AND a.ancestor_iri NOT IN ('{rp_roots}')
+            AND NOT EXISTS (SELECT 1 FROM ty t2
+                            WHERE t2.model_id = n.model_id
+                              AND t2.node = n.node
+                              AND t2.cls = a.ancestor_iri)
+        ),
+        buckets AS (SELECT * FROM asserted UNION ALL SELECT * FROM inferred),
+        em AS (
+          SELECT k.model_id, k.node, k.kind,
+                 coalesce(a.curated_types, '') AS curated_types,
+                 coalesce(a.rule_types, '') AS rule_types,
+                 coalesce(a.inferred_types, '') AS inferred_types
+          FROM kinds k LEFT JOIN (
+            SELECT model_id, node,
+              string_agg(cls, ',' ORDER BY cls)
+                FILTER (WHERE bucket = 'curated') AS curated_types,
+              string_agg(cls, ',' ORDER BY cls)
+                FILTER (WHERE bucket = 'rule') AS rule_types,
+              string_agg(cls, ',' ORDER BY cls)
+                FILTER (WHERE bucket = 'inferred') AS inferred_types
+            FROM buckets GROUP BY 1, 2
+          ) a USING (model_id, node)
+        )"""
+    venn_cte = f"""{ty_cte},
+        mfcl AS (SELECT class_iri AS cls FROM '{anc}'
+                 WHERE ancestor_iri = '{V.MF_ROOT}'),
+        rx AS (
+          SELECT model_id, reaction, is_mf, is_me FROM (
+            SELECT t.model_id, t.node AS reaction,
+                   max(CASE WHEN m.cls IS NOT NULL THEN 1 ELSE 0 END) AS is_mf,
+                   max(CASE WHEN t.cls = '{V.MOLECULAR_EVENT}' THEN 1
+                       ELSE 0 END) AS is_me
+            FROM ty t LEFT JOIN mfcl m ON t.cls = m.cls
+            WHERE t.node NOT LIKE '%~%'
+            GROUP BY 1, 2
+          ) WHERE is_mf = 1 OR is_me = 1
+        ),
+        fn AS (SELECT DISTINCT t.model_id, t.node AS reaction
+               FROM ty t JOIN mfcl m ON t.cls = m.cls
+               WHERE t.cls <> '{V.MF_ROOT}'),
+        en AS (SELECT DISTINCT model_id, subj AS reaction FROM '{tri}'
+               WHERE pred = '{V.ENABLED_BY}'),
+        lo AS (SELECT DISTINCT model_id, subj AS reaction FROM '{tri}'
+               WHERE pred = '{V.OCCURS_IN}'),
+        cz AS (
+          SELECT DISTINCT u.model_id, u.reaction FROM (
+            SELECT model_id, subj AS reaction, obj AS other FROM '{tri}'
+            WHERE pred = '{V.CAUSALLY_UPSTREAM}'
+            UNION ALL
+            SELECT model_id, obj AS reaction, subj AS other FROM '{tri}'
+            WHERE pred = '{V.CAUSALLY_UPSTREAM}'
+          ) u JOIN rx r ON u.model_id = r.model_id AND u.other = r.reaction
+        ),
+        bppw AS (SELECT DISTINCT t.model_id, t.node AS pathway
+                 FROM ty t JOIN '{anc}' a ON t.cls = a.class_iri
+                 WHERE a.ancestor_iri = '{V.BP_ROOT}'
+                   AND t.cls <> '{V.BP_ROOT}'),
+        hb AS (SELECT DISTINCT p.model_id, p.subj AS reaction
+               FROM '{tri}' p JOIN bppw w ON p.model_id = w.model_id
+                 AND p.obj = w.pathway
+               WHERE p.pred = '{V.PART_OF}'),
+        io AS (
+          SELECT model_id, subj AS reaction,
+                 count(DISTINCT CASE WHEN pred = '{V.HAS_INPUT}'
+                                THEN obj END) AS n_in,
+                 count(DISTINCT CASE WHEN pred = '{V.HAS_OUTPUT}'
+                                THEN obj END) AS n_out
+          FROM '{tri}' WHERE pred IN ('{V.HAS_INPUT}', '{V.HAS_OUTPUT}')
+          GROUP BY 1, 2
+        ),
+        venn AS (
+          SELECT r.model_id, r.reaction, r.is_mf, r.is_me,
+            CASE WHEN fn.reaction IS NOT NULL THEN 1 ELSE 0 END
+              AS has_function,
+            CASE WHEN en.reaction IS NOT NULL THEN 1 ELSE 0 END
+              AS has_enabler,
+            CASE WHEN lo.reaction IS NOT NULL THEN 1 ELSE 0 END
+              AS has_location,
+            CASE WHEN cz.reaction IS NOT NULL THEN 1 ELSE 0 END
+              AS has_causal,
+            CASE WHEN hb.reaction IS NOT NULL THEN 1 ELSE 0 END AS has_bp,
+            CASE WHEN coalesce(io.n_in, 0) > coalesce(io.n_out, 0)
+                 THEN 1 ELSE 0 END AS is_binding,
+            CASE WHEN coalesce(io.n_in, 0) < coalesce(io.n_out, 0)
+                 THEN 1 ELSE 0 END AS is_dissociation
+          FROM rx r
+          LEFT JOIN fn ON r.model_id = fn.model_id
+            AND r.reaction = fn.reaction
+          LEFT JOIN en ON r.model_id = en.model_id
+            AND r.reaction = en.reaction
+          LEFT JOIN lo ON r.model_id = lo.model_id
+            AND r.reaction = lo.reaction
+          LEFT JOIN cz ON r.model_id = cz.model_id
+            AND r.reaction = cz.reaction
+          LEFT JOIN hb ON r.model_id = hb.model_id
+            AND r.reaction = hb.reaction
+          LEFT JOIN io ON r.model_id = io.model_id
+            AND r.reaction = io.reaction
+        )"""
 
     accm = fx["accession_map"]
     xr = fx["onto_xrefs"]
@@ -1197,6 +1398,167 @@ def oracle_sql() -> dict[str, str]:
             SELECT model_id, subj AS node,
                    string_agg(DISTINCT obj, ',' ORDER BY obj) AS xrefs
             FROM '{tri}' WHERE pred = 'exactMatch' GROUP BY 1, 2
+        """,
+        "kg_entity_mapping": f"""
+            WITH {em_cte}
+            SELECT * FROM em
+        """,
+        "kg_model_report": f"""
+            WITH {em_cte},
+            per_kind AS (
+              SELECT model_id,
+                CAST(sum(CASE WHEN kind = 'pathway' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_pathways,
+                CAST(sum(CASE WHEN kind = 'function' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_functions,
+                CAST(sum(CASE WHEN kind = 'complex' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_complexes,
+                CAST(sum(CASE WHEN kind = 'pathway' AND curated_types = ''
+                     AND rule_types = '' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS pathway_unclassified,
+                CAST(sum(CASE WHEN kind = 'function' AND curated_types = ''
+                     AND rule_types = '' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS function_unclassified,
+                CAST(sum(CASE WHEN kind = 'complex' AND curated_types = ''
+                     AND rule_types = '' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS complex_unclassified,
+                CAST(sum(CASE WHEN kind = 'pathway' AND curated_types = ''
+                     AND rule_types <> '' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS pathway_rule_classified,
+                CAST(sum(CASE WHEN kind = 'function' AND curated_types = ''
+                     AND rule_types <> '' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS function_rule_classified,
+                CAST(sum(CASE WHEN kind = 'complex' AND curated_types = ''
+                     AND rule_types <> '' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS complex_rule_classified,
+                CAST(sum(CASE WHEN kind = 'pathway' AND curated_types <> ''
+                     AND inferred_types <> '' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS pathway_deepened,
+                CAST(sum(CASE WHEN kind = 'function' AND curated_types <> ''
+                     AND inferred_types <> '' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS function_deepened,
+                CAST(sum(CASE WHEN kind = 'complex' AND curated_types <> ''
+                     AND inferred_types <> '' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS complex_deepened
+              FROM em GROUP BY 1
+            ),
+            prot AS (SELECT class_iri AS cls FROM '{anc}'
+                     WHERE ancestor_iri = '{V.PROTEIN_ROOT}'),
+            chem AS (SELECT class_iri AS cls FROM '{anc}'
+                     WHERE ancestor_iri = '{V.CHEMICAL_ROOT}'
+                       AND class_iri NOT IN (SELECT cls FROM prot)),
+            ccc AS (SELECT class_iri AS cls FROM '{anc}'
+                    WHERE ancestor_iri = '{V.CC_ROOT}'),
+            np AS (SELECT model_id, CAST(count(DISTINCT node) AS BIGINT)
+                     AS n_proteins
+                   FROM ty JOIN prot USING (cls) GROUP BY 1),
+            nc AS (SELECT model_id, CAST(count(DISTINCT node) AS BIGINT)
+                     AS n_chemicals
+                   FROM ty JOIN chem USING (cls) GROUP BY 1),
+            ncc AS (SELECT model_id, CAST(count(DISTINCT cls) AS BIGINT)
+                      AS n_cc_classes
+                    FROM ty JOIN ccc USING (cls) GROUP BY 1),
+            nr AS (SELECT model_id, CAST(count(DISTINCT pred) AS BIGINT)
+                     AS n_relations
+                   FROM '{tri}' WHERE pred IN ('{rp_edges}') GROUP BY 1),
+            models AS (
+              SELECT model_id FROM per_kind UNION SELECT model_id FROM np
+              UNION SELECT model_id FROM nc UNION SELECT model_id FROM ncc
+              UNION SELECT model_id FROM nr
+            )
+            SELECT m.model_id,
+              coalesce(pk.n_pathways, 0) AS n_pathways,
+              coalesce(pk.n_functions, 0) AS n_functions,
+              coalesce(pk.n_complexes, 0) AS n_complexes,
+              coalesce(pk.pathway_unclassified, 0) AS pathway_unclassified,
+              coalesce(pk.function_unclassified, 0) AS function_unclassified,
+              coalesce(pk.complex_unclassified, 0) AS complex_unclassified,
+              coalesce(pk.pathway_rule_classified, 0)
+                AS pathway_rule_classified,
+              coalesce(pk.function_rule_classified, 0)
+                AS function_rule_classified,
+              coalesce(pk.complex_rule_classified, 0)
+                AS complex_rule_classified,
+              coalesce(pk.pathway_deepened, 0) AS pathway_deepened,
+              coalesce(pk.function_deepened, 0) AS function_deepened,
+              coalesce(pk.complex_deepened, 0) AS complex_deepened,
+              coalesce(np.n_proteins, 0) AS n_proteins,
+              coalesce(nc.n_chemicals, 0) AS n_chemicals,
+              coalesce(ncc.n_cc_classes, 0) AS n_cc_classes,
+              coalesce(nr.n_relations, 0) AS n_relations
+            FROM models m
+            LEFT JOIN per_kind pk USING (model_id)
+            LEFT JOIN np USING (model_id)
+            LEFT JOIN nc USING (model_id)
+            LEFT JOIN ncc USING (model_id)
+            LEFT JOIN nr USING (model_id)
+        """,
+        "kg_reaction_venn": f"""
+            WITH {venn_cte}
+            SELECT * FROM venn
+        """,
+        "kg_reaction_completeness": f"""
+            WITH {venn_cte}
+            SELECT
+              CAST(count(*) AS BIGINT) AS n_reactions,
+              CAST(sum(is_mf) AS BIGINT) AS n_mf_reactions,
+              CAST(sum(CASE WHEN is_me = 1 AND is_mf = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_me_only_reactions,
+              CAST(sum(has_enabler) AS BIGINT) AS n_with_enabler,
+              CAST(sum(1 - has_enabler) AS BIGINT) AS n_no_enabler,
+              CAST(sum(CASE WHEN is_mf = 1 AND has_enabler = 0 THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_mf_no_enabler,
+              CAST(sum(has_bp) AS BIGINT) AS n_with_bp,
+              CAST(sum(has_causal) AS BIGINT) AS n_with_causal,
+              CAST(sum(1 - has_causal) AS BIGINT) AS n_no_causal,
+              CAST(sum(has_location) AS BIGINT) AS n_with_occurs_in,
+              CAST(sum(1 - has_location) AS BIGINT) AS n_no_occurs_in,
+              CAST(sum(has_causal * has_enabler * has_location * has_bp)
+                   AS BIGINT) AS n_complete,
+              CAST(sum(is_binding) AS BIGINT) AS n_binding,
+              CAST(sum(is_dissociation) AS BIGINT) AS n_dissociation
+            FROM venn
+        """,
+        "kg_causal_formats": f"""
+            WITH {venn_cte},
+            direct AS (SELECT model_id, subj AS up, pred, obj AS down
+                       FROM '{tri}' WHERE pred IN ('{rp_causal}')),
+            bnd AS (SELECT model_id, node AS b FROM ty
+                    WHERE cls = '{V.BINDING}'),
+            hop AS (
+              SELECT p.model_id, p.subj AS up, r.pred, r.obj AS down
+              FROM '{tri}' p
+              JOIN bnd b ON p.model_id = b.model_id AND p.obj = b.b
+              JOIN '{tri}' r ON r.model_id = p.model_id AND r.subj = p.obj
+              WHERE p.pred = '{V.PROVIDES_INPUT}'
+                AND r.pred IN ('{V.DIRECTLY_POS_REGULATES}',
+                               '{V.DIRECTLY_NEG_REGULATES}')
+            ),
+            allp AS (SELECT * FROM direct UNION ALL SELECT * FROM hop),
+            pairs AS (
+              SELECT a.model_id, a.up, a.down, min(a.pred) AS pred
+              FROM allp a
+              JOIN rx u ON a.model_id = u.model_id AND a.up = u.reaction
+              JOIN rx d ON a.model_id = d.model_id AND a.down = d.reaction
+              GROUP BY 1, 2, 3
+            )
+            SELECT model_id, pred, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY 1, 2
+        """,
+        "kg_chebi_usage": f"""
+            WITH {ty_cte},
+            chem AS (SELECT class_iri AS cls FROM '{anc}'
+                     WHERE ancestor_iri = '{V.CHEMICAL_ROOT}')
+            SELECT cls, CAST(count(*) AS BIGINT) AS n
+            FROM ty JOIN chem USING (cls) GROUP BY 1
+        """,
+        "kg_deprecated_terms": f"""
+            WITH {ty_cte},
+            dep AS (SELECT DISTINCT class_iri AS cls FROM '{anc}'
+                    WHERE substr(md5(class_iri), 1, 1) IN ('0', '1'))
+            SELECT cls, CAST(count(DISTINCT model_id) AS BIGINT) AS n_models,
+                   CAST(count(*) AS BIGINT) AS n_uses
+            FROM ty JOIN dep USING (cls) GROUP BY 1
         """,
         "dedup_exact": f"""
             WITH {_CORPUS_CTE}

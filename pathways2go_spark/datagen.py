@@ -87,8 +87,19 @@ class Fixture:
         self.onto_ancestors.add((cls, cls))
         self.onto_ancestors.add((cls, ancestor))
 
+    def _mid(self, cls: str, mid: str, root: str) -> None:
+        """Give classes with an odd trailing digit a synthetic mid-tier
+        parent under `root`. Real ontologies are deep, and the K3/R5
+        reports' inferred/deepened columns only exercise anything when
+        some asserted class has a STRICT non-root ancestor — a flat
+        class->root dim would make them vacuously zero."""
+        if cls[-1].isdigit() and int(cls[-1]) % 2 == 1:
+            self.anc(cls, mid)
+            self.anc(mid, root)
+
     def chem(self, chebi: str) -> str:
         self.anc(chebi, V.CHEMICAL_ROOT)
+        self._mid(chebi, "CHEBI_99001", V.CHEMICAL_ROOT)
         return chebi
 
     def prot_cls(self, uniprot: str) -> str:
@@ -103,6 +114,12 @@ class Fixture:
 
     def mf(self, go: str) -> str:
         self.anc(go, V.MF_ROOT)
+        self._mid(go, "GO_99001", V.MF_ROOT)
+        return go
+
+    def bp(self, go: str) -> str:
+        self.anc(go, V.BP_ROOT)
+        self._mid(go, "GO_99002", V.BP_ROOT)
         return go
 
     # ---------------- golden helpers -----------------
@@ -582,7 +599,7 @@ def t9_yeast_linking(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     E1 = f"{ma}-E1"
     go_bp = f"GO_1900001"
     go_mf1, go_mf2 = fx.mf("GO_1900002"), fx.mf("GO_1900003")
-    fx.anc(go_bp, V.BP_ROOT)
+    fx.bp(go_bp)
     fx.sssom.append({"subject_id": P, "object_id": go_bp, "confidence": 0.9,
                      "mapping_tool": "synthetic"})
     fx.sssom.append({"subject_id": P, "object_id": V.BP_ROOT, "confidence": 0.4,
@@ -621,7 +638,7 @@ def t9_yeast_linking(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     P2, R3 = f"{mb}-P", f"{mb}-R3"
     E2, CP = f"{mb}-E2", f"{mb}-CP"
     go_bp2 = "GO_1900004"
-    fx.anc(go_bp2, V.BP_ROOT)
+    fx.bp(go_bp2)
     fx.accession_map.add(("pathway2go", P2, go_bp2))
     sgd2 = fx.sgd_cls("S000002")
     fx.accession_map.add(("gpi", f"SGD-{dpfx}-002", sgd2))
@@ -758,8 +775,8 @@ def t12_gate_and_misc(fx: Fixture, pfx: str, dpfx: str | None = None) -> None:
     # A23 dims: a real MF for R9's EC plus two BP classes for the xrefs
     go_mf2 = fx.mf("GO_90007")
     fx.onto_xrefs.add(("EC:4.4.4.4", go_mf2))
-    fx.anc("GO_90008", V.BP_ROOT)
-    fx.anc("GO_90009", V.BP_ROOT)
+    fx.bp("GO_90008")
+    fx.bp("GO_90009")
     db = Doc(fx, mb)
     db.span("pathway", id=P2, displayName="tmpl pathway", isDisease=0,
             components=f"{TR},{I1},{R9}")
@@ -954,11 +971,31 @@ def ensure_reference_gpad(out_dir: str) -> str:
 
 
 def ensure_fixture(out_dir: str, replicas: int = 1) -> dict[str, str]:
-    """Idempotent: write the fixture only if not already present."""
-    marker = os.path.join(out_dir, "expected_triples.parquet")
+    """Idempotent AND generator-aware: rebuild whenever this module's
+    source changes, not just when the directory is missing. A stale
+    cached fixture silently pins tests/oracles to an old generator — the
+    marker therefore records the md5 of datagen.py itself."""
+    import hashlib
+
+    with open(os.path.abspath(__file__), "rb") as f:
+        want = hashlib.md5(f.read()).hexdigest()
+    marker = os.path.join(out_dir, ".datagen_version")
     names = ["documents", "onto_ancestors", "onto_xrefs", "complex_parts",
              "sssom", "accession_map", "drug_ids", "expected_triples",
              "expected_audit"]
+    have = None
     if os.path.exists(marker):
+        with open(marker) as f:
+            have = f.read().strip()
+    if have == want and os.path.exists(
+        os.path.join(out_dir, "expected_triples.parquet")
+    ):
         return {n: os.path.join(out_dir, f"{n}.parquet") for n in names}
-    return write_fixture(build_fixture(replicas), out_dir)
+    paths = write_fixture(build_fixture(replicas), out_dir)
+    # derived artifacts must not outlive the fixture they derive from
+    gpad = os.path.join(out_dir, "reference_gpad.parquet")
+    if os.path.exists(gpad):
+        os.remove(gpad)
+    with open(marker, "w") as f:
+        f.write(want)
+    return paths

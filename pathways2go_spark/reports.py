@@ -1,0 +1,442 @@
+"""K3 (full) + G8-deep — per-model mapping/classification reports and
+manuscript-grade cross-model analytics.
+
+Reference surface:
+  GoCAMReport.java:30-553        content counts, NR mapping report,
+                                 asserted/rule/inferred type split,
+                                 unclassified / new / deepened counters
+  GoMappingReport.java:53-203    report-file family (mapping tables,
+                                 chebi usage, deprecated terms,
+                                 inconsistent models, reasoner value)
+  ReasonerReport.java:13-56      new/deepened classification counts
+  Manuscript.java:207-363        runCounts reaction-completeness census
+  Manuscript.java:365-436        buildVenn missing-dimension sets
+  Manuscript.java:438-547        getCausalComparison per-pathway
+                                 causal-format table
+
+Reasoner reduction: the reference reasons each model with Arachne/OWL
+and splits a node's types into asserted vs inferred by membership in
+the asserted graph (GoCAMReport.wasInferred:556-565). This engine's
+consumed inferences are exactly the subclass closures (SURVEY §2.5), so
+"inferred types" = strict ancestors (onto_ancestors dim) of the node's
+asserted classes that were not themselves asserted and are not roots.
+"Rule-assigned" types are recognized by VALUE, exactly like the
+reference's own NR report does (GoCAMReport.java:136/179/315 special-
+cases the protein_binding / establishment_of_protein_localization
+literals): in the default pipeline the only rule-minted class is
+GO_0005488 from B3 binding nodes (stage_b.py:264).
+
+Every function is a pure DataFrame program over the (model_id, subj,
+pred, obj) triple table plus the broadcastable ancestors dim — at
+cluster scale the triple table shuffles at most once per report on
+(model_id, node) and every dim join is a broadcast hash join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import vocab as V
+
+# classes a stage-B rule can assert (recognized by value, see module doc)
+RULE_ASSIGNED_CLASSES = [V.BINDING]
+
+# kind roots in NR-report iteration order (pathways, functions,
+# complexes — GoCAMReport.makeNRMappingReport:124/167/211); a node typed
+# into several closures keeps the first kind, like the report's `ids`
+# dedup set
+KIND_ROOTS = [("pathway", V.BP_ROOT), ("function", V.MF_ROOT),
+              ("complex", V.COMPLEX_GO)]
+
+# the causal relation family of Manuscript.getCausalComparison:479
+CAUSAL_FAMILY = [
+    V.DIRECTLY_POS_REGULATED_BY, V.DIRECTLY_NEG_REGULATED_BY,
+    V.PROVIDES_INPUT, V.CAUSALLY_UPSTREAM,
+    V.NEG_REGULATES, V.POS_REGULATES,
+    V.DIRECTLY_POS_REGULATES, V.DIRECTLY_NEG_REGULATES,
+]
+
+_ROOTS = [V.BP_ROOT, V.MF_ROOT, V.CC_ROOT, V.COMPLEX_GO, V.MOLECULAR_EVENT]
+
+
+def _types(t: DataFrame) -> DataFrame:
+    return t.filter(F.col("pred") == V.TYPE).select(
+        "model_id", F.col("subj").alias("node"), F.col("obj").alias("cls")
+    )
+
+
+def _closure(ancestors: DataFrame, root) -> DataFrame:
+    """(cls) classes in the subclass closure of `root` (incl. root)."""
+    roots = [root] if isinstance(root, str) else list(root)
+    return ancestors.filter(F.col("ancestor_iri").isin(roots)).select(
+        F.col("class_iri").alias("cls")
+    ).distinct()
+
+
+def node_kinds(t: DataFrame, ancestors: DataFrame) -> DataFrame:
+    """(model_id, node, kind) for every node typed into the BP / MF /
+    protein-complex closures, kind precedence pathway > function >
+    complex (GoCAMReport report iteration order)."""
+    memb = None
+    for rank, (kind, root) in enumerate(KIND_ROOTS):
+        m = _closure(ancestors, root).withColumn("rank", F.lit(rank)).withColumn(
+            "kind", F.lit(kind)
+        )
+        memb = m if memb is None else memb.unionByName(m)
+    hit = _types(t).join(F.broadcast(memb), "cls")
+    best = hit.groupBy("model_id", "node").agg(
+        F.min(F.struct("rank", "kind")).alias("bk")
+    )
+    return best.select("model_id", "node", F.col("bk.kind").alias("kind"))
+
+
+def entity_mapping(t: DataFrame, ancestors: DataFrame) -> DataFrame:
+    """The per-entity mapping table a curator reads
+    (GoCAMReport.makeMappingReportWithOneRowForEachGoCAMEntity:257-391,
+    written by GoMappingReport.writeReport:149-175): one row per typed
+    BP/MF/complex node with its curator-asserted, rule-assigned and
+    closure-inferred classes as comma-joined sorted lists (empty string
+    when none).
+
+    Plan: one shuffle keyed (model_id, node); the closure and kind dims
+    are broadcast."""
+    kinds = node_kinds(t, ancestors)
+    ty = _types(t).filter(~F.col("cls").isin(_ROOTS))
+    asserted = ty.withColumn(
+        "bucket",
+        F.when(F.col("cls").isin(RULE_ASSIGNED_CLASSES), F.lit("rule"))
+        .otherwise(F.lit("curated")),
+    )
+    # strict non-root ancestors of every asserted class, minus asserted
+    anc = ancestors.filter(
+        (F.col("class_iri") != F.col("ancestor_iri"))
+        & ~F.col("ancestor_iri").isin(_ROOTS)
+    ).select(F.col("class_iri").alias("cls"), F.col("ancestor_iri").alias("sup"))
+    inferred = (
+        ty.join(F.broadcast(anc), "cls")
+        .select("model_id", "node", F.col("sup").alias("cls"))
+        .join(ty, ["model_id", "node", "cls"], "left_anti")
+        .withColumn("bucket", F.lit("inferred"))
+    )
+    buckets = asserted.select("model_id", "node", "cls", "bucket").unionByName(
+        inferred
+    )
+    agg = buckets.groupBy("model_id", "node").agg(
+        *[
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_set(F.when(F.col("bucket") == b, F.col("cls")))
+                ),
+            ).alias(f"{b}_types")
+            for b in ("curated", "rule", "inferred")
+        ]
+    )
+    return kinds.join(agg, ["model_id", "node"], "left").select(
+        "model_id", "node", "kind",
+        *[F.coalesce(F.col(c), F.lit("")).alias(c)
+          for c in ("curated_types", "rule_types", "inferred_types")],
+    )
+
+
+def model_report(t: DataFrame, ancestors: DataFrame) -> DataFrame:
+    """Per-model content + classification report: the row a GoCAMReport
+    carries (content counts: makeSimpleContentReport:72-75; unclassified
+    / rule-classified / deepened per kind: GoCAMReport.java:398-521 and
+    ReasonerReport.java:30-42).
+
+    Columns:
+      n_pathways n_functions n_complexes    typed-node counts per kind
+      n_proteins n_chemicals                distinct entity nodes (the
+                                            chemical count excludes the
+                                            protein subtree — the
+                                            reference queries them
+                                            disjointly)
+      n_cc_classes                          distinct CC classes used
+      n_relations                           distinct edge predicates
+      {kind}_unclassified                   no non-root in-closure type
+      {kind}_rule_classified                classified only by a rule-
+                                            minted class (B3 binding)
+      {kind}_deepened                       curated AND closure adds a
+                                            strict non-root ancestor
+    """
+    ty = _types(t)
+    em = entity_mapping(t, ancestors)
+    plural = {"pathway": "n_pathways", "function": "n_functions",
+              "complex": "n_complexes"}
+    per_kind = em.groupBy("model_id").agg(
+        *[
+            F.sum(((F.col("kind") == k)).cast("long")).alias(plural[k])
+            for k, _ in KIND_ROOTS
+        ],
+        *[
+            F.sum(
+                ((F.col("kind") == k) & (F.col("curated_types") == "")
+                 & (F.col("rule_types") == "")).cast("long")
+            ).alias(f"{k}_unclassified")
+            for k, _ in KIND_ROOTS
+        ],
+        *[
+            F.sum(
+                ((F.col("kind") == k) & (F.col("curated_types") == "")
+                 & (F.col("rule_types") != "")).cast("long")
+            ).alias(f"{k}_rule_classified")
+            for k, _ in KIND_ROOTS
+        ],
+        *[
+            F.sum(
+                ((F.col("kind") == k) & (F.col("curated_types") != "")
+                 & (F.col("inferred_types") != "")).cast("long")
+            ).alias(f"{k}_deepened")
+            for k, _ in KIND_ROOTS
+        ],
+    )
+    prot = _closure(ancestors, V.PROTEIN_ROOT)
+    chem = _closure(ancestors, V.CHEMICAL_ROOT).join(prot, "cls", "left_anti")
+    cc = _closure(ancestors, V.CC_ROOT)
+    entities = ty.join(F.broadcast(prot), "cls").select(
+        "model_id", "node"
+    ).distinct().groupBy("model_id").agg(F.count("*").alias("n_proteins")).join(
+        ty.join(F.broadcast(chem), "cls").select("model_id", "node")
+        .distinct().groupBy("model_id").agg(F.count("*").alias("n_chemicals")),
+        "model_id", "full_outer",
+    ).join(
+        ty.join(F.broadcast(cc), "cls").select("model_id", "cls")
+        .distinct().groupBy("model_id").agg(F.count("*").alias("n_cc_classes")),
+        "model_id", "full_outer",
+    ).join(
+        t.filter(F.col("pred").isin(V.EDGE_PREDS)).select("model_id", "pred")
+        .distinct().groupBy("model_id").agg(F.count("*").alias("n_relations")),
+        "model_id", "full_outer",
+    )
+    out = per_kind.join(entities, "model_id", "full_outer")
+    fill = [c for c in out.columns if c != "model_id"]
+    return out.fillna(0, subset=fill).select(
+        "model_id",
+        *[F.col(c).cast("long").alias(c) for c in fill],
+    )
+
+
+def chebi_usage(t: DataFrame, ancestors: DataFrame) -> DataFrame:
+    """Corpus-wide chemical-class usage counts
+    (GoMappingReport.chebi_count, written :130-135): one row per
+    chemical class with the number of type assertions using it."""
+    chem = _closure(ancestors, V.CHEMICAL_ROOT)
+    return (
+        _types(t).join(F.broadcast(chem), "cls")
+        .groupBy("cls").agg(F.count("*").alias("n"))
+    )
+
+
+def deprecated_terms_used(t: DataFrame, deprecated: DataFrame) -> DataFrame:
+    """Classes from a deprecated-term dim that the corpus still uses
+    (GoMappingReport.deprecated_classes, written :136-141): distinct
+    (cls, n_models, n_uses). `deprecated` is any DataFrame with a `cls`
+    column (in production: the ontology's owl:deprecated annotations)."""
+    return (
+        _types(t).join(F.broadcast(deprecated.select("cls").distinct()), "cls")
+        .groupBy("cls")
+        .agg(
+            F.countDistinct("model_id").alias("n_models"),
+            F.count("*").alias("n_uses"),
+        )
+    )
+
+
+def inconsistent_models(violations: DataFrame) -> DataFrame:
+    """Models with at least one validation failure
+    (GoMappingReport.inconsistent_models, written :142-147) — fed by
+    validate.validate's structural suite, this engine's consistency
+    check (SURVEY §2.5 R2 reduction)."""
+    return (
+        violations.groupBy("model_id")
+        .agg(
+            F.count("*").alias("n_violations"),
+            F.sort_array(F.collect_set("check")).alias("checks"),
+        )
+    )
+
+
+def _xreffed_reactions(t: DataFrame, ancestors: DataFrame) -> DataFrame:
+    """(model_id, reaction, is_mf, is_me): converted reactions — nodes
+    typed molecular_event or into the MF closure, restricted to direct
+    conversions. Every Manuscript query guards `?reaction xref: ?xref`
+    "to ensure we don't count generated binding nodes - only direct
+    conversions" (Manuscript.java:243): in the reference only nodes
+    converted from a source reaction carry a Reactome hasDbXref. In this
+    engine the converted reaction's node id IS its source id verbatim,
+    and every generated node id carries the `~` separator (vocab.py
+    node-id scheme: io instances `{e}~{r}`, binding nodes
+    `{r}~bind~{n}`, location nodes `{o}~loc~{cc}`), so the equivalent
+    guard is `node NOT LIKE '%~%'`."""
+    mf = _closure(ancestors, V.MF_ROOT)
+    ty = _types(t).withColumnRenamed("node", "reaction").filter(
+        ~F.col("reaction").contains("~")
+    )
+    return ty.join(
+        F.broadcast(mf.withColumn("m", F.lit(1))), "cls", "left"
+    ).groupBy("model_id", "reaction").agg(
+        F.max(F.coalesce(F.col("m"), F.lit(0))).alias("is_mf"),
+        F.max((F.col("cls") == V.MOLECULAR_EVENT).cast("int")).alias("is_me"),
+    ).filter((F.col("is_mf") == 1) | (F.col("is_me") == 1))
+
+
+def reaction_venn(t: DataFrame, ancestors: DataFrame) -> DataFrame:
+    """Per-reaction completeness flags — the Venn sets of
+    Manuscript.buildVenn:365-436 plus the binding/dissociation census of
+    runCounts:308-329, as one boolean row per converted reaction:
+
+      has_function   typed with a non-root MF-closure class
+      has_enabler    enabled_by edge out
+      has_location   occurs_in edge out
+      has_causal     causally_upstream_of to/from another xref'd reaction
+      has_bp         part_of to a pathway with a non-root BP type
+      is_binding     distinct inputs > distinct outputs (runCounts:308)
+      is_dissociation distinct inputs < distinct outputs (:319)
+
+    `no_X` report files are filters over this table; runCounts numbers
+    are its column sums (see reaction_completeness)."""
+    rx = _xreffed_reactions(t, ancestors)
+    ty = _types(t).withColumnRenamed("node", "reaction")
+    mf_nonroot = _closure(ancestors, V.MF_ROOT).filter(F.col("cls") != V.MF_ROOT)
+    has_fn = ty.join(F.broadcast(mf_nonroot), "cls").select(
+        "model_id", "reaction"
+    ).distinct().withColumn("has_function", F.lit(1))
+
+    def edge(pred: str, name: str) -> DataFrame:
+        return t.filter(F.col("pred") == pred).select(
+            "model_id", F.col("subj").alias("reaction")
+        ).distinct().withColumn(name, F.lit(1))
+
+    # causal requires the OTHER endpoint to be an xref'd reaction too
+    # (runCounts:254-263 joins through xref on both ends)
+    ups = t.filter(F.col("pred") == V.CAUSALLY_UPSTREAM).select(
+        "model_id", F.col("subj").alias("reaction"), F.col("obj").alias("other")
+    )
+    downs = t.filter(F.col("pred") == V.CAUSALLY_UPSTREAM).select(
+        "model_id", F.col("obj").alias("reaction"), F.col("subj").alias("other")
+    )
+    causal = (
+        ups.unionByName(downs)
+        .join(rx.select("model_id", F.col("reaction").alias("other")),
+              ["model_id", "other"], "left_semi")
+        .select("model_id", "reaction").distinct()
+        .withColumn("has_causal", F.lit(1))
+    )
+    # part_of to a pathway carrying a non-root BP-closure type
+    bp_nonroot = _closure(ancestors, V.BP_ROOT).filter(F.col("cls") != V.BP_ROOT)
+    bp_pw = ty.withColumnRenamed("reaction", "pathway").join(
+        F.broadcast(bp_nonroot), "cls"
+    ).select("model_id", "pathway").distinct()
+    has_bp = (
+        t.filter(F.col("pred") == V.PART_OF)
+        .select("model_id", F.col("subj").alias("reaction"),
+                F.col("obj").alias("pathway"))
+        .join(bp_pw, ["model_id", "pathway"], "left_semi")
+        .select("model_id", "reaction").distinct()
+        .withColumn("has_bp", F.lit(1))
+    )
+    io = (
+        t.filter(F.col("pred").isin(V.HAS_INPUT, V.HAS_OUTPUT))
+        .select("model_id", F.col("subj").alias("reaction"), "pred", "obj")
+        .groupBy("model_id", "reaction")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("pred") == V.HAS_INPUT, F.col("obj"))
+            ).alias("n_in"),
+            F.countDistinct(
+                F.when(F.col("pred") == V.HAS_OUTPUT, F.col("obj"))
+            ).alias("n_out"),
+        )
+    )
+    out = (
+        rx.join(has_fn, ["model_id", "reaction"], "left")
+        .join(edge(V.ENABLED_BY, "has_enabler"), ["model_id", "reaction"], "left")
+        .join(edge(V.OCCURS_IN, "has_location"), ["model_id", "reaction"], "left")
+        .join(causal, ["model_id", "reaction"], "left")
+        .join(has_bp, ["model_id", "reaction"], "left")
+        .join(io, ["model_id", "reaction"], "left")
+    )
+    flags = ["has_function", "has_enabler", "has_location", "has_causal", "has_bp"]
+    return out.select(
+        "model_id", "reaction", "is_mf", "is_me",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in flags],
+        (F.coalesce("n_in", F.lit(0)) > F.coalesce("n_out", F.lit(0)))
+        .cast("int").alias("is_binding"),
+        (F.coalesce("n_in", F.lit(0)) < F.coalesce("n_out", F.lit(0)))
+        .cast("int").alias("is_dissociation"),
+    )
+
+
+def reaction_completeness(t: DataFrame, ancestors: DataFrame) -> DataFrame:
+    """The whole-journal reaction census of Manuscript.runCounts:207-363
+    as ONE aggregation over reaction_venn (each reference query was a
+    separate SPARQL scan; here the fact table is read once)."""
+    v = reaction_venn(t, ancestors)
+    return v.agg(
+        F.count("*").alias("n_reactions"),
+        F.sum("is_mf").cast("long").alias("n_mf_reactions"),
+        F.sum(((F.col("is_me") == 1) & (F.col("is_mf") == 0)).cast("long"))
+        .alias("n_me_only_reactions"),
+        F.sum("has_enabler").cast("long").alias("n_with_enabler"),
+        F.sum(1 - F.col("has_enabler")).cast("long").alias("n_no_enabler"),
+        F.sum(((F.col("is_mf") == 1) & (F.col("has_enabler") == 0)).cast("long"))
+        .alias("n_mf_no_enabler"),
+        F.sum("has_bp").cast("long").alias("n_with_bp"),
+        F.sum("has_causal").cast("long").alias("n_with_causal"),
+        F.sum(1 - F.col("has_causal")).cast("long").alias("n_no_causal"),
+        F.sum("has_location").cast("long").alias("n_with_occurs_in"),
+        F.sum(1 - F.col("has_location")).cast("long").alias("n_no_occurs_in"),
+        F.sum(
+            F.col("has_causal") * F.col("has_enabler")
+            * F.col("has_location") * F.col("has_bp")
+        ).cast("long").alias("n_complete"),
+        F.sum("is_binding").cast("long").alias("n_binding"),
+        F.sum("is_dissociation").cast("long").alias("n_dissociation"),
+    )
+
+
+def causal_formats(t: DataFrame, ancestors: DataFrame) -> DataFrame:
+    """Per-model causal-format table
+    (Manuscript.getCausalComparison:438-547): unique upstream->downstream
+    reaction pairs over the 8-relation causal family, including the
+    binding-node hop (up -provides_input-> b[type GO_0005488]
+    -directly_(pos|neg)_regulates-> down, :482-486), counted per
+    relation.
+
+    The reference dedupes multi-relation pairs by Java iteration order
+    (first relation seen wins, :515); here the tie-break is the MINIMUM
+    relation id per pair — deterministic, and the pair count per model
+    is identical."""
+    rx = _xreffed_reactions(t, ancestors).select("model_id", "reaction")
+    direct = t.filter(F.col("pred").isin(CAUSAL_FAMILY)).select(
+        "model_id", F.col("subj").alias("up"), "pred", F.col("obj").alias("down")
+    )
+    binding = _types(t).filter(F.col("cls") == V.BINDING).select(
+        "model_id", F.col("node").alias("b")
+    )
+    hop = (
+        t.filter(F.col("pred") == V.PROVIDES_INPUT)
+        .select("model_id", F.col("subj").alias("up"), F.col("obj").alias("b"))
+        .join(binding, ["model_id", "b"])
+        .join(
+            t.filter(
+                F.col("pred").isin(V.DIRECTLY_POS_REGULATES,
+                                   V.DIRECTLY_NEG_REGULATES)
+            ).select("model_id", F.col("subj").alias("b"), "pred",
+                     F.col("obj").alias("down")),
+            ["model_id", "b"],
+        )
+        .select("model_id", "up", "pred", "down")
+    )
+    pairs = (
+        direct.unionByName(hop)
+        .join(rx.withColumnRenamed("reaction", "up"), ["model_id", "up"],
+              "left_semi")
+        .join(rx.withColumnRenamed("reaction", "down"), ["model_id", "down"],
+              "left_semi")
+        .groupBy("model_id", "up", "down")
+        .agg(F.min("pred").alias("pred"))
+    )
+    return pairs.groupBy("model_id", "pred").agg(F.count("*").alias("n_pairs"))

@@ -83,3 +83,128 @@ def test_gpad_compare_against_fixture(spark, result, fixture_paths):
     d = gpad_compare(gpad_export(res.triples, dims.onto_ancestors), ref)
     statuses = {r["status"] for r in d.select("status").distinct().collect()}
     assert statuses == {"overlap", "missing", "extra"}
+
+
+# ------------------- K3 full report + G8-deep analytics -------------------
+
+def test_entity_mapping_buckets(result):
+    """Curated vs rule vs closure-inferred type split
+    (GoCAMReport NR mapping report semantics)."""
+    from pathways2go_spark import reports as RP
+
+    res, dims = result
+    em = RP.entity_mapping(res.triples, dims.onto_ancestors)
+    rows = {(r.model_id, r.node): r for r in em.collect()}
+    # B3 binding node: only the rule-minted GO_0005488, never curated
+    bind = [r for r in rows.values() if "~bind~" in r.node]
+    assert bind and all(
+        r.rule_types == V.BINDING and r.curated_types == "" for r in bind
+    )
+    # a curated MF with a mid-tier parent must surface as inferred
+    deep = [r for r in rows.values()
+            if r.curated_types and "GO_99001" in r.inferred_types]
+    assert deep, "mid-tier ontology parent never inferred"
+    # inferred never repeats an asserted class
+    for r in rows.values():
+        inf = set(r.inferred_types.split(",")) - {""}
+        ast = set(r.curated_types.split(",")) | set(r.rule_types.split(","))
+        assert not (inf & ast), r
+
+
+def test_model_report_consistency(result):
+    """Per-kind counters partition the kind population."""
+    from pathways2go_spark import reports as RP
+
+    res, dims = result
+    mr = RP.model_report(res.triples, dims.onto_ancestors).collect()
+    assert mr
+    for r in mr:
+        for k, n in [("pathway", r.n_pathways), ("function", r.n_functions),
+                     ("complex", r.n_complexes)]:
+            unc = r[f"{k}_unclassified"]
+            rc = r[f"{k}_rule_classified"]
+            assert unc + rc <= n, r
+    assert sum(r.function_deepened for r in mr) > 0
+    assert sum(r.function_rule_classified for r in mr) > 0
+
+
+def test_inconsistent_models(spark):
+    from pathways2go_spark.reports import inconsistent_models
+
+    v = spark.createDataFrame(
+        [("dangling_edge_endpoint", "m1", "n1", "BFO_0000050"),
+         ("unknown_predicate", "m1", "n2", "XX_1"),
+         ("mf_bp_overlap", "m3", "n3", "type")],
+        "check string, model_id string, node string, pred string",
+    )
+    got = {r.model_id: (r.n_violations, list(r.checks))
+           for r in inconsistent_models(v).collect()}
+    assert got == {
+        "m1": (2, ["dangling_edge_endpoint", "unknown_predicate"]),
+        "m3": (1, ["mf_bp_overlap"]),
+    }
+
+
+def test_reaction_venn_and_completeness(result):
+    """Venn flags agree with direct triple probes; census = column sums
+    (Manuscript runCounts/buildVenn)."""
+    from pathways2go_spark import reports as RP
+
+    res, dims = result
+    venn = RP.reaction_venn(res.triples, dims.onto_ancestors)
+    rows = venn.collect()
+    assert rows
+    # no generated node (ids with ~) may enter the reaction universe
+    assert all("~" not in r.reaction for r in rows)
+    # census equals column sums
+    c = RP.reaction_completeness(res.triples, dims.onto_ancestors).collect()[0]
+    assert c.n_reactions == len(rows)
+    assert c.n_with_enabler == sum(r.has_enabler for r in rows)
+    assert c.n_no_causal == sum(1 - r.has_causal for r in rows)
+    assert c.n_with_enabler + c.n_no_enabler == c.n_reactions
+
+
+def test_causal_formats_binding_hop(spark):
+    """The provides_input -> binding-node -> regulates hop collapses to
+    one upstream->downstream pair (Manuscript.java:482-486), and
+    multi-relation pairs count once."""
+    from pathways2go_spark.reports import causal_formats
+
+    t = spark.createDataFrame(
+        [
+            ("m", "R1", "type", "REACTO_molecular_event"),
+            ("m", "R2", "type", "REACTO_molecular_event"),
+            ("m", "R3", "type", "REACTO_molecular_event"),
+            # direct causal edge, twice under different relations
+            ("m", "R1", V.CAUSALLY_UPSTREAM, "R2"),
+            ("m", "R1", V.PROVIDES_INPUT, "R2"),
+            # binding hop R1 -> bind node -> R3
+            ("m", "R1", V.PROVIDES_INPUT, "R1~bind~X"),
+            ("m", "R1~bind~X", "type", V.BINDING),
+            ("m", "R1~bind~X", V.DIRECTLY_POS_REGULATES, "R3"),
+        ],
+        "model_id string, subj string, pred string, obj string",
+    )
+    anc = spark.createDataFrame(
+        [(V.BINDING, V.MF_ROOT), (V.BINDING, V.BINDING)],
+        "class_iri string, ancestor_iri string",
+    )
+    got = {(r.pred): r.n_pairs for r in causal_formats(t, anc).collect()}
+    # R1->R2 counted ONCE under min(pred) RO_0002411; hop pair under 2629
+    assert got == {V.CAUSALLY_UPSTREAM: 1, V.DIRECTLY_POS_REGULATES: 1}
+
+
+def test_deprecated_and_chebi_usage(result):
+    from pathways2go_spark import reports as RP
+    from pyspark.sql import functions as _F
+
+    res, dims = result
+    dep = dims.onto_ancestors.select(
+        _F.col("class_iri").alias("cls")
+    ).distinct().limit(3)
+    used = RP.deprecated_terms_used(res.triples, dep).collect()
+    for r in used:
+        assert r.n_uses >= r.n_models >= 1
+    chebi = RP.chebi_usage(res.triples, dims.onto_ancestors).collect()
+    assert all(r.cls.startswith("CHEBI_") for r in chebi)
+    assert sum(r.n for r in chebi) > 0
