@@ -27,6 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import vocab as V
 from .dims import Dims
 from .ingest import element_links as ingest_links, ingest
 from .stage_a import extract
@@ -78,7 +79,10 @@ def _stage_b_distributed(
     # anti-joins/unions in rule order (a later node-delete also removes
     # triples added by an earlier rule, as in the reference's in-place
     # model mutation).
-    t = B.apply_delta(t, **B.b10_delta(t, drugs, ck=ck), merge=False)
+    # B10 guard: the drug table is a (cheap, materialized) per-reaction
+    # key set; when empty the whole neighbor-derivation join is skipped
+    if not drugs.isEmpty():
+        t = B.apply_delta(t, **B.b10_delta(t, drugs, ck=ck), merge=False)
     # B1+B2+B3 superstep: the three match sets are provably independent of
     # each other's deltas (B1 touches reaction molecular_event types only;
     # B2 reads io/enabler edges + location-node types; B3 reads exact/
@@ -98,9 +102,34 @@ def _stage_b_distributed(
         deletes=d1["deletes"] + d3["deletes"],
         merge=False,
     )
-    t = B.apply_delta(t, **B.b4_b5_delta(t, dims, ck=ck), merge=False)
-    d6, audit = B.b6_delta(t, dims, ck=ck)
-    t = B.apply_delta(t, **d6, merge=False)
+    # B4/B5 + B6 superstep: B6 matches only inv-reg edges and regulator-
+    # node types, which the B4/B5 delta never adds or deletes (it touches
+    # causally_upstream / provides_input / directly_regulates edges
+    # only), so both deltas are computed against the same post-B3
+    # snapshot and applied together — one sequential round saved.
+    t2 = t
+    # B6 guard: no inv-reg edges in the snapshot -> no regulators to
+    # classify; one narrow probe scan replaces the flag/join delta round
+    run_b6 = not t2.filter(
+        F.col("pred").isin(V.INV_POS_REG, V.INV_NEG_REG)
+    ).isEmpty()
+    if run_b6:
+        (d45,), (d6, audit) = B.par(
+            lambda: (B.b4_b5_delta(t2, dims, ck=ck),),
+            lambda: B.b6_delta(t2, dims, ck=ck),
+        )
+        t = B.apply_delta(
+            t,
+            adds=d45["adds"] + d6["adds"],
+            deletes=d45["deletes"] + d6["deletes"],
+            node_deletes=d6["node_deletes"],
+            merge=False,
+        )
+    else:
+        audit = t2.sparkSession.createDataFrame(
+            [], "rule string, model_id string, reaction string, detail string"
+        )
+        t = B.apply_delta(t, **B.b4_b5_delta(t2, dims, ck=ck), merge=False)
     # B7+B8 superstep: B8's matches (located_in edges / leftover inv-reg
     # preds) are disjoint from B7's complex-node deletions — B8 applied to
     # the pre-B7 snapshot removes at most the location nodes of deleted
@@ -241,14 +270,23 @@ def run_pipeline(
             return PipelineResult(
                 triples=ts, audit=audit_s, drug_reactions=empty_drugs
             )
-        # mega docs present: run (and materialize) the fused Python pass
-        # BEFORE the distributed chain — see _fused docstring
-        ts, audit_s = _fused(small, dims, prepared, checkpoint=checkpoint)
-        rb = run_pipeline(
-            spark, big, dims, checkpoint=checkpoint,
-            stage_b_mode=stage_b_mode, local_threshold=local_threshold,
-            stage_a_mode="distributed",
-        )
+        # mega docs present: run the fused Python pass CONCURRENTLY with
+        # the distributed chain on driver threads. The Python pass starts
+        # at t=0 (never scheduled after the chain's JVM burst — the
+        # ordering that triggers the measured Arrow-duplex stall, see
+        # _fused docstring) and the two passes share the executor; the
+        # wall time is max(fused, distributed) instead of their sum.
+        def _run_fused():
+            return _fused(small, dims, prepared, checkpoint=checkpoint)
+
+        def _run_big():
+            return run_pipeline(
+                spark, big, dims, checkpoint=checkpoint,
+                stage_b_mode=stage_b_mode, local_threshold=local_threshold,
+                stage_a_mode="distributed",
+            )
+
+        (ts, audit_s), rb = B.par(_run_fused, _run_big)
         return PipelineResult(
             triples=ts.unionByName(rb.triples),
             audit=audit_s.unionByName(rb.audit.select(*_AUDIT_COLS)),
@@ -267,6 +305,12 @@ def run_pipeline(
         # a second time just to explode the link columns)
         elements = elements.localCheckpoint(eager=True)
         links = ingest_links(elements).localCheckpoint(eager=True)
+    # NOTE: stage A's dedupe shuffle is load-bearing for the rule chain,
+    # not just set semantics: a raw multiset duplicates the shared-
+    # molecule node triples once per referencing reaction, and any rule
+    # joining the fact table against itself through those keys (B5's
+    # exactMatch join) multiplies match rows by the duplication factor —
+    # measured as a hang on the 150k-reaction mega doc. Keep dedupe=True.
     sa = extract(elements, links, dims)
 
     # NOTE: no repartition("model_id") here — a mega model would collapse
@@ -274,12 +318,16 @@ def run_pipeline(
     # local path's cogroup shuffles by model_id itself; the distributed
     # rules shuffle on their own wider (model_id, node/type) keys.
     t = sa.triples
-    drugs = sa.drug_reactions.localCheckpoint(eager=True)
+    drugs = sa.drug_reactions
     if checkpoint:
         # materialize stage A once: every stage-B rule references the
         # triple table several times, and an unmaterialized ~25-join
-        # stage-A plan re-analyzed per reference explodes the driver
-        t = t.localCheckpoint(eager=True)
+        # stage-A plan re-analyzed per reference explodes the driver.
+        # t and drugs are independent -> one concurrent checkpoint round.
+        t, drugs = B.par(
+            lambda: t.localCheckpoint(eager=True),
+            lambda: drugs.localCheckpoint(eager=True),
+        )
 
     if stage_b_mode == "distributed":
         tt, audit = _stage_b_distributed(t, drugs, dims, checkpoint)
@@ -291,7 +339,10 @@ def run_pipeline(
 
     # auto: route mega-models (per-model stage-A triple count above the
     # threshold) through the distributed rules — the skew defense — and
-    # everything else through the one-shuffle local path.
+    # everything else through the one-shuffle local path. The count is
+    # over the raw (pre-dedupe) stage-A multiset — a conservative routing
+    # signal: duplicates inflate exactly the models whose io fan-out is
+    # big, which are the ones that belong on the distributed path.
     big = (
         t.groupBy("model_id")
         .count()

@@ -107,19 +107,24 @@ def pathways_and_events(elements: DataFrame, links: DataFrame) -> tuple[DataFram
         .distinct()
     )
     bad = pw.filter("is_disease").select("doc_id", "pid")
-    for _ in range(12):
-        more = (
-            parent_edges.join(
-                bad.withColumnRenamed("pid", "parent"), ["doc_id", "parent"]
+    # short-circuit: no disease seed -> no propagation loop. One cheap
+    # probe instead of a join+checkpoint job per would-be iteration (the
+    # distributed path mostly carries clean mega-docs, and every blocking
+    # driver job on that path is measured overhead — tools/profile_mega).
+    if not bad.isEmpty():
+        for _ in range(12):
+            more = (
+                parent_edges.join(
+                    bad.withColumnRenamed("pid", "parent"), ["doc_id", "parent"]
+                )
+                .select("doc_id", F.col("child").alias("pid"))
+                .join(bad, ["doc_id", "pid"], "left_anti")
+                .distinct()
+                .localCheckpoint(eager=True)
             )
-            .select("doc_id", F.col("child").alias("pid"))
-            .join(bad, ["doc_id", "pid"], "left_anti")
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        if more.isEmpty():
-            break
-        bad = bad.unionByName(more)
+            if more.isEmpty():
+                break
+            bad = bad.unionByName(more)
     kept = pw.join(bad, ["doc_id", "pid"], "left_anti")
 
     ev = elements.filter(F.col("kind").isin(EVENT_KINDS)).select(
@@ -209,14 +214,22 @@ def entity_master(elements: DataFrame, links: DataFrame, dims: Dims) -> DataFram
     )
 
     # A25 drug flag: direct IUPHAR xref / drug_ids dim row, propagated
-    # upward through complex components + set members (bounded depth)
+    # upward through complex components + set members (bounded depth).
+    # Seeds come from the pre-join projection ent0 (identical doc_id/
+    # elem_id/drug_xref values — the gpi/loc joins never touch them), so
+    # the empty-seed short-circuit probe below costs one narrow elements
+    # scan, not an execution of the full entity-master join tree.
     direct = (
-        ent.join(F.broadcast(dims.drug_ids.select(F.col("entity_id").alias("elem_id"))),
-                 ["elem_id"], "left_semi")
+        ent0.join(F.broadcast(dims.drug_ids.select(F.col("entity_id").alias("elem_id"))),
+                  ["elem_id"], "left_semi")
         .select("doc_id", "elem_id")
-        .unionByName(ent.filter(F.col("drug_xref").isNotNull()).select("doc_id", "elem_id"))
+        .unionByName(ent0.filter(F.col("drug_xref").isNotNull()).select("doc_id", "elem_id"))
         .distinct()
     )
+    # short-circuit: no drug seed -> nothing propagates (same measured-
+    # overhead argument as the disease loop)
+    if direct.isEmpty():
+        return ent.withColumn("is_drug", F.lit(False))
     containers = links.filter(F.col("link").isin("component", "member")).select(
         "doc_id", F.col("src_id").alias("parent"), F.col("dst_id").alias("child")
     )
@@ -318,6 +331,7 @@ def extract(
     import_upstream_controllers: bool = False,
     test_pathways: list[str] | None = None,
     explode_entity_sets: bool = False,
+    dedupe: bool = True,
 ) -> StageA:
     kept_pw, event_pathway = pathways_and_events(elements, links)
     if test_pathways is not None:
@@ -333,8 +347,15 @@ def extract(
             a26_upstream_imports(elements, links, event_pathway)
         )
     ent = entity_master(elements, links, dims)
-    event_pathway = event_pathway.localCheckpoint(eager=True)
-    ent = ent.localCheckpoint(eager=True)
+    # the two master tables are independent — materialize them on
+    # concurrent driver threads (stage_b.par) instead of two sequential
+    # blocking jobs
+    from .stage_b import par as _par
+
+    event_pathway, ent = _par(
+        lambda: event_pathway.localCheckpoint(eager=True),
+        lambda: ent.localCheckpoint(eager=True),
+    )
 
     frames: list[DataFrame] = []
 
@@ -405,9 +426,6 @@ def extract(
         )
         .withColumn("ent_ref", F.col("elem_id"))
     )
-    io = io.localCheckpoint(eager=True)
-    frames.append(_triples(io, F.col("event_id"), F.col("io_pred"), F.col("node"), "A18"))
-    frames.append(_entity_node_triples(io, "node", "A18"))
 
     # ------------------------------------------------------------------
     # A19-A22: controls
@@ -433,63 +451,86 @@ def extract(
     )
     ctl = ctl.filter(~F.col("is_drug")).withColumn(
         "ctl_node", F.concat("ref_id", F.lit("~"), "event_id", F.lit("~ctl"))
-    ).localCheckpoint(eager=True)
+    )
+    # io and ctl are independent join trees over the same checkpointed
+    # inputs — one concurrent materialization round instead of two
+    # sequential blocking jobs
+    io, ctl = _par(
+        lambda: io.localCheckpoint(eager=True),
+        lambda: ctl.localCheckpoint(eager=True),
+    )
+    frames.append(_triples(io, F.col("event_id"), F.col("io_pred"), F.col("node"), "A18"))
+    frames.append(_entity_node_triples(io, "node", "A18"))
 
     # active-unit resolution (A20, getComplexActiveUnitRecursive :2027-2083):
     # non-complex target -> itself; complex -> single non-small-molecule
-    # component, else all-protein single-UniProt group -> min elem_id
-    au_req = ctl.filter(F.col("au_id").isNotNull()).select(
-        "doc_id", "ctrl_id", F.col("au_id").alias("au_target")
-    )
-    au_kind = ent.select("doc_id", F.col("elem_id").alias("au_target"),
-                         F.col("kind").alias("au_target_kind"))
-    comp = links.filter(F.col("link") == "component").select(
-        "doc_id", F.col("src_id").alias("au_target"), F.col("dst_id").alias("child_id")
-    )
-    comp_ent = comp.join(
-        ent.select("doc_id", F.col("elem_id").alias("child_id"),
-                   F.col("kind").alias("child_kind"), F.col("uniprot").alias("child_uniprot")),
-        ["doc_id", "child_id"],
-    ).filter(F.col("child_kind") != "small_molecule")
-    reduced = (
-        comp_ent.groupBy("doc_id", "au_target")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("child_kind") == "protein", 1).otherwise(0)).alias("n_prot"),
-            F.countDistinct("child_uniprot").alias("n_uni"),
-            F.min("child_id").alias("min_child"),
+    # component, else all-protein single-UniProt group -> min elem_id.
+    # Short-circuit: no active_unit links anywhere -> the whole resolution
+    # join tree (and its extra ctl re-checkpoint) is skipped; the au
+    # columns become null projections over the already-materialized ctl.
+    if links.filter(F.col("link") == "active_unit").isEmpty():
+        nullc = F.lit(None).cast("string")
+        ctl = (
+            ctl.withColumn("au_entity", nullc).withColumn("au_ref", nullc)
+            .withColumn("au_cls", nullc).withColumn("au_loc", nullc)
+            .withColumn("au_node", nullc)
         )
-        .withColumn(
-            "reduced_au",
-            F.when(F.col("n") == 1, F.col("min_child")).when(
-                (F.col("n") == F.col("n_prot")) & (F.col("n_uni") == 1),
-                F.col("min_child"),
-            ),
+    else:
+        au_req = ctl.filter(F.col("au_id").isNotNull()).select(
+            "doc_id", "ctrl_id", F.col("au_id").alias("au_target")
         )
-        .select("doc_id", "au_target", "reduced_au")
-    )
-    au_resolved = (
-        au_req.join(au_kind, ["doc_id", "au_target"], "left")
-        .join(reduced, ["doc_id", "au_target"], "left")
-        .withColumn(
-            "au_entity",
-            F.when(F.col("au_target_kind") != "complex", F.col("au_target"))
-            .otherwise(F.col("reduced_au")),
+        au_kind = ent.select("doc_id", F.col("elem_id").alias("au_target"),
+                             F.col("kind").alias("au_target_kind"))
+        comp = links.filter(F.col("link") == "component").select(
+            "doc_id", F.col("src_id").alias("au_target"),
+            F.col("dst_id").alias("child_id")
         )
-        .filter(F.col("au_entity").isNotNull())
-        .select("doc_id", "ctrl_id", "au_entity")
-    )
-    ctl = ctl.join(au_resolved, ["doc_id", "ctrl_id"], "left")
-    au_info = ent.select(
-        "doc_id", F.col("elem_id").alias("au_entity"),
-        F.col("ref_id").alias("au_ref"), F.col("class_iri").alias("au_cls"),
-        F.col("loc_gocc").alias("au_loc"),
-    )
-    ctl = ctl.join(au_info, ["doc_id", "au_entity"], "left").withColumn(
-        "au_node",
-        F.when(F.col("au_entity").isNotNull(),
-               F.concat("au_ref", F.lit("~"), "event_id", F.lit("~au"))),
-    ).localCheckpoint(eager=True)
+        comp_ent = comp.join(
+            ent.select("doc_id", F.col("elem_id").alias("child_id"),
+                       F.col("kind").alias("child_kind"),
+                       F.col("uniprot").alias("child_uniprot")),
+            ["doc_id", "child_id"],
+        ).filter(F.col("child_kind") != "small_molecule")
+        reduced = (
+            comp_ent.groupBy("doc_id", "au_target")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("child_kind") == "protein", 1)
+                      .otherwise(0)).alias("n_prot"),
+                F.countDistinct("child_uniprot").alias("n_uni"),
+                F.min("child_id").alias("min_child"),
+            )
+            .withColumn(
+                "reduced_au",
+                F.when(F.col("n") == 1, F.col("min_child")).when(
+                    (F.col("n") == F.col("n_prot")) & (F.col("n_uni") == 1),
+                    F.col("min_child"),
+                ),
+            )
+            .select("doc_id", "au_target", "reduced_au")
+        )
+        au_resolved = (
+            au_req.join(au_kind, ["doc_id", "au_target"], "left")
+            .join(reduced, ["doc_id", "au_target"], "left")
+            .withColumn(
+                "au_entity",
+                F.when(F.col("au_target_kind") != "complex", F.col("au_target"))
+                .otherwise(F.col("reduced_au")),
+            )
+            .filter(F.col("au_entity").isNotNull())
+            .select("doc_id", "ctrl_id", "au_entity")
+        )
+        ctl = ctl.join(au_resolved, ["doc_id", "ctrl_id"], "left")
+        au_info = ent.select(
+            "doc_id", F.col("elem_id").alias("au_entity"),
+            F.col("ref_id").alias("au_ref"), F.col("class_iri").alias("au_cls"),
+            F.col("loc_gocc").alias("au_loc"),
+        )
+        ctl = ctl.join(au_info, ["doc_id", "au_entity"], "left").withColumn(
+            "au_node",
+            F.when(F.col("au_entity").isNotNull(),
+                   F.concat("au_ref", F.lit("~"), "event_id", F.lit("~au"))),
+        ).localCheckpoint(eager=True)
 
     # controller node: type + exact + located_in (+GO_0032991 for complexes)
     ctl_ent = ctl.withColumn("ent_ref", F.col("controller_id"))
@@ -511,7 +552,9 @@ def extract(
         "doc_id", F.col("elem_id").alias("child_id"), F.col("kind").alias("child_kind"),
         F.col("class_iri").alias("child_cls"),
     )
-    for _ in range(5):
+    # short-circuit: no complex controllers -> no explosion (one probe of
+    # the checkpointed ctl table vs a join+checkpoint round)
+    for _ in range(5 if not frontier.isEmpty() else 0):
         kids = (
             frontier.join(comp_edges, ["doc_id", "parent_eid"])
             .join(child_ent, ["doc_id", "child_id"])
@@ -748,9 +791,17 @@ def extract(
         .distinct()
     )
 
-    triples = (
-        _union(frames)
-        .groupBy("model_id", "subj", "pred", "obj")
-        .agg(F.min("evidence").alias("evidence"), F.min("rule").alias("rule"))
+    u = _union(frames)
+    if not dedupe:
+        # raw multiset — ONLY safe for consumers that never join the fact
+        # table against itself: shared-entity node triples repeat once per
+        # referencing reaction, so e.g. B5's exactMatch self-join would
+        # multiply match rows by the duplication factor (measured as a
+        # hang on the 150k-reaction mega doc). The pipeline always
+        # dedupes; this escape hatch is for single-pass consumers
+        # (exports, key-set counts).
+        return StageA(triples=u, drug_reactions=drug_reactions)
+    triples = u.groupBy("model_id", "subj", "pred", "obj").agg(
+        F.min("evidence").alias("evidence"), F.min("rule").alias("rule")
     )
     return StageA(triples=triples, drug_reactions=drug_reactions)

@@ -70,10 +70,20 @@ def apply_delta(
     rule chain runs merge=False end to end and pays ONE final full-table
     groupBy instead of ten (merge_triples)."""
     t = triples
-    for d in deletes or []:
-        t = t.join(F.broadcast(d.select(*_KEY).distinct()), _KEY, "left_anti")
-    for nd in node_deletes or []:
-        nodes = F.broadcast(nd.select("model_id", "node").distinct())
+    # set difference is associative: union the call's delete key sets
+    # first so the fact table pays ONE broadcast anti-join per key shape
+    # instead of one per rule (each anti-join is a separate broadcast
+    # build inside the downstream merge job)
+    if deletes:
+        allk = deletes[0].select(*_KEY)
+        for d in deletes[1:]:
+            allk = allk.unionByName(d.select(*_KEY))
+        t = t.join(F.broadcast(allk.distinct()), _KEY, "left_anti")
+    if node_deletes:
+        nd_all = node_deletes[0].select("model_id", "node")
+        for nd in node_deletes[1:]:
+            nd_all = nd_all.unionByName(nd.select("model_id", "node"))
+        nodes = F.broadcast(nd_all.distinct())
         t = t.join(nodes, (t.model_id == nodes.model_id) & (t.subj == nodes.node),
                    "left_anti")
         t = t.join(nodes, (t.model_id == nodes.model_id) & (t.obj == nodes.node),

@@ -78,8 +78,7 @@ def main() -> None:
     def do_stage_a():
         sa = extract(elements, links, dims)
         t = sa.triples.localCheckpoint(eager=True)
-        drugs = sa.drug_reactions.localCheckpoint(eager=True)
-        return t, drugs
+        return t, sa.drug_reactions
 
     t, drugs = clock("stage_a", do_stage_a)
     print(f"  stage_a triples: {t.count()}", file=sys.stderr)

@@ -73,6 +73,10 @@ def main() -> None:
     ap.add_argument("--normal", type=int, default=20_000,
                     help="normal-corpus replicas running beside the mega doc")
     ap.add_argument("--span-threshold", type=int, default=500_000)
+    ap.add_argument("--rounds", type=int, default=2,
+                    help="rounds per measurement; the floor is reported "
+                         "(round 0 carries JVM JIT warm-up, and this host "
+                         "shows +/-55% steal swings)")
     args = ap.parse_args()
 
     import pyarrow as pa
@@ -111,17 +115,23 @@ def main() -> None:
     n_mega_spans = mega.select(F.size("spans")).collect()[0][0]
     routed_distributed = n_mega_spans > args.span_threshold
 
-    t0 = time.perf_counter()
-    base_triples = run_pipeline(spark, normal, dims, prepared=prepared).triples.count()
-    t_normal = time.perf_counter() - t0
+    rounds_normal, rounds_both = [], []
+    base_triples = all_triples = 0
+    for _ in range(max(1, args.rounds)):
+        t0 = time.perf_counter()
+        base_triples = run_pipeline(
+            spark, normal, dims, prepared=prepared
+        ).triples.count()
+        rounds_normal.append(round(time.perf_counter() - t0, 2))
 
-    t0 = time.perf_counter()
-    both = normal.unionByName(mega)
-    all_triples = run_pipeline(
-        spark, both, dims, prepared=prepared,
-        span_threshold=args.span_threshold,
-    ).triples.count()
-    t_both = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        both = normal.unionByName(mega)
+        all_triples = run_pipeline(
+            spark, both, dims, prepared=prepared,
+            span_threshold=args.span_threshold,
+        ).triples.count()
+        rounds_both.append(round(time.perf_counter() - t0, 2))
+    t_normal, t_both = min(rounds_normal), min(rounds_both)
 
     # ---- LLM-pipeline skew stresses --------------------------------------
     # (a) all-positive (non-centered) embeddings: raw-dim sign buckets
@@ -175,6 +185,8 @@ def main() -> None:
         "mega_triples": all_triples - base_triples,
         "sec_normal_only": round(t_normal, 2),
         "sec_with_mega": round(t_both, 2),
+        "rounds_normal_only": rounds_normal,
+        "rounds_with_mega": rounds_both,
         "embed_allpos_buckets": len(bkt),
         "embed_allpos_candidate_frac": round(n_cand / all_pairs, 4),
         "sec_embed_stress": round(t_embed, 2),
