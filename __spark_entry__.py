@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from pathways2go_spark import analytics as G
 from pathways2go_spark import dedup as D
+from pathways2go_spark import dataops as DO
 from pathways2go_spark import multimodal as MM
 from pathways2go_spark import reports as RP
 from pathways2go_spark import similarity as SIM
@@ -321,6 +322,37 @@ def q_kg_deprecated_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RP.deprecated_terms_used(_kg(spark)[0], _deprecated_dim(spark))
 
 
+_SAMPLE_FRACTIONS = {"src1": 0.5, "src2": 0.25, "src3": 1.0}
+_MIX_TARGETS = {"src1": 0.3, "src2": 0.3, "src3": 0.4}
+
+
+def q_data_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment (dataops.shard_assignment) — the
+    two-phase distributed prefix sum, exact vs a single SQL window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = DO.shard_assignment(docs, target_tokens=20_000)
+    return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "shard")
+
+
+def q_data_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified hash sampling (dataops.sample_stratified)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DO.sample_stratified(
+        docs, _SAMPLE_FRACTIONS, strata_col="source", default=0.1
+    ).select("doc_id", "source")
+
+
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture census + downsampling rates (dataops.mixture_weights)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DO.mixture_weights(docs, _MIX_TARGETS, strata_col="source").select(
+        "stratum", "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "actual_prop", "target_prop", "sample_rate",
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_doubled_docs(spark, sf_dir)).select(
         "md5", "n_docs", "keeper"
@@ -585,6 +617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_causal_formats": q_kg_causal_formats,
         "kg_chebi_usage": q_kg_chebi_usage,
         "kg_deprecated_terms": q_kg_deprecated_terms,
+        "data_shards": q_data_shards,
+        "data_sample": q_data_sample,
+        "data_mixture": q_data_mixture,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1559,6 +1594,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT cls, CAST(count(DISTINCT model_id) AS BIGINT) AS n_models,
                    CAST(count(*) AS BIGINT) AS n_uses
             FROM ty JOIN dep USING (cls) GROUP BY 1
+        """,
+        "data_shards": f"""
+            WITH tok AS (
+              SELECT doc_id, len({_TOKS_RAW}) AS n_tokens FROM documents
+            ), pref AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS p
+              FROM tok
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(floor(p / 20000) AS BIGINT) AS shard
+            FROM pref
+        """,
+        "data_sample": f"""
+            WITH f AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % {DO.SAMPLE_MOD} AS bkt,
+                     CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
+                          WHEN 'src3' THEN 1.0 ELSE 0.1 END AS frac
+              FROM documents
+            )
+            SELECT doc_id, source FROM f
+            WHERE bkt < CAST(floor(frac * {DO.SAMPLE_MOD}) AS BIGINT)
+        """,
+        "data_mixture": f"""
+            WITH census AS (
+              SELECT source AS stratum, count(*) AS n_docs,
+                     sum(len({_TOKS_RAW})) AS n_tokens
+              FROM documents GROUP BY 1
+            ), r AS (
+              SELECT stratum, n_docs, n_tokens,
+                     CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()
+                       AS actual_prop,
+                     CAST(CASE stratum WHEN 'src1' THEN 0.3
+                          WHEN 'src2' THEN 0.3 WHEN 'src3' THEN 0.4
+                          ELSE 0.0 END AS DOUBLE) AS target_prop
+              FROM census
+            ), rr AS (
+              SELECT *, target_prop / actual_prop AS raw_rate FROM r
+            )
+            SELECT stratum, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(actual_prop, 6) AS actual_prop,
+                   round(target_prop, 6) AS target_prop,
+                   round(raw_rate / max(raw_rate) OVER (), 6) AS sample_rate
+            FROM rr
         """,
         "dedup_exact": f"""
             WITH {_CORPUS_CTE}

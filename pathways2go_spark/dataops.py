@@ -1,0 +1,144 @@
+"""Training-data pipeline composition ops over the documents corpus:
+token-budget shard assignment, deterministic stratified sampling, and
+domain-mixture weighting.
+
+Beyond the reference (batch KG engine only), per the driver brief's
+large-scale-training-pipeline mandate. Everything here is deterministic
+— re-running on the same corpus yields byte-identical assignments, so a
+resumed/retried pipeline never reshuffles data between shards — and
+value-exact against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import token_count
+
+# fixed-point denominator for deterministic hash sampling: md5 is
+# bit-identical across engines (same trick as dedup.simhash), so the
+# kept-set has an exact DuckDB oracle
+SAMPLE_MOD = 1_000_000
+
+
+def _hash_bucket(id_col: str) -> F.Column:
+    """Uniform bucket in [0, SAMPLE_MOD) from the first 8 md5 hex chars
+    of the id — engine-portable (DuckDB:
+    ('0x'||substr(md5(id),1,8))::BIGINT % MOD)."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(SAMPLE_MOD))
+
+
+def shard_assignment(
+    df: DataFrame,
+    target_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, shard): pack the corpus, in deterministic id order,
+    into shards of ~`target_tokens` tokens each — the standard layout
+    step before tokenize-and-pack for training.
+
+    shard = floor(exclusive-prefix-sum(n_tokens) / target_tokens) over
+    the id ordering: every shard except the last holds >= target_tokens
+    and each document lands in exactly one shard, deterministically.
+
+    Scale shape: a naive global window (Window.orderBy(id)) collapses
+    into ONE task. This computes the same exclusive prefix sum in two
+    phases — range-repartition by id, per-partition totals to the driver
+    (one row per partition, not per document), prefix offsets broadcast
+    back, within-partition cumsum via a partition-local window — the
+    classic distributed scan. Driver traffic is O(partitions)."""
+    spark = df.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).alias("id"), token_count(text_col).alias("n_tokens")
+    )
+    parts = base.repartitionByRange(n_part, "id").withColumn(
+        "pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)  # pin the partitioning: pid must be stable
+    totals = {
+        r["pid"]: r["tot"]
+        for r in parts.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long"
+    )
+    w = Window.partitionBy("pid").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        parts.join(F.broadcast(off), "pid")
+        .withColumn("prefix",
+                    F.col("offset") + F.coalesce(F.sum("n_tokens").over(w),
+                                                 F.lit(0)))
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.floor(F.col("prefix") / F.lit(target_tokens)).alias("shard"),
+        )
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its id-hash
+    bucket falls below the stratum's fraction. Unlike df.sample(), the
+    kept set is a pure function of (id, fraction) — stable across
+    retries, resumes and cluster sizes, and exactly reproducible in SQL.
+    One narrow scan, no shuffle."""
+    frac = F.lit(default)
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    return df.withColumn("_bkt", _hash_bucket(id_col)).filter(
+        F.col("_bkt") < (frac * SAMPLE_MOD).cast("long")
+    ).drop("_bkt")
+
+
+def mixture_weights(
+    df: DataFrame,
+    target_props: dict[str, float],
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum token census + the sampling rate that reshapes the
+    corpus toward a target mixture (domain-weighting step of a training
+    data pipeline): rate_s = (target_s / actual_s), renormalized so the
+    largest rate is 1.0 (pure downsampling — no stratum is upsampled).
+
+    Output: (stratum, n_docs, n_tokens, actual_prop, target_prop,
+    sample_rate), one shuffle (the groupBy)."""
+    census = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+    )
+    tp = F.lit(0.0)
+    for k, v in sorted(target_props.items()):
+        tp = F.when(F.col("stratum") == k, F.lit(float(v))).otherwise(tp)
+    tot = Window.partitionBy()
+    raw = (
+        census.withColumn("actual_prop",
+                          F.col("n_tokens") / F.sum("n_tokens").over(tot))
+        .withColumn("target_prop", tp)
+        .withColumn("raw_rate", F.col("target_prop") / F.col("actual_prop"))
+    )
+    return raw.withColumn(
+        "sample_rate",
+        F.round(F.col("raw_rate") / F.max("raw_rate").over(tot), 6),
+    ).select(
+        "stratum", "n_docs", "n_tokens",
+        F.round("actual_prop", 6).alias("actual_prop"),
+        F.round("target_prop", 6).alias("target_prop"),
+        "sample_rate",
+    )

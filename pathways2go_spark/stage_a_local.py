@@ -497,30 +497,47 @@ def fused_pipeline_udf(D: StageADims, B: LocalDims):
     audit rows. (doc parse + A1-A27 + B10,B1-B9,B11, all per doc.)"""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc
+
         cols = ["model_id", "subj", "pred", "obj", "evidence", "rule"]
-        for pdf in batches:
-            rows: list[tuple] = []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                raw, drugs = extract_doc(doc_id, spans, D)
-                # stage-A dedup: min rule per key (stage_a.extract groupBy)
-                best: dict[tuple, str] = {}
-                for s, p, o, rule in raw:
-                    k = (s, p, o)
-                    if k not in best or rule < best[k]:
-                        best[k] = rule
-                if best:
-                    # pure-python per doc; pandas only per Arrow batch
-                    rows.extend(
-                        apply_rules_rows(
-                            doc_id,
-                            (
-                                (s, p, o, V.ECO_IMPORTED, r)
-                                for (s, p, o), r in best.items()
-                            ),
-                            drugs,
-                            B,
+        # Batch the cyclic GC: the per-doc rule core allocates millions of
+        # short-lived dicts/tuples per Arrow batch, all freed by
+        # refcounting — but each allocation burst still trips CPython's
+        # generational collector, whose scan cost grows with live-object
+        # count and, at 32 concurrent workers, with shared-DRAM pressure.
+        # Disabling during the hot loop and collecting once per batch
+        # keeps worst-case memory identical (the per-batch collect frees
+        # any true cycles) while removing the per-allocation GC tax.
+        was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            for pdf in batches:
+                rows: list[tuple] = []
+                for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                    raw, drugs = extract_doc(doc_id, spans, D)
+                    # stage-A dedup: min rule per key (stage_a groupBy)
+                    best: dict[tuple, str] = {}
+                    for s, p, o, rule in raw:
+                        k = (s, p, o)
+                        if k not in best or rule < best[k]:
+                            best[k] = rule
+                    if best:
+                        # pure-python per doc; pandas only per Arrow batch
+                        rows.extend(
+                            apply_rules_rows(
+                                doc_id,
+                                (
+                                    (s, p, o, V.ECO_IMPORTED, r)
+                                    for (s, p, o), r in best.items()
+                                ),
+                                drugs,
+                                B,
+                            )
                         )
-                    )
-            yield pd.DataFrame(rows, columns=cols)
+                yield pd.DataFrame(rows, columns=cols)
+                gc.collect()
+        finally:
+            if was_enabled:
+                gc.enable()
 
     return run

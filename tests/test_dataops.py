@@ -1,0 +1,66 @@
+"""Training-data composition ops: sharding, sampling, mixture weights."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pathways2go_spark import dataops as DO
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w "), F.repeat(F.lit("tok "), (F.col("id") % 7 + 1)
+                 .cast("int"))).alias("text"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+
+
+def test_shard_assignment_matches_serial_prefix(spark):
+    docs = _docs(spark)
+    out = DO.shard_assignment(docs, target_tokens=50, partitions=8)
+    rows = sorted(
+        ((r.doc_id, r.n_tokens, r.shard) for r in out.collect()),
+    )
+    # serial reference: exclusive prefix sum in doc_id order
+    pref, want = 0, []
+    for doc_id, n_tokens, _ in rows:
+        want.append(pref // 50)
+        pref += n_tokens
+    assert [s for _, _, s in rows] == want
+    # every doc in exactly one shard; shards contiguous from 0
+    shards = {s for _, _, s in rows}
+    assert shards == set(range(max(shards) + 1))
+    # deterministic across partition counts (two-phase scan is
+    # partitioning-independent)
+    out2 = DO.shard_assignment(docs, target_tokens=50, partitions=3)
+    assert sorted((r.doc_id, r.shard) for r in out2.collect()) == [
+        (d, s) for d, _, s in rows
+    ]
+
+
+def test_sample_stratified_deterministic_and_bounded(spark):
+    docs = _docs(spark, 2000)
+    frac = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    kept = DO.sample_stratified(docs, frac, default=0.25)
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(r.doc_id for r in kept.collect())
+    assert a == b  # pure function of (id, fraction)
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source")
+              .agg(F.count("*").alias("n")).collect()}
+    assert by_src["src0"] == 500          # fraction 1.0 keeps all
+    assert "src2" not in by_src           # fraction 0 keeps none
+    assert 150 < by_src["src1"] < 350     # ~0.5 of 500
+    assert 50 < by_src["src3"] < 200      # default 0.25 of 500
+
+
+def test_mixture_weights_shape(spark):
+    docs = _docs(spark, 400)
+    mw = DO.mixture_weights(docs, {"src0": 0.5, "src1": 0.5},
+                            strata_col="source")
+    rows = {r.stratum: r for r in mw.collect()}
+    assert set(rows) == {"src0", "src1", "src2", "src3"}
+    # pure downsampling: max rate exactly 1, zero-target strata get 0
+    assert max(r.sample_rate for r in rows.values()) == 1.0
+    assert rows["src2"].sample_rate == 0.0
+    assert abs(sum(r.actual_prop for r in rows.values()) - 1.0) < 1e-6
