@@ -977,8 +977,11 @@ def ensure_fixture(out_dir: str, replicas: int = 1) -> dict[str, str]:
     marker therefore records the md5 of datagen.py itself."""
     import hashlib
 
-    with open(os.path.abspath(__file__), "rb") as f:
-        want = hashlib.md5(f.read()).hexdigest()
+    # read our own source through the import loader, not open(__file__):
+    # under spark-submit --py-files the package lives inside a zip and
+    # __file__ is not an openable path (zipimport-safe).
+    src = __loader__.get_source(__name__)
+    want = hashlib.md5(src.encode()).hexdigest()
     marker = os.path.join(out_dir, ".datagen_version")
     names = ["documents", "onto_ancestors", "onto_xrefs", "complex_parts",
              "sssom", "accession_map", "drug_ids", "expected_triples",
@@ -992,10 +995,22 @@ def ensure_fixture(out_dir: str, replicas: int = 1) -> dict[str, str]:
     ):
         return {n: os.path.join(out_dir, f"{n}.parquet") for n in names}
     paths = write_fixture(build_fixture(replicas), out_dir)
-    # derived artifacts must not outlive the fixture they derive from
-    gpad = os.path.join(out_dir, "reference_gpad.parquet")
-    if os.path.exists(gpad):
-        os.remove(gpad)
+    # derived artifacts must not outlive the fixture they derive from:
+    # anything in out_dir that write_fixture didn't just produce is a
+    # tool-written derivative (reference_gpad from tests, mega_doc from
+    # profile_mega/skew_bench, sink/stream scratch dirs) and can be stale
+    # against the regenerated DOCUMENTS_SCHEMA or corpus — drop them all.
+    import shutil
+
+    keep = {f"{n}.parquet" for n in names} | {".datagen_version"}
+    for entry in os.listdir(out_dir):
+        if entry in keep:
+            continue
+        p = os.path.join(out_dir, entry)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        else:
+            os.remove(p)
     with open(marker, "w") as f:
         f.write(want)
     return paths

@@ -107,6 +107,17 @@ def _stage_b_distributed(
     # causally_upstream / provides_input / directly_regulates edges
     # only), so both deltas are computed against the same post-B3
     # snapshot and applied together — one sequential round saved.
+    # INVARIANT (fusion-order safety): apply_delta applies B6's
+    # node_deletes before unioning B4/B5's adds, so the fusion is only
+    # equivalent to the sequential order if no B4/B5-added edge ever
+    # references a B6-deleted node. That holds because the two node-id
+    # populations are disjoint BY CONSTRUCTION: B6 deletes regulator
+    # nodes only — inv-reg edge subjects, which are entity nodes carrying
+    # a '~'-suffixed content key (stage_a emits them as
+    # '{ref_id}~{event}') — while B4/B5 adds edges between reaction ids
+    # (plain event ids, never '~'-keyed). tests/test_properties.py
+    # asserts this disjointness on the golden corpus so a future change
+    # to inv-reg edge subjects cannot silently break the superstep.
     t2 = t
     # B6 guard: no inv-reg edges in the snapshot -> no regulators to
     # classify; one narrow probe scan replaces the flag/join delta round
@@ -340,9 +351,9 @@ def run_pipeline(
     # auto: route mega-models (per-model stage-A triple count above the
     # threshold) through the distributed rules — the skew defense — and
     # everything else through the one-shuffle local path. The count is
-    # over the raw (pre-dedupe) stage-A multiset — a conservative routing
-    # signal: duplicates inflate exactly the models whose io fan-out is
-    # big, which are the ones that belong on the distributed path.
+    # over the DEDUPED stage-A set (extract() defaults dedupe=True, and
+    # dedupe is load-bearing — see the NOTE above), so the threshold is
+    # calibrated against distinct triples per model, not the raw multiset.
     big = (
         t.groupBy("model_id")
         .count()

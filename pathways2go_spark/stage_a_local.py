@@ -508,10 +508,16 @@ def fused_pipeline_udf(D: StageADims, B: LocalDims):
         # Disabling during the hot loop and collecting once per batch
         # keeps worst-case memory identical (the per-batch collect frees
         # any true cycles) while removing the per-allocation GC tax.
-        was_enabled = gc.isenabled()
-        gc.disable()
-        try:
-            for pdf in batches:
+        # Scope: disable/enable wraps ONE batch, not the generator — if
+        # the iterator is abandoned mid-stream (task kill between
+        # yields), a generator-level finally may not run until GC
+        # collects the frame, leaving cyclic GC off for later tasks on a
+        # reused worker. Per-batch scoping means the worker is always
+        # re-enabled at every yield point.
+        for pdf in batches:
+            was_enabled = gc.isenabled()
+            gc.disable()
+            try:
                 rows: list[tuple] = []
                 for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                     raw, drugs = extract_doc(doc_id, spans, D)
@@ -534,10 +540,11 @@ def fused_pipeline_udf(D: StageADims, B: LocalDims):
                                 B,
                             )
                         )
-                yield pd.DataFrame(rows, columns=cols)
+                out = pd.DataFrame(rows, columns=cols)
                 gc.collect()
-        finally:
-            if was_enabled:
-                gc.enable()
+            finally:
+                if was_enabled:
+                    gc.enable()
+            yield out
 
     return run

@@ -78,8 +78,10 @@ def start_kg_stream(
     )
 
 
-def read_stream_triples(spark: SparkSession, out_path: str) -> DataFrame:
-    """Union of every micro-batch's bucketed sink under out_path.
+def read_stream_triples(spark: SparkSession, out_path: str) -> DataFrame | None:
+    """Union of every micro-batch's bucketed sink under out_path, or None
+    when the stream has produced no batches yet (callers must handle the
+    None before composing with unionByName etc.).
 
     Enumerates batch directories through the Hadoop FileSystem API (not a
     local glob), so the read-back path works on any filesystem the write

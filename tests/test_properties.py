@@ -85,6 +85,53 @@ def _keyset(df):
     )
 
 
+def test_b45_b6_superstep_node_disjointness(spark, documents, fixture_paths):
+    """Fusion-order safety invariant for the B4/B5+B6 superstep
+    (pipeline.py): apply_delta applies B6's node_deletes before B4/B5's
+    adds, so the fused superstep equals the sequential order only if no
+    B4/B5-added edge endpoint is ever a B6-deletable node. B6 deletes
+    regulator nodes (inv-reg edge subjects — '~'-keyed entity nodes);
+    B4/B5 adds edges between reaction ids (causal-edge endpoints). Assert
+    the two node-id populations are disjoint on the golden stage-A
+    output, so a future change to inv-reg edge subjects breaks THIS test
+    instead of silently corrupting the superstep."""
+    import pyspark.sql.functions as F
+
+    from pathways2go_spark import vocab as V
+    from pathways2go_spark.dims import load_dims
+    from pathways2go_spark.ingest import ingest as _ingest
+    from pathways2go_spark.stage_a import extract
+    from tests.conftest import FIXTURE_DIR
+
+    dims = load_dims(spark, FIXTURE_DIR)
+    elements, links = _ingest(documents)
+    t = extract(elements, links, dims).triples
+    inv_subjects = {
+        (r["model_id"], r["subj"])
+        for r in t.filter(F.col("pred").isin(V.INV_POS_REG, V.INV_NEG_REG))
+        .select("model_id", "subj").distinct().collect()
+    }
+    assert inv_subjects, "fixture exercises no inv-reg regulators"
+    causal = t.filter(
+        F.col("pred").isin(
+            V.CAUSALLY_UPSTREAM, V.PROVIDES_INPUT,
+            V.DIRECTLY_POS_REGULATES, V.DIRECTLY_NEG_REGULATES,
+        )
+    )
+    endpoints = {
+        (r["model_id"], r["node"])
+        for r in causal.select("model_id", F.col("subj").alias("node"))
+        .unionByName(causal.select("model_id", F.col("obj").alias("node")))
+        .distinct().collect()
+    }
+    assert inv_subjects.isdisjoint(endpoints), (
+        "regulator node ids overlap causal-edge endpoints — the B4/B5+B6 "
+        f"superstep fusion is unsafe: {sorted(inv_subjects & endpoints)[:5]}"
+    )
+    # and structurally: every regulator node is '~'-content-keyed
+    assert all("~" in n for _, n in inv_subjects)
+
+
 def test_routing_seams_produce_identical_triples(spark, documents, fixture_paths):
     import pyspark.sql.functions as F
 
