@@ -44,37 +44,62 @@ def shard_assignment(
     shard = floor(exclusive-prefix-sum(n_tokens) / target_tokens) over
     the id ordering: every shard except the last holds >= target_tokens
     and each document lands in exactly one shard, deterministically.
+    `id_col` values must be unique (they are document ids).
 
     Scale shape: a naive global window (Window.orderBy(id)) collapses
     into ONE task. This computes the same exclusive prefix sum in two
-    phases — range-repartition by id, per-partition totals to the driver
-    (one row per partition, not per document), prefix offsets broadcast
-    back, within-partition cumsum via a partition-local window — the
-    classic distributed scan. Driver traffic is O(partitions)."""
+    phases — the classic distributed scan — with FAILURE-DETERMINISTIC
+    group assignment: phase 1 range-partitions by id and collects one
+    (range max_id, range token total) row per partition; phase 2 assigns
+    every document its range group by a broadcast range lookup on id
+    against those frozen boundaries. Nothing downstream depends on
+    physical partition identity (no spark_partition_id, no checkpoint
+    pinning), so an executor lost after phase 1 recomputes into exactly
+    the same groups — documents can never silently shift between shards
+    mid-job. Driver traffic is O(partitions)."""
     spark = df.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col).alias("id"), token_count(text_col).alias("n_tokens")
     )
-    parts = base.repartitionByRange(n_part, "id").withColumn(
-        "pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)  # pin the partitioning: pid must be stable
-    totals = {
-        r["pid"]: r["tot"]
-        for r in parts.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    off = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long"
+    # phase 1: one job — per-range max id (the boundary) + token total.
+    # pid is used ONLY inside this single job to name the ranges; the
+    # collected (max_id, tot) pairs are what downstream depends on.
+    stats = sorted(
+        base.repartitionByRange(n_part, "id")
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.max("id").alias("max_id"), F.sum("n_tokens").alias("tot"))
+        .collect(),
+        key=lambda r: r["pid"],
     )
-    w = Window.partitionBy("pid").orderBy("id").rowsBetween(
+    if not stats:
+        return base.select(
+            F.col("id").alias(id_col), "n_tokens",
+            F.lit(0).cast("long").alias("shard"),
+        )
+    offsets, acc = [], 0
+    for g, r in enumerate(stats):
+        offsets.append((g, acc))
+        acc += r["tot"]
+    # group g holds ids in (max_id[g-1], max_id[g]]: grp = count of
+    # non-final boundaries strictly below id — a pure function of
+    # (id, frozen boundaries), identical on any recomputation
+    inner_bounds = [r["max_id"] for r in stats[:-1]]
+    if inner_bounds:
+        grp = F.size(
+            F.filter(F.lit(inner_bounds), lambda b: b < F.col("id"))
+        )
+    else:
+        grp = F.lit(0)
+    off = spark.createDataFrame(
+        [(int(g), int(o)) for g, o in offsets], "grp int, offset long"
+    )
+    w = Window.partitionBy("grp").orderBy("id").rowsBetween(
         Window.unboundedPreceding, -1
     )
     return (
-        parts.join(F.broadcast(off), "pid")
+        base.withColumn("grp", grp)
+        .join(F.broadcast(off), "grp")
         .withColumn("prefix",
                     F.col("offset") + F.coalesce(F.sum("n_tokens").over(w),
                                                  F.lit(0)))

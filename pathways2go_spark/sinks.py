@@ -31,12 +31,35 @@ def _with_bucket(triples: DataFrame, buckets: int) -> DataFrame:
 
 
 def _lineage_path(path: str) -> str:
-    return os.path.join(path, "_lineage")
+    return path.rstrip("/") + "/_lineage"
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) through the Hadoop FS API — the sink must
+    behave identically on local disk, HDFS and S3 (same treatment the
+    streaming read-back got, streaming.py read_stream_triples)."""
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    fs, p = _hadoop_fs(spark, path_str)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def completed_buckets(spark: SparkSession, path: str) -> set[int]:
     lp = _lineage_path(path)
-    if not os.path.exists(lp):
+    fs, p = _hadoop_fs(spark, lp)
+    # FS-API existence check, NOT os.path.exists: on HDFS/S3 a local-path
+    # check is always False and resume would silently degrade to a full
+    # rewrite every run
+    if not fs.exists(p):
         return set()
     rows = spark.read.json(lp).select("bucket").distinct().collect()
     return {r["bucket"] for r in rows}
@@ -72,7 +95,6 @@ def write_triples(
         .agg(F.map_from_entries(F.collect_list(F.struct("rule", "count"))).alias("rule_counts"))
     )
     manifest = lineage.join(rule_counts, "bucket").collect()
-    os.makedirs(_lineage_path(path), exist_ok=True)
     written = []
     for r in manifest:
         rec = {
@@ -81,8 +103,13 @@ def write_triples(
             "n_triples": r["n_triples"],
             "rule_counts": dict(r["rule_counts"]),
         }
-        with open(os.path.join(_lineage_path(path), f"bucket={r['bucket']}.json"), "w") as f:
-            json.dump(rec, f)
+        # FS-API write (parents auto-created): manifests land next to the
+        # data on whatever filesystem the sink targets
+        _fs_write_text(
+            spark,
+            f"{_lineage_path(path)}/bucket={r['bucket']}.json",
+            json.dumps(rec),
+        )
         written.append(r["bucket"])
     t.unpersist()
     return {"written_buckets": sorted(written), "skipped_buckets": sorted(done)}

@@ -129,9 +129,72 @@ def test_media_pipeline(spark):
     assert 0 < sampled.count() <= media.count()
 
 
-def test_decode_stub_raises():
+def test_decode_image_raises_without_codec():
+    # no PIL/imageio in this image: the image route must raise, not guess
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"bytes")
+        multimodal.decode_media(b"bytes", "img")
+
+
+def _wav_bytes(samples, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_decode_wav_real():
+    import numpy as np
+
+    samples = [0, 1000, -1000, 32000, -32000, 5]
+    out = multimodal.decode_media(_wav_bytes(samples), "wav")
+    assert out.dtype == np.float32
+    assert out.tolist() == [float(s) for s in samples]
+
+
+def test_extract_features_decode_and_auto(spark):
+    """mode='decode' really decodes WAV payloads (feature = normalized
+    resample of the samples, NOT the byte-hash); mode='auto' decodes the
+    wav row and hash-falls-back on the codec-less img row with identical
+    schema; mode='decode' raises on the img row."""
+    import numpy as np
+
+    wav = _wav_bytes(list(range(-16000, 16000, 500)))
+    rows = [
+        ("d1", "wav://a", "cap", bytearray(wav), "wav"),
+        ("d2", "img://b", "cap", bytearray(b"not-an-image"), "img"),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    wav_only = media.filter(F.col("media_kind") == "wav")
+
+    dec = {r["media_ref"]: r["feature"]
+           for r in multimodal.extract_features(wav_only, dim=8, mode="decode").collect()}
+    hsh = {r["media_ref"]: r["feature"]
+           for r in multimodal.extract_features(wav_only, dim=8, mode="hash").collect()}
+    assert dec["wav://a"] != hsh["wav://a"]
+    # decode route = peak-normalized fixed-stride resample of the samples
+    sam = multimodal.decode_media(wav, "wav")
+    idx = (np.arange(8, dtype=np.int64) * sam.size) // 8
+    expect = (sam[idx] / max(1.0, float(np.abs(sam).max()))).astype(np.float32)
+    assert np.allclose(dec["wav://a"], expect)
+
+    auto = {r["media_ref"]: r["feature"]
+            for r in multimodal.extract_features(media, dim=8, mode="auto").collect()}
+    assert auto["wav://a"] == dec["wav://a"]  # decoded
+    hsh_img = multimodal.extract_features(
+        media.filter(F.col("media_kind") == "img"), dim=8, mode="hash"
+    ).first()["feature"]
+    assert auto["img://b"] == hsh_img  # documented fallback
+
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, dim=8, mode="decode").collect()
 
 
 def test_kmeans_fit_deterministic_and_improving(spark, sf_dir):

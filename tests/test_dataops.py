@@ -39,6 +39,34 @@ def test_shard_assignment_matches_serial_prefix(spark):
     ]
 
 
+def test_shard_assignment_failure_deterministic(spark):
+    """Shard assignment is a pure function of (ids, token counts) — no
+    spark_partition_id pinning, no checkpoint: recomputing the plan from
+    scratch (fresh lineage, different partition counts, string ids) must
+    reproduce byte-identical shards, which is what makes executor loss
+    after the boundary collect harmless."""
+    docs = _docs(spark, 300).select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 5, "0"))
+        .alias("doc_id"), "text", "source",
+    )
+    runs = [
+        sorted((r.doc_id, r.n_tokens, r.shard) for r in
+               DO.shard_assignment(docs, target_tokens=40, partitions=p)
+               .collect())
+        for p in (1, 5, 17)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    # serial reference on string-id order
+    pref = 0
+    for (doc_id, n_tokens, shard) in runs[0]:
+        assert shard == pref // 40
+        pref += n_tokens
+    # re-running the SAME plan object also reproduces itself (no hidden
+    # state left over from the boundary collect)
+    out = DO.shard_assignment(docs, target_tokens=40, partitions=5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out.collect()))
+
+
 def test_sample_stratified_deterministic_and_bounded(spark):
     docs = _docs(spark, 2000)
     frac = {"src0": 1.0, "src1": 0.5, "src2": 0.0}

@@ -74,6 +74,20 @@ def test_crash_resume_is_identical(spark, triples, tmp_path):
     assert a == b
 
 
+def test_resume_through_fs_api_uri(spark, triples, tmp_path):
+    """The resume check goes through the Hadoop FileSystem API, not
+    os.path.exists — exercised end-to-end through an explicit file:// URI
+    (the scheme-qualified form HDFS/S3 paths take)."""
+    out = "file://" + str(tmp_path / "fsuri")
+    assert completed_buckets(spark, out) == set()  # missing -> empty, no raise
+    s1 = write_triples(spark, triples, out, buckets=4)
+    assert completed_buckets(spark, out) == set(s1["written_buckets"])
+    s2 = write_triples(spark, triples, out, buckets=4)
+    assert s2["written_buckets"] == []
+    assert set(s2["skipped_buckets"]) == set(s1["written_buckets"])
+    assert _key_set(read_triples(spark, out)) == _key_set(triples)
+
+
 def test_skipped_buckets_not_rewritten(spark, triples, tmp_path):
     out = str(tmp_path / "idem")
     write_triples(spark, triples, out, buckets=4)
