@@ -517,6 +517,20 @@ def q_sim_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(SIM.cosine_scores(idx, q), k=10)
 
 
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH and IVF ANN paths against exact cosine
+    (similarity.ann_recall): the quality harness — ANN queries above
+    prove their chosen candidates exact; this measures whether the
+    candidates are the RIGHT ones, the number nprobe/planes are tuned
+    by. Composed from the same proven query bodies, joined relationally."""
+    exact = q_sim_cosine_topk(spark, sf_dir).select("vec_id")
+    lsh = q_sim_ann_lsh_topk(spark, sf_dir).select("vec_id")
+    ivf = q_sim_ann_ivf_topk(spark, sf_dir).select("vec_id")
+    return SIM.ann_recall(exact, lsh, "lsh", 10).unionByName(
+        SIM.ann_recall(exact, ivf, "ivf", 10)
+    )
+
+
 def q_media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.media_table(_docs(spark))
     return media.groupBy("media_kind").agg(
@@ -636,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_indexed": q_sim_ann_lsh_indexed,
         "sim_ann_ivf_topk": q_sim_ann_ivf_topk,
         "sim_ann_ivf_trained": q_sim_ann_ivf_trained,
+        "sim_ann_recall": q_sim_ann_recall,
         "media_kind_stats": q_media_kind_stats,
         "media_feature_bytes": q_media_feature_bytes,
         "events_hourly": q_events_hourly,
@@ -1863,4 +1878,19 @@ def oracle_sql() -> dict[str, str]:
     # the materialized-index probe returns exactly what the on-the-fly
     # probe returns (same buckets, same multi-probe set) — shared oracle
     sql["sim_ann_lsh_indexed"] = sql["sim_ann_lsh_topk"]
+    # recall@10 harness: composed from the three proven top-k bodies
+    # above (DuckDB allows WITH inside a FROM subquery), joined on vec_id
+    sql["sim_ann_recall"] = f"""
+        SELECT * FROM (
+          SELECT 'lsh' AS method, CAST(10 AS BIGINT) AS k,
+                 count(*) AS hits, count(*) / 10.0 AS recall
+          FROM ({sql["sim_ann_lsh_topk"]}) a
+          JOIN ({sql["sim_cosine_topk"]}) e USING (vec_id)
+          UNION ALL
+          SELECT 'ivf' AS method, CAST(10 AS BIGINT) AS k,
+                 count(*) AS hits, count(*) / 10.0 AS recall
+          FROM ({sql["sim_ann_ivf_topk"]}) a
+          JOIN ({sql["sim_cosine_topk"]}) e USING (vec_id)
+        ) ORDER BY method
+    """
     return sql

@@ -72,6 +72,8 @@ def main() -> None:
         extra={
             "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
             "spark.sql.files.openCostInBytes": str(128 * 1024),
+            # ~8 scan-task waves per core (see tools/scaling_driver.py)
+            "spark.sql.files.minPartitionNum": str(8 * cpus),
         },
     )
     floors: dict[str, float] = {}
@@ -111,6 +113,11 @@ def main() -> None:
         "text_quality", "sim_cosine_topk", "sim_ann_lsh_topk",
         "events_hourly", "tpch_pricing", "top_orders_per_cust",
         "nation_order_stats",
+        # round-4 surface (VERDICT r3 #8): the report family, cross-model
+        # analytics, and the composition ops added in r3, plus the ANN
+        # recall harness — so regressions there show round-over-round
+        "kg_model_report", "kg_reaction_venn", "data_shards",
+        "sim_ann_recall",
     ]
     qs = E.queries()
     for name in heads:

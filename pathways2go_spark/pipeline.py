@@ -23,6 +23,7 @@ partitioned table via sinks.py for resume)."""
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -157,6 +158,13 @@ def _stage_b_distributed(
     # dedupe), so merging here keeps B9/B11 on the deduped table and the
     # B9 output needs no further merge. B9 still runs before the B11
     # gate, as in the reference (gate at write time).
+    # NOTE (r4): folding B9 into this merge (computing b9_orphans on the
+    # UNMERGED virtual plan) was tried and reverted — it references the
+    # whole delta-chain tree three times, and Catalyst's transform-copy
+    # semantics blow the optimizer up on the tripled tree (driver OOM in
+    # NestedColumnAliasing on deep chains). It also saves nothing real:
+    # B9's node-deletes are broadcast anti-joins on the ck'd table, not
+    # a second full-table shuffle.
     t = ck(B.merge_triples(t))
     t = B.b9_clean_unconnected(t, merge=False)
     t = B.b11_model_gate(t, dims)
@@ -164,16 +172,28 @@ def _stage_b_distributed(
 
 
 def _stage_b_local(
-    t: DataFrame, drugs: DataFrame, dims: Dims, checkpoint: bool = False
+    t: DataFrame, drugs: DataFrame, dims: Dims, checkpoint: bool = False,
+    prepared: PreparedDims | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    local_dims = BL.build_local_dims(
-        dims.onto_ancestors.toPandas(), dims.complex_parts.toPandas()
-    )
+    if prepared is not None:
+        bc = prepared.bc
 
-    def run(left, right):
-        if len(left) == 0:
-            return left.iloc[0:0]
-        return BL.apply_rules_local(left, set(right["reaction"]), local_dims)
+        def run(left, right):
+            if len(left) == 0:
+                return left.iloc[0:0]
+            # bc.value unpickles once per worker process (broadcast
+            # registry cache), not per task — see PreparedDims
+            return BL.apply_rules_local(left, set(right["reaction"]),
+                                        bc.value[1])
+    else:
+        local_dims = BL.build_local_dims(
+            dims.onto_ancestors.toPandas(), dims.complex_parts.toPandas()
+        )
+
+        def run(left, right):
+            if len(left) == 0:
+                return left.iloc[0:0]
+            return BL.apply_rules_local(left, set(right["reaction"]), local_dims)
 
     out = (
         t.groupBy("model_id")
@@ -194,7 +214,23 @@ def _stage_b_local(
     return triples, audit
 
 
-def prepare_local_dims(dims: Dims) -> tuple:
+class PreparedDims(NamedTuple):
+    """Driver-built dictionary views + their one-time Spark broadcast.
+
+    The broadcast is load-bearing for scale-out: the dictionaries pickle
+    to several MB, and a UDF closure that captures them directly is
+    re-shipped and re-unpickled for EVERY task (measured 7.2 MB /
+    0.22 s per task on the bench corpus — at fine input splits that
+    serial tax dominates the 32-core wall). Captured as a Broadcast
+    handle instead, the payload moves once per executor and unpickles
+    once per reused Python worker process."""
+
+    a_dims: object   # stage_a_local.StageADims
+    b_dims: object   # stage_b_local.LocalDims
+    bc: object       # pyspark Broadcast of (a_dims, b_dims)
+
+
+def prepare_local_dims(dims: Dims) -> PreparedDims:
     """One-time driver-side build of the plain-python dictionary views the
     fused path ships to workers (the §1.5 bounded ontology dictionaries —
     in production this cost is fixed by ontology size, not corpus size).
@@ -204,7 +240,8 @@ def prepare_local_dims(dims: Dims) -> tuple:
     b_dims = BL.build_local_dims(
         dims.onto_ancestors.toPandas(), dims.complex_parts.toPandas()
     )
-    return a_dims, b_dims
+    sc = dims.onto_ancestors.sparkSession.sparkContext
+    return PreparedDims(a_dims, b_dims, sc.broadcast((a_dims, b_dims)))
 
 
 def _fused(
@@ -221,9 +258,21 @@ def _fused(
     stage before it (task threads blocked in the Arrow socket ping-pong;
     second run recovers). Ordering Python stages first sidesteps the
     pathology entirely and costs one block-manager write of the result."""
-    a_dims, b_dims = prepared if prepared is not None else prepare_local_dims(dims)
-    out = documents.mapInPandas(
-        AL.fused_pipeline_udf(a_dims, b_dims), schema=_TRIPLE_SCHEMA
+    if prepared is None:
+        prepared = prepare_local_dims(dims)
+    # project the two struct fields the parser consumes BEFORE the UDF:
+    # nested-schema pruning then drops media_ref/offset at the parquet
+    # scan (ReadSchema: spans:array<struct<kind,text>>) and the Arrow
+    # transfer ships two flat string lists per doc instead of 4-field
+    # span structs — measured ~30% less input-path cost at 32 cores.
+    # Close over the Broadcast handle only — see PreparedDims.
+    flat = documents.select(
+        "doc_id",
+        F.col("spans.kind").alias("kinds"),
+        F.col("spans.text").alias("texts"),
+    )
+    out = flat.mapInPandas(
+        AL.fused_pipeline_udf(bc=prepared.bc), schema=_TRIPLE_SCHEMA
     )
     if checkpoint:
         out = out.localCheckpoint(eager=True)
@@ -294,7 +343,7 @@ def run_pipeline(
             return run_pipeline(
                 spark, big, dims, checkpoint=checkpoint,
                 stage_b_mode=stage_b_mode, local_threshold=local_threshold,
-                stage_a_mode="distributed",
+                stage_a_mode="distributed", prepared=prepared,
             )
 
         (ts, audit_s), rb = B.par(_run_fused, _run_big)
@@ -345,7 +394,7 @@ def run_pipeline(
         return PipelineResult(triples=tt, audit=audit, drug_reactions=drugs)
 
     if stage_b_mode == "local":
-        tt, audit = _stage_b_local(t, drugs, dims)
+        tt, audit = _stage_b_local(t, drugs, dims, prepared=prepared)
         return PipelineResult(triples=tt, audit=audit, drug_reactions=drugs)
 
     # auto: route mega-models (per-model stage-A triple count above the
@@ -362,7 +411,7 @@ def run_pipeline(
         .localCheckpoint(eager=True)
     )
     if big.isEmpty():
-        tt, audit = _stage_b_local(t, drugs, dims)
+        tt, audit = _stage_b_local(t, drugs, dims, prepared=prepared)
         return PipelineResult(triples=tt, audit=audit, drug_reactions=drugs)
 
     t_small = t.join(big, "model_id", "left_anti")
@@ -371,7 +420,8 @@ def run_pipeline(
     d_big = drugs.join(big, "model_id", "left_semi")
     # Python cogroup pass first + materialized, JVM rule chain second —
     # same ordering rule as the fused/_fused composition (see _fused)
-    ts, audit_s = _stage_b_local(t_small, d_small, dims, checkpoint=checkpoint)
+    ts, audit_s = _stage_b_local(t_small, d_small, dims, checkpoint=checkpoint,
+                                 prepared=prepared)
     tb, audit_b = _stage_b_distributed(t_big, d_big, dims, checkpoint)
     return PipelineResult(
         triples=ts.unionByName(tb),

@@ -143,6 +143,23 @@ def ann_topk_lsh(
     return cosine_topk(pre, query, k, vec_col)
 
 
+def ann_recall(exact: DataFrame, ann: DataFrame, method: str, k: int) -> DataFrame:
+    """Recall@k of an ANN result set against the exact top-k — the number
+    a 100 TB user tunes nprobe/planes/probe_hamming by (an ANN path can be
+    value-exact on its chosen candidates yet recall-poor on the corpus).
+
+    Fully relational: inner-join the two k-row id sets and count — no
+    collect, and both sides are top-k results so the join broadcasts.
+    Returns one row (method, k, hits, recall)."""
+    hits = ann.select("vec_id").join(exact.select("vec_id"), "vec_id", "inner")
+    return hits.agg(F.count("*").alias("hits")).select(
+        F.lit(method).alias("method"),
+        F.lit(k).cast("long").alias("k"),
+        F.col("hits"),
+        (F.col("hits") / float(k)).alias("recall"),
+    )
+
+
 def centroid_scores(vec_col: Column, centroids: list[list[float]]) -> Column:
     """Array of cosine similarities of `vec_col` against each centroid."""
     import math

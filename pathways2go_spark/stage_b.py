@@ -486,7 +486,11 @@ def b8_delete_disallowed(t: DataFrame, merge: bool = True) -> DataFrame:
 # B9: unconnected-node cleanup (cleanOutUnconnectedNodes, GoCAM.java:1974-2007)
 # ----------------------------------------------------------------------
 
-def b9_clean_unconnected(t: DataFrame, merge: bool = True) -> DataFrame:
+def b9_orphans(t: DataFrame) -> DataFrame:
+    """(model_id, node) set of unconnected nodes. Both inputs are
+    DISTINCT node sets, so the computation is insensitive to duplicate
+    triple keys — callers may evaluate it on an unmerged (merge=False)
+    delta-chain table and fold the set-dedupe into the same final pass."""
     edges = t.filter(F.col("pred").isin(V.EDGE_PREDS))
     connected = (
         edges.select("model_id", F.col("subj").alias("node"))
@@ -496,8 +500,11 @@ def b9_clean_unconnected(t: DataFrame, merge: bool = True) -> DataFrame:
     candidates = t.filter(F.col("pred").isin(V.TYPE, V.EXACT)).select(
         "model_id", F.col("subj").alias("node")
     ).distinct()
-    orphans = candidates.join(connected, ["model_id", "node"], "left_anti")
-    return apply_delta(t, node_deletes=[orphans], merge=merge)
+    return candidates.join(connected, ["model_id", "node"], "left_anti")
+
+
+def b9_clean_unconnected(t: DataFrame, merge: bool = True) -> DataFrame:
+    return apply_delta(t, node_deletes=[b9_orphans(t)], merge=merge)
 
 
 # ----------------------------------------------------------------------

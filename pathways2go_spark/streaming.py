@@ -139,6 +139,8 @@ def start_dedup_stream(
     out_path: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 8,
+    state_ttl_ms: int | None = None,
+    processing_time: str | None = None,
 ):
     """documents dir -> exactly-one-doc-per-content stream.
 
@@ -146,7 +148,36 @@ def start_dedup_stream(
     micro-batch that carries a hash emits its smallest doc_id (ties
     inside a batch are broken deterministically), every later batch's
     duplicates are swallowed by the keyed state. Output appends to
-    parquet under out_path; exactly-once via checkpointLocation."""
+    parquet under out_path; exactly-once via checkpointLocation.
+
+    state_ttl_ms bounds the seen-set for months-long streams (without it
+    state grows with corpus cardinality forever). Semantics — a SLIDING
+    processing-time window per content hash:
+      * every sighting of a hash (first emit or swallowed duplicate)
+        re-arms its eviction timer to state_ttl_ms from that batch;
+      * a hash whose timer has expired is evicted at the next micro-batch
+        in which it carries NO data (Spark only fires timeouts for
+        data-less groups — a re-arrival in the expiring batch itself is
+        still deduped and re-arms the timer, so dedup is EXACT for any
+        duplicate arriving within state_ttl_ms of the last sighting);
+      * a re-arrival AFTER eviction is treated as new content and
+        re-emitted — the documented trade-off of bounding state.
+    state_ttl_ms=None keeps the exact unbounded behaviour.
+
+    processing_time selects a continuous trigger (e.g. "500 milliseconds")
+    instead of the default availableNow one-shot.
+
+    KNOWN LIMITATION (pyspark 4.1.2 in this image): a ProcessingTime
+    timeout that fires in the FIRST batches after a query RESTART from
+    checkpoint crashes the Python worker inside Spark's
+    applyInPandasWithState runner (EOF/connection-reset, no Python
+    traceback — reproduced with a minimal two-run repro independent of
+    this module; the same timeout firing within a single long-lived run
+    works, which tests/test_streaming.py::test_stateful_dedup_stream_ttl
+    proves). Production deployments of the TTL variant should prefer
+    long-lived queries; Spark 4's transformWithStateInPandas (native
+    state TTL) is the migration target once its protobuf dependency is
+    available."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -156,6 +187,10 @@ def start_dedup_stream(
     )
 
     def keep_first(key, pdfs, state):
+        if state.hasTimedOut:
+            # data-less group whose TTL expired: evict the hash
+            state.remove()
+            return
         if not state.exists:
             best = None
             for pdf in pdfs:
@@ -163,23 +198,35 @@ def start_dedup_stream(
                 best = m if best is None or m < best else best
             if best is not None:
                 state.update((1,))
+                if state_ttl_ms:
+                    state.setTimeoutDuration(state_ttl_ms)
                 yield pd.DataFrame({"h": [key[0]], "doc_id": [best]})
         else:
             for _ in pdfs:  # drain the iterator; emit nothing
                 pass
+            if state_ttl_ms:
+                # sliding window: a swallowed duplicate re-arms the timer
+                state.setTimeoutDuration(state_ttl_ms)
 
     deduped = hashed.groupBy("h").applyInPandasWithState(
         keep_first,
         outputStructType="h string, doc_id string",
         stateStructType="seen int",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms
+            else GroupStateTimeout.NoTimeout
+        ),
     )
-    return (
+    writer = (
         deduped.writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -91,6 +91,90 @@ def test_stateful_dedup_stream(spark, tmp_path_factory):
     assert spark.read.parquet(str(base / "out")).count() == 3
 
 
+def test_stateful_dedup_stream_ttl(spark, tmp_path_factory):
+    """state_ttl_ms bounds the seen-set: duplicates within the TTL window
+    are still dropped exactly; a hash with no sightings for > TTL is
+    evicted, and a re-arrival after eviction re-emits.
+
+    Runs ONE long-lived query (processing-time trigger): in this image's
+    pyspark build a timeout firing right after a checkpoint RESTART
+    crashes the Python worker (documented in streaming.start_dedup_stream)
+    — in-run timeouts, the production shape for a TTL'd stream, work."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pathways2go_spark.datagen import DOCUMENTS_SCHEMA
+    from pathways2go_spark.streaming import start_dedup_stream
+
+    base = tmp_path_factory.mktemp("dedup_ttl")
+    src = base / "docs"
+    src.mkdir()
+    out, ck = str(base / "out"), str(base / "ck")
+
+    def doc(doc_id, text):
+        return {"doc_id": doc_id,
+                "spans": [{"kind": "pathway", "text": text,
+                           "media_ref": "", "offset": 0}]}
+
+    def write(name, docs):
+        pq.write_table(pa.Table.from_pylist(docs, schema=DOCUMENTS_SCHEMA),
+                       str(src / name))
+
+    def rows():
+        return {(r.h, r.doc_id)
+                for r in spark.read.parquet(out).collect()}
+
+    def await_docs(want, deadline=60):
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            try:
+                if {d for _, d in rows()} == want:
+                    return
+            except Exception:  # noqa: BLE001 — sink dir not created yet
+                pass
+            time.sleep(0.5)
+        assert {d for _, d in rows()} == want
+
+    # TTL must dwarf trigger/scheduling latency: empty triggers fire
+    # expired timers promptly, so a TTL comparable to batch latency
+    # would evict alpha before the duplicate batch lands
+    ttl_ms = 12_000
+    write("b1.parquet", [doc("doc-A", "alpha")])
+    q = start_dedup_stream(spark, str(src), out, ck,
+                           max_files_per_trigger=1, state_ttl_ms=ttl_ms,
+                           processing_time="500 milliseconds")
+    try:
+        await_docs({"doc-A"})
+
+        # duplicate within the (sliding) TTL window: dropped exactly —
+        # b2's batch runs well inside the 12 s window of alpha's b1
+        # sighting, and a group WITH data never fires hasTimedOut
+        write("b2.parquet", [doc("doc-A2", "alpha"), doc("doc-B", "beta")])
+        await_docs({"doc-A", "doc-B"})
+        time.sleep(1)  # hold past the asserted batch to prove A2 never lands
+        assert {d for _, d in rows()} == {"doc-A", "doc-B"}
+
+        # idle past the TTL: empty triggers fire the expired timers and
+        # evict alpha (and beta); doc-D proves the stream still flows
+        time.sleep(ttl_ms / 1000 + 4)
+        write("b3.parquet", [doc("doc-D", "delta")])
+        await_docs({"doc-A", "doc-B", "doc-D"})
+
+        # post-eviction re-arrival of alpha re-emits under the new
+        # doc_id — the documented bounded-state trade-off
+        write("b4.parquet", [doc("doc-A5", "alpha")])
+        await_docs({"doc-A", "doc-B", "doc-D", "doc-A5"})
+    finally:
+        q.stop()
+
+    final = rows()
+    assert {d for _, d in final} == {"doc-A", "doc-B", "doc-D", "doc-A5"}
+    alpha_hashes = {h for h, d in final if d in ("doc-A", "doc-A5")}
+    assert len(alpha_hashes) == 1  # same content hash emitted twice
+
+
 def test_read_stream_triples_missing_or_empty_path(spark, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("nostream"))
     assert read_stream_triples(spark, os.path.join(base, "never_written")) is None

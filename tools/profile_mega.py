@@ -49,9 +49,12 @@ def main() -> None:
             pa.Table.from_pylist([doc], schema=DOCUMENTS_SCHEMA), mega_path
         )
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_spark(extra={
         "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
         "spark.sql.files.openCostInBytes": str(128 * 1024),
+        # ~8 scan-task waves per core (see tools/scaling_driver.py)
+        "spark.sql.files.minPartitionNum": str(8 * cpus),
     })
     dims = load_dims(spark, base)
     mega = read_documents(spark, mega_path)

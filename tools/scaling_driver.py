@@ -45,6 +45,13 @@ def main() -> None:
         extra={
             "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
             "spark.sql.files.openCostInBytes": str(128 * 1024),
+            # ~8 waves of scan tasks per core: with only ~1 wave the
+            # fused mapInPandas stage's wall is set by its slowest task
+            # (measured 0.50 scaling efficiency at 32 cores on the 68 MB
+            # corpus with 2 MB splits = 34 tasks); many small waves keep
+            # every core busy to the end. Spark sizes splits as
+            # min(maxPartitionBytes, max(openCost, bytes/minPartitionNum)).
+            "spark.sql.files.minPartitionNum": str(8 * cores),
         },
     )
     dims = load_dims(spark, corpus_dir)

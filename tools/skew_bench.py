@@ -100,9 +100,12 @@ def main() -> None:
         print(f"mega-doc gen {time.perf_counter() - t0:.1f}s "
               f"({len(doc['spans'])} spans)", file=sys.stderr)
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_spark(extra={
         "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
         "spark.sql.files.openCostInBytes": str(128 * 1024),
+        # ~8 scan-task waves per core (see tools/scaling_driver.py)
+        "spark.sql.files.minPartitionNum": str(8 * cpus),
     })
     dims = load_dims(spark, base)
     prepared = prepare_local_dims(dims)
