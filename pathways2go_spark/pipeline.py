@@ -80,9 +80,24 @@ def _stage_b_distributed(
     # anti-joins/unions in rule order (a later node-delete also removes
     # triples added by an earlier rule, as in the reference's in-place
     # model mutation).
+    # ONE pred-census job on the materialized input replaces the chain's
+    # per-rule emptiness probes (B3's reg.isEmpty, the B6 inv-reg scan) —
+    # each probe was a blocking scan of the growing VIRTUAL plan, pure
+    # driver-latency on the mega path. Sound because no rule ADDS
+    # inverse-regulation predicates (B3 rewrites them to directly_*
+    # edges, B10/B6 only delete), so census=0 => every later snapshot
+    # has 0; census>0 runs the rules, which match nothing when B10's
+    # deletes emptied the domain — same result, no probe. The drugs
+    # probe (independent table) rides the same concurrent round.
+    census_rows, drugs_empty = B.par(
+        lambda: t.groupBy("pred").count().collect(),
+        lambda: drugs.isEmpty(),
+    )
+    census = {r["pred"]: r["count"] for r in census_rows}
+    has_reg = (census.get(V.INV_POS_REG, 0) + census.get(V.INV_NEG_REG, 0)) > 0
     # B10 guard: the drug table is a (cheap, materialized) per-reaction
     # key set; when empty the whole neighbor-derivation join is skipped
-    if not drugs.isEmpty():
+    if not drugs_empty:
         t = B.apply_delta(t, **B.b10_delta(t, drugs, ck=ck), merge=False)
     # B1+B2+B3 superstep: the three match sets are provably independent of
     # each other's deltas (B1 touches reaction molecular_event types only;
@@ -95,7 +110,8 @@ def _stage_b_distributed(
     d1, d2, d3 = B.par(
         lambda: B.b1_delta(t1, ck=ck),
         lambda: B.b2_delta(t1, ck=ck),
-        lambda: B.b3_delta(t1, ck=ck),
+        lambda: (B.b3_delta(t1, ck=ck, probe=False) if has_reg
+                 else {"adds": [], "deletes": []}),
     )
     t = B.apply_delta(
         t,
@@ -103,6 +119,16 @@ def _stage_b_distributed(
         deletes=d1["deletes"] + d3["deletes"],
         merge=False,
     )
+    # mid-chain rebase on BIG inputs only: after the widest delta
+    # application the virtual plan carries ~6 broadcast probes, and every
+    # later job (B4/B5's five scans, B6, B7/B8, merge) re-collects and
+    # re-broadcasts each probe — pure driver latency on the mega path.
+    # One localCheckpoint here (NOT a shuffle — a local block write, the
+    # same durability class as every ck in this chain) resets the probe
+    # stack to a leaf. Below the row threshold the write costs more than
+    # the probes it saves, so small inputs keep the pure virtual chain.
+    if checkpoint and sum(census.values()) > 1_000_000:
+        t = ck(t)
     # B4/B5 + B6 superstep: B6 matches only inv-reg edges and regulator-
     # node types, which the B4/B5 delta never adds or deletes (it touches
     # causally_upstream / provides_input / directly_regulates edges
@@ -120,11 +146,9 @@ def _stage_b_distributed(
     # asserts this disjointness on the golden corpus so a future change
     # to inv-reg edge subjects cannot silently break the superstep.
     t2 = t
-    # B6 guard: no inv-reg edges in the snapshot -> no regulators to
-    # classify; one narrow probe scan replaces the flag/join delta round
-    run_b6 = not t2.filter(
-        F.col("pred").isin(V.INV_POS_REG, V.INV_NEG_REG)
-    ).isEmpty()
+    # B6 guard from the census (see above): no inv-reg edges anywhere in
+    # the input -> none in this snapshot either -> skip the delta round
+    run_b6 = has_reg
     if run_b6:
         (d45,), (d6, audit) = B.par(
             lambda: (B.b4_b5_delta(t2, dims, ck=ck),),

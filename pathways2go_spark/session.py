@@ -32,6 +32,11 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # FAIR job scheduling: the pipeline overlaps independent jobs on
+        # concurrent driver threads (fused pass ∥ distributed mega path,
+        # par() checkpoint rounds); FIFO would queue a wide stage's tasks
+        # ahead of every small blocking job, serializing the overlap.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -80,12 +80,17 @@ def _union(frames: list[DataFrame]) -> DataFrame:
 # pathways: disease filter + event->pathway membership
 # ----------------------------------------------------------------------
 
-def pathways_and_events(elements: DataFrame, links: DataFrame) -> tuple[DataFrame, DataFrame]:
+def pathways_and_events(
+    elements: DataFrame, links: DataFrame, disease_empty: bool | None = None
+) -> tuple[DataFrame, DataFrame]:
     """A1/A2/A5: kept pathways + event membership.
 
     Disease ancestry (keepPathway BioPaxtoGO.java:480-534): a pathway is
     dropped when itself or any ancestor is flagged disease. Propagated by
-    an iterative bounded-depth join (pathway DAGs are shallow)."""
+    an iterative bounded-depth join (pathway DAGs are shallow).
+    disease_empty: caller-provided probe result (extract() batches it
+    with the active-unit probe into one concurrent round); None runs the
+    probe here."""
     pw = elements.filter(F.col("kind") == "pathway").select(
         "doc_id",
         F.col("elem_id").alias("pid"),
@@ -111,7 +116,9 @@ def pathways_and_events(elements: DataFrame, links: DataFrame) -> tuple[DataFram
     # probe instead of a join+checkpoint job per would-be iteration (the
     # distributed path mostly carries clean mega-docs, and every blocking
     # driver job on that path is measured overhead — tools/profile_mega).
-    if not bad.isEmpty():
+    if disease_empty is None:
+        disease_empty = bad.isEmpty()
+    if not disease_empty:
         for _ in range(12):
             more = (
                 parent_edges.join(
@@ -333,7 +340,20 @@ def extract(
     explode_entity_sets: bool = False,
     dedupe: bool = True,
 ) -> StageA:
-    kept_pw, event_pathway = pathways_and_events(elements, links)
+    from .stage_b import par as _probe_par
+
+    # the two input emptiness probes (disease pathways, active-unit
+    # links) are independent scans of the checkpointed inputs — one
+    # concurrent driver round instead of two sequential blocking jobs
+    disease_empty, au_empty = _probe_par(
+        lambda: elements.filter(
+            (F.col("kind") == "pathway") & (_attr("isDisease") == "1")
+        ).isEmpty(),
+        lambda: links.filter(F.col("link") == "active_unit").isEmpty(),
+    )
+    kept_pw, event_pathway = pathways_and_events(
+        elements, links, disease_empty=disease_empty
+    )
     if test_pathways is not None:
         # A3 (the `-tp` allowlist, BioPaxtoGO.java:249-251): convert only
         # the named pathways
@@ -468,7 +488,7 @@ def extract(
     # Short-circuit: no active_unit links anywhere -> the whole resolution
     # join tree (and its extra ctl re-checkpoint) is skipped; the au
     # columns become null projections over the already-materialized ctl.
-    if links.filter(F.col("link") == "active_unit").isEmpty():
+    if au_empty:
         nullc = F.lit(None).cast("string")
         ctl = (
             ctl.withColumn("au_entity", nullc).withColumn("au_ref", nullc)
