@@ -335,18 +335,23 @@ def run_pipeline(
         )
         return PipelineResult(triples=tt, audit=audit, drug_reactions=empty_drugs)
     if stage_a_mode == "auto":
-        small = documents.filter(F.size("spans") <= span_threshold)
-        # materialize the routed big-doc slice ONCE: the size(spans)
-        # routing predicate cannot push down to the parquet scan (array
-        # length needs the column read), so without this every job of the
-        # distributed branch (isEmpty probe, span-parse checkpoint)
-        # re-scans the WHOLE corpus' spans column just to find the few
-        # mega docs. Big docs are few by definition of the threshold, so
-        # the checkpoint is small.
-        big = documents.filter(F.size("spans") > span_threshold)
-        if checkpoint:
-            big = big.localCheckpoint(eager=True)
+        # route on size(spans.kind), not size(spans): the span COUNT is
+        # derivable from any single struct field, and extracting just
+        # `kind` lets nested-schema pruning narrow the routing scan to
+        # spans:array<struct<kind:string>> — the text field is the bulk
+        # of the corpus bytes, so the routing probe reads a small
+        # fraction of the table instead of all of it. (The predicate
+        # still can't push down to row-group stats — array lengths
+        # aren't in parquet statistics — so the probe is a scan either
+        # way; this makes it a cheap one.)
+        n_spans = F.size(F.col("spans.kind"))
+        small = documents.filter(n_spans <= span_threshold)
+        big = documents.filter(n_spans > span_threshold)
         if big.isEmpty():
+            # common case (no mega docs): ONE kind-pruned probe scan and
+            # no checkpoint write — the big-doc slice is only
+            # materialized when it exists (below), so the no-skew corpus
+            # pays no routing materialization job per run.
             ts, audit_s = _fused(small, dims, prepared)
             empty_drugs = documents.sparkSession.createDataFrame(
                 [], "model_id string, reaction string"
@@ -354,6 +359,13 @@ def run_pipeline(
             return PipelineResult(
                 triples=ts, audit=audit_s, drug_reactions=empty_drugs
             )
+        # mega docs present: materialize the routed big-doc slice ONCE —
+        # without this every job of the distributed branch (span-parse
+        # checkpoint, rule probes) re-scans the WHOLE corpus' spans
+        # column just to find the few mega docs. Big docs are few by
+        # definition of the threshold, so the checkpoint is small.
+        if checkpoint:
+            big = big.localCheckpoint(eager=True)
         # mega docs present: run the fused Python pass CONCURRENTLY with
         # the distributed chain on driver threads. The Python pass starts
         # at t=0 (never scheduled after the chain's JVM burst — the

@@ -15,6 +15,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -46,6 +47,40 @@ def read_cpu_stat() -> tuple[int, int]:
     return steal, sum(vals)
 
 
+def sample_steal(window_s: float = 15.0) -> float:
+    """Hypervisor steal % of total host CPU over a sampling window."""
+    st0, tot0 = read_cpu_stat()
+    time.sleep(window_s)
+    st1, tot1 = read_cpu_stat()
+    return 100.0 * (st1 - st0) / max(1, tot1 - tot0)
+
+
+def gate_on_steal(max_steal: float, gate_wait_s: float, label: str) -> float:
+    """Wait (bounded) for a quiet hypervisor window before starting a
+    measurement level.
+
+    This selects the MEASUREMENT WINDOW, never the result: every round
+    inside the window is still reported, and the gate itself (threshold,
+    wait time, pre-start steal) is disclosed in the output. Rationale:
+    this shared-hypervisor sandbox intermittently steals >15% of host
+    CPU (observed 15.6% in BENCH/scale_8_32_r4_big_run2.md), which is
+    noise no code change addresses — the equivalent of benchmarking on
+    an otherwise-loaded machine. A real two-cluster comparison would be
+    run on quiesced clusters; the gate is the sandbox analogue.
+    """
+    waited = 0.0
+    while True:
+        s = sample_steal()
+        if s <= max_steal or waited >= gate_wait_s:
+            sys.stderr.write(
+                f"[gate {label}] steal={s:.2f}% after {waited:.0f}s wait "
+                f"({'quiet' if s <= max_steal else 'TIMEOUT — proceeding anyway'})\n"
+            )
+            return s
+        waited += 15.0 + 45.0
+        time.sleep(45.0)
+
+
 def run_level(submit: str, zip_path: str, corpus: str, cores: int, rounds: int) -> dict:
     # Pin the whole process tree (JVM task threads + Python workers) to
     # exactly `cores` CPUs: a local[N] JVM otherwise borrows idle cores
@@ -71,21 +106,37 @@ def run_level(submit: str, zip_path: str, corpus: str, cores: int, rounds: int) 
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     st0, tot0 = read_cpu_stat()
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=False)
+    # stream stdout so each round's steal can be sampled at its boundary:
+    # per-round steal tells us WHICH rounds were noise-hit, not just
+    # whether the whole level was.
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env
+    )
+    results: list[dict] = []
+    round_steal: list[float] = []
+    rst, rtot = st0, tot0
+    assert proc.stdout is not None
+    captured: list[str] = []
+    for line in proc.stdout:
+        captured.append(line)
+        s = line.strip()
+        if s.startswith("{") and '"cores"' in s:
+            nst, ntot = read_cpu_stat()
+            round_steal.append(round(100.0 * (nst - rst) / max(1, ntot - rtot), 2))
+            rst, rtot = nst, ntot
+            results.append(json.loads(s))
+    proc.wait()
+    err = proc.stderr.read() if proc.stderr else ""
     st1, tot1 = read_cpu_stat()
     steal_pct = 100.0 * (st1 - st0) / max(1, tot1 - tot0)
-    results = []
-    for line in out.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{") and '"cores"' in line:
-            results.append(json.loads(line))
     if not results:
-        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+        sys.stderr.write("".join(captured)[-2000:] + "\n" + err[-4000:] + "\n")
         raise RuntimeError(f"no result line from local[{cores}] run")
     # best across all rounds: round 0 carries JIT warm-up, later rounds
     # can carry allocator/GC drag — min is the fairest steady-state proxy
     best = min(results, key=lambda r: r["elapsed"])
     best["all_rounds"] = [r["elapsed"] for r in results]
+    best["round_steal"] = round_steal
     best["steal_pct"] = round(steal_pct, 2)
     return best
 
@@ -96,6 +147,15 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=600)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    ap.add_argument(
+        "--max-steal", type=float, default=None,
+        help="steal-gate: wait for hypervisor steal <= this %% before each "
+        "level (window selection, disclosed in output; never result selection)",
+    )
+    ap.add_argument(
+        "--gate-wait", type=float, default=1800.0,
+        help="max seconds to wait per level for a quiet window",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -108,7 +168,12 @@ def main() -> None:
     build_zip(zip_path)
     submit = spark_submit_bin()
 
+    gate_small = gate_big = None
+    if args.max_steal is not None:
+        gate_small = gate_on_steal(args.max_steal, args.gate_wait, f"local[{args.n}]")
     small = run_level(submit, zip_path, corpus, args.n, args.rounds)
+    if args.max_steal is not None:
+        gate_big = gate_on_steal(args.max_steal, args.gate_wait, f"local[{args.n * 4}]")
     big = run_level(submit, zip_path, corpus, args.n * 4, args.rounds)
 
     tput_n = small["triples"] / small["elapsed"]
@@ -129,8 +194,13 @@ def main() -> None:
         "triples_per_sec_4n": round(tput_4n, 1),
         "rounds_n": small["all_rounds"],
         "rounds_4n": big["all_rounds"],
+        "round_steal_n": small["round_steal"],
+        "round_steal_4n": big["round_steal"],
         "steal_pct_n": small["steal_pct"],
         "steal_pct_4n": big["steal_pct"],
+        "gate_max_steal": args.max_steal,
+        "gate_start_steal_n": None if gate_small is None else round(gate_small, 2),
+        "gate_start_steal_4n": None if gate_big is None else round(gate_big, 2),
         "pass": eff >= 0.8,
     }
     print(json.dumps(summary))
@@ -162,10 +232,26 @@ Input: deterministic synthetic corpus, {small['docs']} pathway documents
 (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
 
 All rounds (s): local[{args.n}] {small['all_rounds']}, local[{args.n * 4}] {big['all_rounds']}.
-
-Reproduce: `python tools/scaling_bench.py --n {args.n} --replicas {args.replicas} --rounds {args.rounds}`
+Per-round hypervisor steal (%): local[{args.n}] {small['round_steal']},
+local[{args.n * 4}] {big['round_steal']} (level-wide: {small['steal_pct']} / {big['steal_pct']}).
+{_gate_note(args, gate_small, gate_big)}
+Reproduce: `python tools/scaling_bench.py --n {args.n} --replicas {args.replicas} --rounds {args.rounds}`{'' if args.max_steal is None else f' --max-steal {args.max_steal}'}
 """
         )
+
+
+def _gate_note(args, gate_small, gate_big) -> str:
+    if args.max_steal is None:
+        return ""
+    return (
+        f"\nSteal gate: each level waited (<= {args.gate_wait:.0f}s) for a window "
+        f"with hypervisor steal <= {args.max_steal}% before starting "
+        f"(measured {gate_small:.2f}% / {gate_big:.2f}% at level start). The gate "
+        "selects the measurement window only — every round inside it is "
+        "reported above; nothing is discarded after the fact. Rationale: this "
+        "shared host intermittently steals >15% of CPU "
+        "(BENCH/scale_8_32_r4_big_run2.md), noise no engine change addresses.\n"
+    )
 
 
 if __name__ == "__main__":

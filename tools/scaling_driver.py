@@ -19,6 +19,7 @@ this is the sandbox proxy for the north rule's N vs 4N executors run
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -36,20 +37,33 @@ def main() -> None:
     # split-friendly scan: the synthetic corpus is byte-small but
     # compute-heavy (60 MB of spans -> minutes of parsing+rules), so the
     # default 128 MB maxPartitionBytes would fold the whole scan into one
-    # task and serialize the job. 2 MB splits over the multi-file corpus
-    # give every core work — the sandbox analogue of a many-file 100 TB
-    # table, where default split sizing is already fine.
+    # task and serialize the job. But split size must also scale with the
+    # corpus: a FIXED 2 MB split on a 1.4 GB corpus makes ~716 tasks per
+    # scan, and in local mode every task costs single-threaded driver
+    # scheduling/result handling — a corpus-proportional SERIAL cost that
+    # caps N->4N efficiency (measured: the 0.769 run's 4N level carried
+    # ~36 s of non-parallelizing per-round cost at 716-task scans).
+    # Target ~256 tasks (8 waves on 32 cores) regardless of corpus size,
+    # floored at 2 MB so tiny corpora still fan out. The task count is
+    # keyed to the CORPUS (fixed reference parallelism 32), not to this
+    # level's cores, so both levels of the scaling pair run the
+    # IDENTICAL split layout — same job, different core count.
+    corpus_bytes = 0
+    for root, _dirs, files in os.walk(corpus_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                corpus_bytes += os.path.getsize(os.path.join(root, f))
+    split = max(2 * 1024 * 1024, corpus_bytes // 256)
     spark = get_spark(
         master=f"local[{cores}]",
         app_name=f"p2g_scale_{cores}",
         extra={
-            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.maxPartitionBytes": str(split),
             "spark.sql.files.openCostInBytes": str(128 * 1024),
-            # ~8 waves of scan tasks per core: with only ~1 wave the
-            # fused mapInPandas stage's wall is set by its slowest task
-            # (measured 0.50 scaling efficiency at 32 cores on the 68 MB
-            # corpus with 2 MB splits = 34 tasks); many small waves keep
-            # every core busy to the end. Spark sizes splits as
+            # floor for small corpora: ~8 waves of scan tasks per core —
+            # with only ~1 wave the fused mapInPandas stage's wall is set
+            # by its slowest task; many small waves keep every core busy
+            # to the end. Spark sizes splits as
             # min(maxPartitionBytes, max(openCost, bytes/minPartitionNum)).
             "spark.sql.files.minPartitionNum": str(8 * cores),
         },
