@@ -95,10 +95,15 @@ def _stage_b_distributed(
     )
     census = {r["pred"]: r["count"] for r in census_rows}
     has_reg = (census.get(V.INV_POS_REG, 0) + census.get(V.INV_NEG_REG, 0)) > 0
+    # base/adds split (VTriples): the chain tracks the key-unique stage-A
+    # base and the small rule add-sets separately so the final merge can
+    # be shuffle-free (merge_virtual) — the view() snapshots the rules
+    # match against are identical to the plain delta-virtual plan.
+    vt = B.VTriples(t)
     # B10 guard: the drug table is a (cheap, materialized) per-reaction
     # key set; when empty the whole neighbor-derivation join is skipped
     if not drugs_empty:
-        t = B.apply_delta(t, **B.b10_delta(t, drugs, ck=ck), merge=False)
+        vt = B.apply_delta_v(vt, **B.b10_delta(vt.view(), drugs, ck=ck))
     # B1+B2+B3 superstep: the three match sets are provably independent of
     # each other's deltas (B1 touches reaction molecular_event types only;
     # B2 reads io/enabler edges + location-node types; B3 reads exact/
@@ -106,18 +111,17 @@ def _stage_b_distributed(
     # the reference where each SPARQL match runs against its own snapshot
     # before mutation; all three deltas are computed against the same
     # post-B10 snapshot and applied together.
-    t1 = t
+    t1 = vt.view()
     d1, d2, d3 = B.par(
         lambda: B.b1_delta(t1, ck=ck),
         lambda: B.b2_delta(t1, ck=ck),
         lambda: (B.b3_delta(t1, ck=ck, probe=False) if has_reg
                  else {"adds": [], "deletes": []}),
     )
-    t = B.apply_delta(
-        t,
+    vt = B.apply_delta_v(
+        vt,
         adds=d1["adds"] + d2["adds"] + d3["adds"],
         deletes=d1["deletes"] + d3["deletes"],
-        merge=False,
     )
     # mid-chain rebase on BIG inputs only: after the widest delta
     # application the virtual plan carries ~6 broadcast probes, and every
@@ -127,8 +131,11 @@ def _stage_b_distributed(
     # same durability class as every ck in this chain) resets the probe
     # stack to a leaf. Below the row threshold the write costs more than
     # the probes it saves, so small inputs keep the pure virtual chain.
+    # (VTriples: only the base carries the accumulated probe stack — the
+    # adds are already materialized leaves — so the rebase writes the
+    # base alone and the key-uniqueness invariant is preserved.)
     if checkpoint and sum(census.values()) > 1_000_000:
-        t = ck(t)
+        vt = B.VTriples(ck(vt.base), vt.adds)
     # B4/B5 + B6 superstep: B6 matches only inv-reg edges and regulator-
     # node types, which the B4/B5 delta never adds or deletes (it touches
     # causally_upstream / provides_input / directly_regulates edges
@@ -145,7 +152,7 @@ def _stage_b_distributed(
     # (plain event ids, never '~'-keyed). tests/test_properties.py
     # asserts this disjointness on the golden corpus so a future change
     # to inv-reg edge subjects cannot silently break the superstep.
-    t2 = t
+    t2 = vt.view()
     # B6 guard from the census (see above): no inv-reg edges anywhere in
     # the input -> none in this snapshot either -> skip the delta round
     run_b6 = has_reg
@@ -154,18 +161,17 @@ def _stage_b_distributed(
             lambda: (B.b4_b5_delta(t2, dims, ck=ck),),
             lambda: B.b6_delta(t2, dims, ck=ck),
         )
-        t = B.apply_delta(
-            t,
+        vt = B.apply_delta_v(
+            vt,
             adds=d45["adds"] + d6["adds"],
             deletes=d45["deletes"] + d6["deletes"],
             node_deletes=d6["node_deletes"],
-            merge=False,
         )
     else:
         audit = t2.sparkSession.createDataFrame(
             [], "rule string, model_id string, reaction string, detail string"
         )
-        t = B.apply_delta(t, **B.b4_b5_delta(t2, dims, ck=ck), merge=False)
+        vt = B.apply_delta_v(vt, **B.b4_b5_delta(t2, dims, ck=ck))
     # B7+B8 superstep: B8's matches (located_in edges / leftover inv-reg
     # preds) are disjoint from B7's complex-node deletions — B8 applied to
     # the pre-B7 snapshot removes at most the location nodes of deleted
@@ -173,23 +179,25 @@ def _stage_b_distributed(
     # No ck: each hit set is consumed exactly once (the broadcast build
     # of the merge job's anti-join), so materializing it would only add
     # a barrier.
-    d7, d8 = B.b7_delta(t), B.b8_delta(t)
-    t = B.b8_pred_filter(B.apply_delta(
-        t, node_deletes=d7["node_deletes"] + d8["node_deletes"], merge=False,
-    ))
-    # set-dedupe BEFORE B9 — the chain's single full-table shuffle +
-    # materialization: B9 only deletes (key-set semantics unchanged by
-    # dedupe), so merging here keeps B9/B11 on the deduped table and the
-    # B9 output needs no further merge. B9 still runs before the B11
-    # gate, as in the reference (gate at write time).
-    # NOTE (r4): folding B9 into this merge (computing b9_orphans on the
-    # UNMERGED virtual plan) was tried and reverted — it references the
-    # whole delta-chain tree three times, and Catalyst's transform-copy
-    # semantics blow the optimizer up on the tripled tree (driver OOM in
-    # NestedColumnAliasing on deep chains). It also saves nothing real:
-    # B9's node-deletes are broadcast anti-joins on the ck'd table, not
-    # a second full-table shuffle.
-    t = ck(B.merge_triples(t))
+    t3 = vt.view()
+    d7, d8 = B.b7_delta(t3), B.b8_delta(t3)
+    vt = B.apply_delta_v(
+        vt, node_deletes=d7["node_deletes"] + d8["node_deletes"],
+    ).filter_each(B.b8_pred_filter)
+    # set-dedupe BEFORE B9 — materialized once for B9/B11: B9 only
+    # deletes (key-set semantics unchanged by dedupe), so merging here
+    # keeps B9/B11 on the deduped table and the B9 output needs no
+    # further merge. B9 still runs before the B11 gate, as in the
+    # reference (gate at write time).
+    # merge_virtual (r4) replaces merge_triples here: the base/adds split
+    # means the fact table never enters a hash exchange — only add-set
+    # keys (rule-match bounded) are grouped; the base flows to the ck
+    # write through broadcast probes. (Folding B9 itself into the merge
+    # was tried and reverted in early r4 — it references the whole
+    # delta-chain tree three times and blew up Catalyst on deep chains.
+    # The base/adds split avoids that: the multiply-referenced node is
+    # the checkpointed base leaf, not the chain tree.)
+    t = ck(B.merge_virtual(vt, ck=ck))
     t = B.b9_clean_unconnected(t, merge=False)
     t = B.b11_model_gate(t, dims)
     return t, audit

@@ -34,6 +34,10 @@ from .dims import Dims
 _KEY = ["model_id", "subj", "pred", "obj"]
 
 
+def _ident(df: DataFrame) -> DataFrame:
+    return df
+
+
 def _adds(df: DataFrame, subj, pred, obj, rule: str) -> DataFrame:
     lit = lambda x: F.lit(x) if isinstance(x, str) else x  # noqa: E731
     return df.select(
@@ -83,11 +87,18 @@ def apply_delta(
         nd_all = node_deletes[0].select("model_id", "node")
         for nd in node_deletes[1:]:
             nd_all = nd_all.unionByName(nd.select("model_id", "node"))
-        nodes = F.broadcast(nd_all.distinct())
-        t = t.join(nodes, (t.model_id == nodes.model_id) & (t.subj == nodes.node),
-                   "left_anti")
-        t = t.join(nodes, (t.model_id == nodes.model_id) & (t.obj == nodes.node),
-                   "left_anti")
+        # alias the broadcast side: the delete sets derive FROM t, so an
+        # unaliased model_id==model_id predicate is ambiguous under
+        # shared lineage (Spark disambiguates but warns)
+        nodes = F.broadcast(nd_all.distinct().select(
+            F.col("model_id").alias("__nd_mid"), F.col("node").alias("__nd_node")
+        ))
+        t = t.join(
+            nodes, (t.model_id == nodes.__nd_mid) & (t.subj == nodes.__nd_node),
+            "left_anti")
+        t = t.join(
+            nodes, (t.model_id == nodes.__nd_mid) & (t.obj == nodes.__nd_node),
+            "left_anti")
     for a in adds or []:
         t = t.unionByName(a)
     return merge_triples(t) if merge else t
@@ -99,6 +110,107 @@ def merge_triples(t: DataFrame) -> DataFrame:
     return t.groupBy(*_KEY).agg(
         F.min("evidence").alias("evidence"), F.min("rule").alias("rule")
     )
+
+
+class VTriples:
+    """Base + adds decomposition of the delta-virtual rule chain.
+
+    Invariant: `base` is key-unique on (model_id, subj, pred, obj) — it is
+    the stage-A dedupe output with only anti-joins applied, and anti-joins
+    preserve uniqueness. `adds` are the small materialized rule add-sets
+    (each distinct within itself; may collide with base or each other).
+
+    The current snapshot a rule matches against is `view()` = base UNION
+    adds — exactly the plan the plain DataFrame chain builds — but keeping
+    the two parts separate lets `merge_virtual` produce the final
+    set-semantics table WITHOUT the full-table hash exchange
+    merge_triples pays: only rows whose key collides with an add-set key
+    (bounded by rule matches, never corpus size) go through a groupBy;
+    the rest of the fact table moves base -> sink with broadcast-hash
+    probes only. On the 150k-reaction skew bench that removes the chain's
+    one remaining full-table shuffle."""
+
+    __slots__ = ("base", "adds")
+
+    def __init__(self, base: DataFrame, adds: tuple = ()):
+        self.base = base
+        self.adds = tuple(adds)
+
+    def view(self) -> DataFrame:
+        t = self.base
+        for a in self.adds:
+            t = t.unionByName(a)
+        return t
+
+    def filter_each(self, fn) -> "VTriples":
+        """Apply a uniqueness-preserving row filter to every component."""
+        return VTriples(fn(self.base), tuple(fn(a) for a in self.adds))
+
+
+def apply_delta_v(
+    vt: VTriples,
+    adds: list[DataFrame] | None = None,
+    deletes: list[DataFrame] | None = None,
+    node_deletes: list[DataFrame] | None = None,
+) -> VTriples:
+    """apply_delta with the base/adds split kept explicit. Semantics are
+    identical to apply_delta(view, ..., merge=False): delete key sets
+    anti-join every component accumulated SO FAR (base and prior adds —
+    a later rule's delete also removes an earlier rule's adds, as in the
+    reference's in-place mutation), then the call's own adds are
+    appended unfiltered."""
+    base, prior = vt.base, list(vt.adds)
+    if deletes:
+        allk = deletes[0].select(*_KEY)
+        for d in deletes[1:]:
+            allk = allk.unionByName(d.select(*_KEY))
+        bk = F.broadcast(allk.distinct())
+        base = base.join(bk, _KEY, "left_anti")
+        prior = [a.join(bk, _KEY, "left_anti") for a in prior]
+    if node_deletes:
+        nd_all = node_deletes[0].select("model_id", "node")
+        for nd in node_deletes[1:]:
+            nd_all = nd_all.unionByName(nd.select("model_id", "node"))
+        # aliased broadcast side — see apply_delta
+        nodes = F.broadcast(nd_all.distinct().select(
+            F.col("model_id").alias("__nd_mid"), F.col("node").alias("__nd_node")
+        ))
+
+        def _nd(t: DataFrame) -> DataFrame:
+            t = t.join(nodes, (t.model_id == nodes.__nd_mid)
+                       & (t.subj == nodes.__nd_node), "left_anti")
+            return t.join(nodes, (t.model_id == nodes.__nd_mid)
+                          & (t.obj == nodes.__nd_node), "left_anti")
+
+        base = _nd(base)
+        prior = [_nd(a) for a in prior]
+    return VTriples(base, tuple(prior) + tuple(adds or ()))
+
+
+def merge_virtual(vt: VTriples, ck=_ident) -> DataFrame:
+    """Set-semantics merge of a VTriples — the shuffle-free replacement
+    for merge_triples(vt.view()): the fact table never enters a hash
+    exchange; only add-set keys (rule-match bounded) are grouped.
+
+      A     = merge_triples(union of adds)            (small shuffle)
+      rest  = base ANTI A.keys                        (broadcast probe)
+      coll  = base SEMI A.keys                        (broadcast probe)
+      out   = rest UNION merge_triples(coll UNION A)  (small shuffle)
+
+    Equivalence to merge_triples(view): base is key-unique, so min
+    evidence/rule per key only has work to do where an add-set key
+    appears — exactly the coll/A slice; every other base row is already
+    the unique representative."""
+    if not vt.adds:
+        return vt.base
+    a = vt.adds[0]
+    for x in vt.adds[1:]:
+        a = a.unionByName(x)
+    a = ck(merge_triples(a))
+    akeys = F.broadcast(a.select(*_KEY))
+    rest = vt.base.join(akeys, _KEY, "left_anti")
+    coll = vt.base.join(akeys, _KEY, "left_semi")
+    return rest.unionByName(merge_triples(coll.unionByName(a)))
 
 
 def _p(t: DataFrame, pred: str, s: str = "subj", o: str = "obj") -> DataFrame:
@@ -126,10 +238,6 @@ def _same_pathway_causal(t: DataFrame) -> DataFrame:
 # B10 (runs first): drug-reaction removal (wrapAndWrite BioPaxtoGO.java:552-559;
 # GoCAM.removeDrugReactions :2009-2075)
 # ----------------------------------------------------------------------
-
-def _ident(df: DataFrame) -> DataFrame:
-    return df
-
 
 def par(*fns):
     """Run independent delta/hit computations on concurrent driver

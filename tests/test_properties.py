@@ -181,3 +181,69 @@ def test_routing_seams_produce_identical_triples(spark, documents, fixture_paths
             ).triples
         )
         assert got == ref, f"local_threshold={thr} changed the triple set"
+
+
+# ----------------------------------------------------------------------
+# VTriples / merge_virtual equivalence (stage_b.py): the base/adds split
+# with a shuffle-free final merge must produce EXACTLY what the plain
+# delta-virtual chain + merge_triples produces, for arbitrary interleaved
+# add/delete/node-delete sequences over a key-unique base.
+# ----------------------------------------------------------------------
+
+_T_SCHEMA = ("model_id string, subj string, pred string, obj string, "
+             "evidence string, rule string")
+
+IDS = st.sampled_from([f"n{i}" for i in range(6)])
+PREDS = st.sampled_from(["type", "part_of", "enabled_by", "located_in"])
+EV = st.sampled_from(["ECO:1", "ECO:2"])
+RULE = st.sampled_from(["A1", "B2", "B4"])
+
+
+@st.composite
+def delta_script(draw):
+    """A key-unique base plus 1-3 delta rounds, each with optional adds
+    (may collide with base/each other), delete keys, and node deletes."""
+    triple = st.tuples(st.just("m"), IDS, PREDS, IDS, EV, RULE)
+    base_rows = {(r[0], r[1], r[2], r[3]): r
+                 for r in draw(st.lists(triple, min_size=1, max_size=10))}
+    base = sorted(base_rows.values())
+    rounds = []
+    for _ in range(draw(st.integers(1, 3))):
+        adds = draw(st.lists(triple, min_size=0, max_size=5))
+        dels = [r[:4] for r in draw(st.lists(triple, min_size=0, max_size=3))]
+        nodes = draw(st.lists(st.tuples(st.just("m"), IDS),
+                              min_size=0, max_size=2))
+        rounds.append((adds, dels, nodes))
+    return base, rounds
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(script=delta_script())
+def test_merge_virtual_matches_plain_chain(spark, script):
+    from pathways2go_spark import stage_b as B
+
+    base_rows, rounds = script
+    base = spark.createDataFrame(base_rows, _T_SCHEMA)
+    t_plain = base
+    vt = B.VTriples(base)
+    for adds, dels, nodes in rounds:
+        a = ([spark.createDataFrame(adds, _T_SCHEMA).distinct()]
+             if adds else [])
+        d = ([spark.createDataFrame(
+                dels, "model_id string, subj string, pred string, obj string"
+             ).distinct()] if dels else [])
+        nd = ([spark.createDataFrame(nodes, "model_id string, node string")]
+              if nodes else [])
+        t_plain = B.apply_delta(t_plain, adds=a, deletes=d,
+                                node_deletes=nd, merge=False)
+        vt = B.apply_delta_v(vt, adds=a, deletes=d, node_deletes=nd)
+    expected = B.merge_triples(t_plain)
+    actual = B.merge_virtual(vt)
+    cols = ["model_id", "subj", "pred", "obj", "evidence", "rule"]
+    assert sorted(map(tuple, actual.select(*cols).collect())) == sorted(
+        map(tuple, expected.select(*cols).collect())
+    )
+    # merge_virtual output is key-unique (set semantics)
+    keys = [tuple(r) for r in actual.select(*cols[:4]).collect()]
+    assert len(keys) == len(set(keys))
