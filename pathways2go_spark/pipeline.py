@@ -197,7 +197,10 @@ def _stage_b_distributed(
     # delta-chain tree three times and blew up Catalyst on deep chains.
     # The base/adds split avoids that: the multiply-referenced node is
     # the checkpointed base leaf, not the chain tree.)
-    t = ck(B.merge_virtual(vt, ck=ck))
+    # no outer ck: merge_virtual materializes the single base scan
+    # internally; the returned plan is a leaf scan + a small anti-join,
+    # cheap for B9/B11 to re-reference.
+    t = B.merge_virtual(vt, ck=ck)
     t = B.b9_clean_unconnected(t, merge=False)
     t = B.b11_model_gate(t, dims)
     return t, audit

@@ -190,27 +190,50 @@ def apply_delta_v(
 def merge_virtual(vt: VTriples, ck=_ident) -> DataFrame:
     """Set-semantics merge of a VTriples — the shuffle-free replacement
     for merge_triples(vt.view()): the fact table never enters a hash
-    exchange; only add-set keys (rule-match bounded) are grouped.
+    exchange and is scanned exactly ONCE.
 
-      A     = merge_triples(union of adds)            (small shuffle)
-      rest  = base ANTI A.keys                        (broadcast probe)
-      coll  = base SEMI A.keys                        (broadcast probe)
-      out   = rest UNION merge_triples(coll UNION A)  (small shuffle)
+      1. each add frame is materialized concurrently (small eager jobs —
+         their accumulated delete-probe stacks are paid once, in
+         parallel, instead of once per downstream reference);
+      2. A = merge_triples(union of add leaves) — a small shuffle;
+      3. combined = base LEFT-JOIN broadcast(A) with a hit flag,
+         min-combining evidence/rule per key in the join projection —
+         the single scan of the fact table, materialized by `ck`;
+      4. A-only rows (keys absent from base) = A anti the (small,
+         A-bounded) collided-key set read back off the combined leaf.
 
     Equivalence to merge_triples(view): base is key-unique, so min
     evidence/rule per key only has work to do where an add-set key
-    appears — exactly the coll/A slice; every other base row is already
-    the unique representative."""
+    appears — the left join computes exactly that min (F.least skips
+    nulls like the min aggregate), every other base row is already the
+    unique representative, and A-only keys keep A's pre-merged row.
+
+    The returned plan is (combined-leaf scan) UNION (small anti-join) —
+    cheap to re-reference, so callers should NOT re-checkpoint it."""
     if not vt.adds:
         return vt.base
-    a = vt.adds[0]
-    for x in vt.adds[1:]:
+    adds = par(*[lambda a=a: ck(a) for a in vt.adds])
+    a = adds[0]
+    for x in adds[1:]:
         a = a.unionByName(x)
     a = ck(merge_triples(a))
-    akeys = F.broadcast(a.select(*_KEY))
-    rest = vt.base.join(akeys, _KEY, "left_anti")
-    coll = vt.base.join(akeys, _KEY, "left_semi")
-    return rest.unionByName(merge_triples(coll.unionByName(a)))
+    a_side = a.select(
+        *_KEY,
+        F.col("evidence").alias("__aev"), F.col("rule").alias("__arl"),
+        F.lit(True).alias("__hit"),
+    )
+    j = vt.base.join(F.broadcast(a_side), _KEY, "left")
+    combined = ck(j.select(
+        *_KEY,
+        F.when(F.col("__hit").isNull(), F.col("evidence"))
+        .otherwise(F.least("evidence", "__aev")).alias("evidence"),
+        F.when(F.col("__hit").isNull(), F.col("rule"))
+        .otherwise(F.least("rule", "__arl")).alias("rule"),
+        F.coalesce("__hit", F.lit(False)).alias("__hit"),
+    ))
+    coll_keys = combined.filter("__hit").select(*_KEY)
+    a_only = a.join(F.broadcast(coll_keys), _KEY, "left_anti")
+    return combined.drop("__hit").unionByName(a_only)
 
 
 def _p(t: DataFrame, pred: str, s: str = "subj", o: str = "obj") -> DataFrame:

@@ -88,37 +88,43 @@ def main() -> None:
 
     ck = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
 
-    t1 = clock("b10", lambda: B.apply_delta(
-        t, **B.b10_delta(t, drugs, ck=ck), merge=False))
+    # mirror the production chain (pipeline._stage_b_distributed):
+    # VTriples base/adds split, same supersteps, merge_virtual at the end
+    v1 = clock("b10", lambda: B.apply_delta_v(
+        B.VTriples(t), **B.b10_delta(t, drugs, ck=ck)))
 
     def b123():
+        t1 = v1.view()
         d1, d2, d3 = B.par(
             lambda: B.b1_delta(t1, ck=ck),
             lambda: B.b2_delta(t1, ck=ck),
             lambda: B.b3_delta(t1, ck=ck),
         )
-        return B.apply_delta(
-            t1, adds=d1["adds"] + d2["adds"] + d3["adds"],
-            deletes=d1["deletes"] + d3["deletes"], merge=False)
+        return B.apply_delta_v(
+            v1, adds=d1["adds"] + d2["adds"] + d3["adds"],
+            deletes=d1["deletes"] + d3["deletes"])
 
-    t2 = clock("b1_b2_b3", b123)
-    t3 = clock("b4_b5", lambda: B.apply_delta(
-        t2, **B.b4_b5_delta(t2, dims, ck=ck), merge=False))
+    v2 = clock("b1_b2_b3", b123)
+    # mid-chain rebase on big inputs, as the pipeline does
+    v2 = clock("rebase", lambda: B.VTriples(ck(v2.base), v2.adds))
+    v3 = clock("b4_b5", lambda: B.apply_delta_v(
+        v2, **B.b4_b5_delta(v2.view(), dims, ck=ck)))
 
     def b6():
-        d6, _audit = B.b6_delta(t3, dims, ck=ck)
-        return B.apply_delta(t3, **d6, merge=False)
+        d6, _audit = B.b6_delta(v3.view(), dims, ck=ck)
+        return B.apply_delta_v(v3, **d6)
 
-    t4 = clock("b6", b6)
+    v4 = clock("b6", b6)
 
     def b78():
+        t4 = v4.view()
         d7, d8 = B.b7_delta(t4), B.b8_delta(t4)
-        return B.b8_pred_filter(B.apply_delta(
-            t4, node_deletes=d7["node_deletes"] + d8["node_deletes"],
-            merge=False))
+        return B.apply_delta_v(
+            v4, node_deletes=d7["node_deletes"] + d8["node_deletes"],
+        ).filter_each(B.b8_pred_filter)
 
-    t5 = clock("b7_b8", b78)
-    t6 = clock("merge", lambda: ck(B.merge_triples(t5)))
+    v5 = clock("b7_b8", b78)
+    t6 = clock("merge", lambda: ck(B.merge_virtual(v5, ck=ck)))
     t7 = clock("b9", lambda: B.b9_clean_unconnected(t6, merge=False))
     t8 = clock("b11_gate_count", lambda: B.b11_model_gate(t7, dims).count())
 
