@@ -43,6 +43,7 @@ from pathways2go_spark import reports as RP
 from pathways2go_spark import similarity as SIM
 from pathways2go_spark import textops as TX
 from pathways2go_spark import vocab as V
+from pathways2go_spark.layout import layout as LAYOUT
 from pathways2go_spark.datagen import ensure_fixture
 from pathways2go_spark.dims import load_dims
 from pathways2go_spark.ingest import (
@@ -233,6 +234,13 @@ def q_kg_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_relation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.relation_counts(_kg(spark)[0])
+
+
+def q_kg_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noctua editor layout (layout.py — deterministic re-expression of
+    SemanticNoctuaLayout.java:48-247): every laid-out individual with
+    its editor x/y coordinate, over the fixture corpus triples."""
+    return LAYOUT(_kg(spark)[0])
 
 
 def q_kg_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_span_invariant": q_kg_span_invariant,
         "kg_relation_counts": q_kg_relation_counts,
         "kg_corpus_summary": q_kg_corpus_summary,
+        "kg_layout": q_kg_layout,
         "kg_bp_nodes": q_kg_bp_nodes,
         "kg_mf_nodes": q_kg_mf_nodes,
         "kg_component_locations": q_kg_component_locations,
@@ -1892,5 +1901,147 @@ def oracle_sql() -> dict[str, str]:
           FROM ({sql["sim_ann_ivf_topk"]}) a
           JOIN ({sql["sim_cosine_topk"]}) e USING (vec_id)
         ) ORDER BY method
+    """
+    # Noctua layout oracle: the deterministic SemanticNoctuaLayout
+    # re-expression (layout.py) as one recursive-CTE query. trunc() not
+    # CAST for the circle coordinates — DuckDB CAST rounds, Java/Spark
+    # double->long truncates.
+    lay_causal = "', '".join([
+        V.DIRECTLY_NEG_REGULATES, V.DIRECTLY_POS_REGULATES,
+        V.DIRECTLY_NEG_REGULATED_BY, V.DIRECTLY_POS_REGULATED_BY,
+        V.PROVIDES_INPUT, V.CAUSALLY_UPSTREAM,
+    ])
+    sql["kg_layout"] = f"""
+        WITH RECURSIVE
+        me AS (SELECT DISTINCT model_id, subj AS node FROM '{tri}'
+               WHERE pred = '{V.TYPE}' AND obj = '{V.MOLECULAR_EVENT}'),
+        pf AS (SELECT DISTINCT t.model_id, t.subj AS node, t.obj AS pathway
+               FROM '{tri}' t
+               JOIN me ON t.model_id = me.model_id AND t.subj = me.node
+               WHERE t.pred = '{V.PART_OF}'),
+        pathways AS (SELECT DISTINCT model_id, pathway AS node FROM pf),
+        reactions AS (SELECT DISTINCT model_id, node FROM pf),
+        causal AS (SELECT DISTINCT model_id, subj, obj FROM '{tri}'
+                   WHERE pred IN ('{lay_causal}')),
+        deg AS (
+          SELECT r.model_id, r.node,
+                 coalesce(i.c, 0) AS in_deg, coalesce(o.c, 0) AS out_deg
+          FROM reactions r
+          LEFT JOIN (SELECT model_id, subj AS node, count(*) AS c
+                     FROM causal GROUP BY 1, 2) o
+                 ON o.model_id = r.model_id AND o.node = r.node
+          LEFT JOIN (SELECT model_id, obj AS node, count(*) AS c
+                     FROM causal GROUP BY 1, 2) i
+                 ON i.model_id = r.model_id AND i.node = r.node),
+        cls AS (SELECT model_id, node,
+                       CASE WHEN in_deg = 0 AND out_deg = 0 THEN 'island'
+                            WHEN in_deg = 0 THEN 'root'
+                            ELSE 'member' END AS klass
+                FROM deg),
+        flags AS (SELECT model_id,
+                         max(CASE WHEN klass = 'root' THEN 1 ELSE 0 END)
+                             AS has_roots,
+                         max(CASE WHEN klass = 'member' THEN 1 ELSE 0 END)
+                             AS has_members
+                  FROM cls GROUP BY 1),
+        reach(model_id, node, root, depth) AS (
+          SELECT model_id, node, node, 0 FROM cls WHERE klass = 'root'
+          UNION
+          SELECT c.model_id, c.obj, r.root, r.depth + 1
+          FROM reach r
+          JOIN causal c ON c.model_id = r.model_id AND c.subj = r.node
+          WHERE r.depth < 128),
+        agg AS (SELECT model_id, node, min(root) AS root,
+                       max(depth) AS depth
+                FROM reach GROUP BY 1, 2),
+        chain AS (SELECT c.model_id, c.node, c.klass, a.root, a.depth
+                  FROM cls c
+                  JOIN flags f ON f.model_id = c.model_id
+                  LEFT JOIN agg a ON a.model_id = c.model_id
+                                 AND a.node = c.node
+                  WHERE f.has_roots = 1 AND c.klass <> 'island'),
+        root_rank AS (
+          SELECT model_id, root,
+                 row_number() OVER (PARTITION BY model_id ORDER BY root) - 1
+                     AS chain_row
+          FROM (SELECT DISTINCT model_id, root FROM chain
+                WHERE root IS NOT NULL)),
+        chain_rows AS (
+          SELECT ch.model_id, ch.node, ch.klass,
+                 250 + ch.depth * 350 AS x, 20 + rr.chain_row * 500 AS y
+          FROM chain ch
+          JOIN root_rank rr ON rr.model_id = ch.model_id
+                           AND rr.root = ch.root
+          WHERE ch.root IS NOT NULL),
+        n_chains AS (SELECT model_id, max(chain_row) AS max_row
+                     FROM root_rank GROUP BY 1),
+        stray AS (
+          SELECT ch.model_id, ch.node, ch.klass,
+                 row_number() OVER (PARTITION BY ch.model_id
+                                    ORDER BY ch.node) - 1 AS stray_row
+          FROM chain ch WHERE ch.root IS NULL),
+        stray_rows AS (
+          SELECT s.model_id, s.node, s.klass, 250 AS x,
+                 20 + (n.max_row + 1 + s.stray_row) * 500 AS y
+          FROM stray s JOIN n_chains n ON n.model_id = s.model_id),
+        n_rows AS (
+          SELECT model_id, (max(y) - 20) / 500 + 1 AS rows_used
+          FROM (SELECT model_id, y FROM chain_rows
+                UNION ALL SELECT model_id, y FROM stray_rows)
+          GROUP BY 1),
+        rooted_islands AS (
+          SELECT c.model_id, c.node, c.klass,
+                 250 + (row_number() OVER (PARTITION BY c.model_id
+                                           ORDER BY c.node) - 1) * 350 AS x,
+                 20 + coalesce(n.rows_used, 0) * 500 AS y
+          FROM cls c
+          JOIN flags f ON f.model_id = c.model_id
+          LEFT JOIN n_rows n ON n.model_id = c.model_id
+          WHERE f.has_roots = 1 AND c.klass = 'island'),
+        island_only AS (
+          SELECT c.model_id, c.node, c.klass,
+                 250 + (row_number() OVER (PARTITION BY c.model_id
+                                           ORDER BY c.node) - 1) * 200 AS x,
+                 20 AS y
+          FROM cls c JOIN flags f ON f.model_id = c.model_id
+          WHERE f.has_roots = 0 AND f.has_members = 0),
+        circ_islands AS (
+          SELECT c.model_id, c.node, c.klass,
+                 250 + (row_number() OVER (PARTITION BY c.model_id
+                                           ORDER BY c.node) - 1) * 75 AS x,
+                 20 AS y
+          FROM cls c JOIN flags f ON f.model_id = c.model_id
+          WHERE f.has_roots = 0 AND f.has_members = 1
+            AND c.klass = 'island'),
+        members AS (
+          SELECT c.model_id, c.node, c.klass
+          FROM cls c JOIN flags f ON f.model_id = c.model_id
+          WHERE f.has_roots = 0 AND f.has_members = 1
+            AND c.klass = 'member'),
+        circ_members AS (
+          SELECT model_id, node, klass,
+                 trunc(800.0 + 600.0 * cos(
+                   (row_number() OVER (PARTITION BY model_id ORDER BY node)
+                    - 1)
+                   * (2 * pi() / (count(*) OVER (PARTITION BY model_id)))))
+                     AS x,
+                 trunc(700.0 - 600.0 * sin(
+                   (row_number() OVER (PARTITION BY model_id ORDER BY node)
+                    - 1)
+                   * (2 * pi() / (count(*) OVER (PARTITION BY model_id)))))
+                     AS y
+          FROM members)
+        SELECT model_id, node, klass,
+               CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+        FROM (
+          SELECT model_id, node, 'pathway' AS klass, 20 AS x, 20 AS y
+          FROM pathways
+          UNION ALL SELECT * FROM chain_rows
+          UNION ALL SELECT * FROM stray_rows
+          UNION ALL SELECT * FROM rooted_islands
+          UNION ALL SELECT * FROM island_only
+          UNION ALL SELECT * FROM circ_islands
+          UNION ALL SELECT * FROM circ_members
+        )
     """
     return sql
