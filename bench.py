@@ -42,6 +42,26 @@ def read_cpu_stat() -> tuple[int, int]:
     return steal, sum(vals)
 
 
+def steal_gate(max_steal: float, max_wait_s: float) -> tuple[float, float]:
+    """Wait (bounded) for a hypervisor-steal-quiet window before the
+    measured run starts — WINDOW selection only, never result selection:
+    the run proceeds after max_wait_s regardless, every round is
+    reported, and the gate reading lands in the output JSON. Same
+    methodology as tools/scaling_bench.py (BENCH/BASELINE.md): this
+    shared host intermittently steals >5% of CPU, noise no engine change
+    addresses. Disable with SPARK_GRAFT_BENCH_GATE_STEAL=100."""
+    waited = 0.0
+    while True:
+        s0, t0 = read_cpu_stat()
+        time.sleep(2.0)
+        s1, t1 = read_cpu_stat()
+        pct = 100.0 * (s1 - s0) / max(1, t1 - t0)
+        if pct <= max_steal or waited >= max_wait_s:
+            return round(pct, 2), round(waited, 1)
+        waited += 2.0 + 8.0
+        time.sleep(8.0)
+
+
 def main() -> None:
     import __spark_entry__ as E
     from pathways2go_spark.datagen import ensure_fixture
@@ -62,6 +82,10 @@ def main() -> None:
 
     kg_dir = f"/root/repo/.kg_bench_r{replicas}"
     paths = ensure_fixture(kg_dir, replicas=replicas)
+
+    gate_max = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_STEAL", "2.0"))
+    gate_wait = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "600"))
+    gate_steal, gate_waited = steal_gate(gate_max, gate_wait)
 
     # split-friendly scans: the KG corpus is byte-small but compute-heavy,
     # so default 128 MB splits would serialize the document scan into one
@@ -133,6 +157,9 @@ def main() -> None:
         "query_rounds": all_rounds,
         "rounds": rounds,
         "steal_pct": round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 2),
+        "gate_max_steal": gate_max,
+        "gate_start_steal": gate_steal,
+        "gate_waited_s": gate_waited,
         "sf": sf,
         "master": master,
         "kg_docs": n_docs,
