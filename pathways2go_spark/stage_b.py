@@ -71,8 +71,10 @@ def apply_delta(
     duplicate (model_id,subj,pred,obj) keys (rule matches are themselves
     deduped via distinct() on the hit/add/delete sets, so duplicates only
     multiply intermediate rows, never change any rule's match set). The
-    rule chain runs merge=False end to end and pays ONE final full-table
-    groupBy instead of ten (merge_triples)."""
+    production chain goes further: it tracks state as a VTriples
+    (apply_delta_v) and finishes with merge_virtual, so the fact table
+    never enters a hash exchange at all; this plain-DataFrame form is
+    kept for single-delta callers and as the property-test reference."""
     t = triples
     # set difference is associative: union the call's delete key sets
     # first so the fact table pays ONE broadcast anti-join per key shape
