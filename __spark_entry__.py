@@ -525,6 +525,23 @@ def q_sim_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(SIM.cosine_scores(idx, q), k=10)
 
 
+def q_sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (similarity.ann_topk_ivfpq): coarse-probe 4 of 16
+    cells, then rank the survivors by the ADC sum of their 4 product-
+    quantization codes — the compressed-vector scale path on top of
+    IVF-flat. Coarse centroids and sub-codebooks derive from the first
+    16 vectors (trained kmeans_fit codebooks in production)."""
+    q = _query_vec(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    first16 = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    cbs = SIM.pq_codebooks_from_rows(first16, m=4)
+    return SIM.ann_topk_ivfpq(emb, q, first16, cbs, k=10, probe=4,
+                              round_to=6)
+
+
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the LSH and IVF ANN paths against exact cosine
     (similarity.ann_recall): the quality harness — ANN queries above
@@ -534,9 +551,10 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = q_sim_cosine_topk(spark, sf_dir).select("vec_id")
     lsh = q_sim_ann_lsh_topk(spark, sf_dir).select("vec_id")
     ivf = q_sim_ann_ivf_topk(spark, sf_dir).select("vec_id")
+    pq = q_sim_ann_ivfpq_topk(spark, sf_dir).select("vec_id")
     return SIM.ann_recall(exact, lsh, "lsh", 10).unionByName(
         SIM.ann_recall(exact, ivf, "ivf", 10)
-    )
+    ).unionByName(SIM.ann_recall(exact, pq, "ivfpq", 10))
 
 
 def q_media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_topk": q_sim_ann_ivf_topk,
         "sim_ann_ivf_trained": q_sim_ann_ivf_trained,
         "sim_ann_recall": q_sim_ann_recall,
+        "sim_ann_ivfpq_topk": q_sim_ann_ivfpq_topk,
         "media_kind_stats": q_media_kind_stats,
         "media_feature_bytes": q_media_feature_bytes,
         "events_hourly": q_events_hourly,
@@ -1887,6 +1906,84 @@ def oracle_sql() -> dict[str, str]:
     # the materialized-index probe returns exactly what the on-the-fly
     # probe returns (same buckets, same multi-probe set) — shared oracle
     sql["sim_ann_lsh_indexed"] = sql["sim_ann_lsh_topk"]
+    # IVF-PQ oracle: coarse probe (the proven IVF CTEs) + product-
+    # quantization codes and ADC ranking, all derived from the data. The
+    # d2 composition (xx - 2*xy + yy from list_dot_product, rounded 6)
+    # and first-index argmin tie-break mirror similarity.pq_encode.
+    M, SUBD = 4, 16
+    dd = "CAST({} AS DOUBLE[])"
+    code_ctes, lut_ctes, code_joins, lut_joins = [], [], [], []
+    for m in range(M):
+        lo, hi = m * SUBD + 1, (m + 1) * SUBD
+        es = dd.format(f"e.embedding[{lo}:{hi}]")
+        cs = dd.format(f"c.ce[{lo}:{hi}]")
+        qs = dd.format(f"q.qe[{lo}:{hi}]")
+        code_ctes.append(f"""
+        code{m} AS (
+          SELECT vec_id, cid AS code FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round(list_dot_product({es}, {es})
+                                    - 2 * list_dot_product({es}, {cs})
+                                    + list_dot_product({cs}, {cs}), 6) ASC,
+                              c.cid ASC) AS rn
+            FROM cand e CROSS JOIN c
+          ) WHERE rn = 1)""")
+        lut_ctes.append(f"""
+        lut{m} AS (
+          SELECT c.cid,
+                 round(list_dot_product({qs}, {qs})
+                       - 2 * list_dot_product({qs}, {cs})
+                       + list_dot_product({cs}, {cs}), 6) AS d2
+          FROM c CROSS JOIN q)""")
+        code_joins.append(f"JOIN code{m} ON code{m}.vec_id = cand.vec_id")
+        lut_joins.append(f"JOIN lut{m} ON lut{m}.cid = code{m}.code")
+    adc = " + ".join(f"lut{m}.d2" for m in range(M))
+    sql["sim_ann_ivfpq_topk"] = f"""
+        WITH c AS (
+          SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id < 16
+        ), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        sims AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(c.ce AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(c.ce AS DOUBLE[]),
+                                                  CAST(c.ce AS DOUBLE[])))),
+                       6) AS sim
+          FROM embeddings e CROSS JOIN c
+        ), assigned AS (
+          SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid ASC) AS rn
+            FROM sims
+          ) WHERE rn = 1
+        ), probe AS (
+          SELECT cid AS cell FROM (
+            SELECT c.cid,
+                   round(list_dot_product(CAST(c.ce AS DOUBLE[]),
+                                          CAST(q.qe AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(c.ce AS DOUBLE[]),
+                                                  CAST(c.ce AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                                    CAST(q.qe AS DOUBLE[])))),
+                         6) AS qsim
+            FROM c CROSS JOIN q
+            ORDER BY qsim DESC, cid ASC LIMIT 4
+          )
+        ), cand AS (
+          SELECT a.vec_id, a.embedding FROM assigned a
+          JOIN probe p ON a.cell = p.cell
+        ),{",".join(code_ctes)},{",".join(lut_ctes)}
+        SELECT cand.vec_id, round({adc}, 6) AS approx_d2
+        FROM cand
+        {" ".join(code_joins)}
+        {" ".join(lut_joins)}
+        ORDER BY approx_d2 ASC, cand.vec_id ASC LIMIT 10
+    """
     # recall@10 harness: composed from the three proven top-k bodies
     # above (DuckDB allows WITH inside a FROM subquery), joined on vec_id
     sql["sim_ann_recall"] = f"""
@@ -1899,6 +1996,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'ivf' AS method, CAST(10 AS BIGINT) AS k,
                  count(*) AS hits, count(*) / 10.0 AS recall
           FROM ({sql["sim_ann_ivf_topk"]}) a
+          JOIN ({sql["sim_cosine_topk"]}) e USING (vec_id)
+          UNION ALL
+          SELECT 'ivfpq' AS method, CAST(10 AS BIGINT) AS k,
+                 count(*) AS hits, count(*) / 10.0 AS recall
+          FROM ({sql["sim_ann_ivfpq_topk"]}) a
           JOIN ({sql["sim_cosine_topk"]}) e USING (vec_id)
         ) ORDER BY method
     """

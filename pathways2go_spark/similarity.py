@@ -288,6 +288,136 @@ def ann_topk_ivf(
 
 
 # ----------------------------------------------------------------------
+# IVF-PQ: product quantization on top of the IVF coarse cells.
+#
+# At 100 TB of float32 embeddings the candidate set that survives the
+# coarse probe still cannot be ranked by reading full vectors — PQ
+# compresses each vector to M small codes (argmin sub-codebook entry per
+# subspace) and ranks candidates by an asymmetric-distance (ADC) sum of
+# M lookup-table entries. Codes are one narrow codegen'd pass over the
+# corpus (computed once, stored beside the cell key); a query builds its
+# M x K lookup table driver-side and ranking touches only codes, never
+# vectors. Everything is deterministic across engines: distances compose
+# from the same sequential-fold dot products the cosine path uses
+# (xx - 2xy + yy), rounded before every argmin/sum, first-index tie
+# break — the DuckDB oracle reproduces the math bit-for-bit.
+# ----------------------------------------------------------------------
+
+def _dot_self(col: Column) -> Column:
+    return F.aggregate(col, F.lit(0.0),
+                       lambda a, x: a + x.cast("double") * x.cast("double"))
+
+
+def _pydot(a: list[float], b: list[float]) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + float(x) * float(y)
+    return s
+
+
+def pq_codebooks_from_rows(
+    rows: list[list[float]], m: int = 4
+) -> list[list[list[float]]]:
+    """Deterministic sub-codebooks: the given vectors\' slices per
+    subspace (codebooks[m][j] = j-th vector\'s m-th slice). In production
+    each subspace codebook is kmeans_fit on the slice columns; any
+    deterministic pick works for the contract/oracle pair."""
+    dim = len(rows[0])
+    sub = dim // m
+    return [[[float(x) for x in r[i * sub:(i + 1) * sub]] for r in rows]
+            for i in range(m)]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Add code_0..code_{M-1} int columns: per subspace, the index of the
+    nearest sub-codebook entry by squared L2 (first index wins ties).
+    d2 = round(xx - 2*xy + yy, round_to) — composed from dot products so
+    the SQL oracle\'s list_dot_product arithmetic matches exactly."""
+    v = F.col(vec_col)
+    sub = len(codebooks[0][0])
+    out = emb
+    for m, cb in enumerate(codebooks):
+        s = F.slice(v, m * sub + 1, sub)
+        xx = _dot_self(s)
+        d2s = F.array(*[
+            F.round(
+                xx - F.lit(2.0) * _dot_with_query(s, c) + F.lit(_pydot(c, c)),
+                round_to,
+            )
+            for c in cb
+        ])
+        out = out.withColumn(
+            f"code_{m}",
+            (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int"),
+        )
+    return out
+
+
+def pq_lut(
+    query: list[float], codebooks: list[list[list[float]]], round_to: int = 6
+) -> list[list[float]]:
+    """ADC lookup table: lut[m][j] = round squared L2 between the query\'s
+    m-th slice and sub-codebook entry j — same xx-2xy+yy composition as
+    pq_encode, computed driver-side (M x K scalars)."""
+    sub = len(codebooks[0][0])
+    lut = []
+    for m, cb in enumerate(codebooks):
+        qs = [float(x) for x in query[m * sub:(m + 1) * sub]]
+        qq = _pydot(qs, qs)
+        lut.append([
+            round(qq - 2.0 * _pydot(qs, c) + _pydot(c, c), round_to)
+            for c in cb
+        ])
+    return lut
+
+
+def ann_topk_ivfpq(
+    emb: DataFrame,
+    query: list[float],
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    probe: int = 4,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse-probe the `probe` nearest cells (same ranking
+    as ann_topk_ivf), then rank ONLY the surviving candidates by the ADC
+    sum of their PQ codes\' lookup-table entries — ascending approximate
+    squared distance, vec_id tie-break. Returns (vec_id, approx_d2)."""
+    import math
+
+    qn = math.sqrt(_pydot(query, query)) or 1.0
+
+    def cos(c: list[float]) -> float:
+        cn = math.sqrt(_pydot(c, c)) or 1.0
+        return _pydot(c, query) / (cn * qn)
+
+    key = (lambda i: (-round(cos(coarse[i]), round_to), i))
+    cells = sorted(range(len(coarse)), key=key)[:probe]
+    assigned = ivf_assign(emb, coarse, vec_col, round_to)
+    cand = assigned.filter(F.col("cell").isin(cells))
+    enc = pq_encode(cand, codebooks, vec_col, round_to)
+    lut = pq_lut(query, codebooks, round_to)
+    approx = None
+    for m, row in enumerate(lut):
+        term = F.element_at(F.array(*[F.lit(v) for v in row]),
+                            F.col(f"code_{m}") + 1)
+        approx = term if approx is None else approx + term
+    return (
+        enc.select("vec_id", F.round(approx, round_to).alias("approx_d2"))
+        .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+
+# ----------------------------------------------------------------------
 # Materialized ANN index: bucket-partitioned parquet layout.
 #
 # ann_topk_lsh / ann_topk_ivf compute buckets on the fly, so every probe

@@ -71,3 +71,34 @@ def test_ivf_index_matches_onthefly_and_prunes(spark, tmp_path):
         "PartitionFilters", 1)[1][:200]
     n_dirs = len([d for d in os.listdir(path) if d.startswith("cell=")])
     assert n_dirs > 2
+
+
+def test_ivfpq_codes_and_adc(spark):
+    """PQ codes are deterministic, self-coding (a codebook vector's own
+    slice encodes to its own index), and the ADC ranking finds the query
+    itself first when the query is in the corpus."""
+    import random
+
+    from pathways2go_spark import similarity as SIM
+
+    rng = random.Random(11)
+    dim, n = 64, 120
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    first16 = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    ]
+    cbs = SIM.pq_codebooks_from_rows(first16, m=4)
+    enc = SIM.pq_encode(emb, cbs).filter("vec_id < 16").orderBy("vec_id")
+    for r in enc.collect():
+        # vector j's slices ARE codebook entry j in every subspace
+        assert [r["code_0"], r["code_1"], r["code_2"], r["code_3"]] == [
+            r["vec_id"]] * 4
+    # collected-row floats (f32 -> f64) must round-trip identically
+    q = [float(x) for x in emb.filter("vec_id = 7").head().embedding]
+    top = SIM.ann_topk_ivfpq(emb, q, first16, cbs, k=5, probe=4).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["approx_d2"] == 0.0
+    # determinism across runs
+    again = SIM.ann_topk_ivfpq(emb, q, first16, cbs, k=5, probe=4).collect()
+    assert [tuple(r) for r in top] == [tuple(r) for r in again]
