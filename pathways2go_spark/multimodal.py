@@ -7,14 +7,21 @@ extraction over mapInPandas, and frame sampling.
 
 Decode is REAL where a codec exists and degrades explicitly where not:
   - audio (WAV) decodes through stdlib `wave` — always available;
-  - images decode through PIL or imageio when installed (optional
-    imports resolved once per worker process; neither ships in this
-    image, so the image route raises NotImplementedError here and
-    lights up automatically on a cluster that has either library);
+  - PNG (8-bit gray/RGB/palette/alpha, all five scanline filters),
+    binary PPM/PGM, and uncompressed 24/32-bit BMP decode through the
+    pure-stdlib decoders below (zlib + struct) — always available;
+  - other image formats (JPEG, WebP, ...) decode through PIL or imageio
+    when installed (optional imports resolved once per worker process;
+    neither ships in this sandbox, so those formats raise
+    NotImplementedError here and light up automatically on a cluster
+    that has either library);
   - `extract_features(mode="auto")` falls back per row to a documented
     deterministic byte-hash feature when no codec can decode the
     payload, so the distributed plumbing — schema, batching,
     partitioning — behaves identically with or without codecs.
+
+Payloads are format-sniffed by magic bytes first (PNG/PPM/BMP/RIFF-WAVE),
+so a mislabeled media_kind still decodes correctly.
 """
 
 from __future__ import annotations
@@ -92,21 +99,182 @@ def _image_codec():
     return codec
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (3 = palette, expands to RGB after PLTE lookup)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> "np.ndarray":
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth).
+    Returns the reconstructed (height, stride) uint8 array."""
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(height):
+        ft = raw[pos]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int32)
+        pos += 1 + stride
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prev) & 255
+        else:
+            # Sub/Average/Paeth reference the pixel bpp bytes to the left
+            # of the one being reconstructed — inherently sequential in x.
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                elif ft == 4:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"unknown PNG filter type {ft}")
+                rec[x] = (int(line[x]) + pred) & 255
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _decode_png(payload: bytes) -> "np.ndarray":
+    """Pure-stdlib PNG decode (zlib inflate + unfilter): 8-bit depth,
+    color types 0/2/3/4/6, no interlace. Flat float32 pixel array;
+    palette images expand through PLTE to RGB."""
+    import struct
+    import zlib
+
+    pos = len(_PNG_MAGIC)
+    idat = b""
+    plte = None
+    width = height = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if ctag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctag == b"IDAT":
+            idat += data
+        elif ctag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"stdlib PNG decoder handles 8-bit non-interlaced gray/RGB/"
+            f"palette/alpha; got depth={depth} ctype={ctype} "
+            f"interlace={interlace} (install PIL/imageio for the rest)"
+        )
+    channels = _PNG_CHANNELS[ctype]
+    stride = width * channels
+    raw = zlib.decompress(idat)
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    px = _png_unfilter(raw, height, stride, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = plte[px.ravel()]
+    return px.astype(np.float32).ravel()
+
+
+def _decode_ppm(payload: bytes) -> "np.ndarray":
+    """Binary PPM (P6, RGB) / PGM (P5, gray), maxval <= 255."""
+    # header = magic, width, height, maxval as whitespace-separated ASCII
+    # tokens; '#' comments run to end of line; one whitespace byte then raster.
+    toks: list[bytes] = []
+    i = 2  # past magic
+    while len(toks) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    width, height, maxval = (int(t) for t in toks)
+    if maxval > 255:
+        raise NotImplementedError("stdlib PPM decoder handles maxval <= 255")
+    channels = 3 if payload[:2] == b"P6" else 1
+    n = width * height * channels
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+        .astype(np.float32)
+        .ravel()
+    )
+
+
+def _decode_bmp(payload: bytes) -> "np.ndarray":
+    """Uncompressed 24/32-bit BMP (BI_RGB), bottom-up or top-down rows.
+    Returns flat float32 pixels in RGB(A) order."""
+    import struct
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"stdlib BMP decoder handles uncompressed 24/32-bit; "
+            f"got bpp={bpp} compression={compression}"
+        )
+    nch = bpp // 8
+    row_bytes = (width * nch + 3) & ~3  # rows pad to 4-byte boundaries
+    flip = height > 0  # positive height = bottom-up storage
+    height = abs(height)
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+    ).reshape(height, row_bytes)[:, : width * nch]
+    px = rows.reshape(height, width, nch)
+    if flip:
+        px = px[::-1]
+    px = px[..., [2, 1, 0] + ([3] if nch == 4 else [])]  # BGR(A) -> RGB(A)
+    return px.astype(np.float32).ravel()
+
+
 def decode_media(payload: bytes, media_kind: str = "img") -> "np.ndarray":
     """Decode a media payload to a flat float32 sample/pixel array.
 
-    WAV audio decodes through stdlib `wave` (always available); images
-    decode through PIL or imageio when installed. Raises
+    Always available via stdlib: WAV (`wave`), PNG (zlib inflate +
+    unfilter), binary PPM/PGM, uncompressed BMP — dispatched by magic
+    bytes, so a mislabeled media_kind still decodes. Other image
+    formats decode through PIL or imageio when installed. Raises
     NotImplementedError only when the environment has no codec for the
-    kind — use extract_features(mode="auto") for the documented
+    payload — use extract_features(mode="auto") for the documented
     deterministic fallback instead of the raise."""
     import io
 
+    payload = bytes(payload)
+    head = payload[:16]
+    if head.startswith(_PNG_MAGIC):
+        return _decode_png(payload)
+    if head[:2] in (b"P5", b"P6"):
+        return _decode_ppm(payload)
+    if head[:2] == b"BM":
+        return _decode_bmp(payload)
     kind = (media_kind or "").lower()
-    if kind in _AUDIO_KINDS:
+    if kind in _AUDIO_KINDS or (head[:4] == b"RIFF" and head[8:12] == b"WAVE"):
         import wave
 
-        with wave.open(io.BytesIO(bytes(payload))) as w:
+        with wave.open(io.BytesIO(payload)) as w:
             width = w.getsampwidth()
             raw = w.readframes(w.getnframes())
         dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
@@ -117,14 +285,15 @@ def decode_media(payload: bytes, media_kind: str = "img") -> "np.ndarray":
     if codec is None:
         raise NotImplementedError(
             f"no codec available for media_kind={media_kind!r} "
-            "(stdlib wave handles WAV; install PIL or imageio for images)"
+            "(stdlib handles WAV/PNG/PPM/BMP; install PIL or imageio "
+            "for JPEG/WebP/...)"
         )
     name, mod = codec
     if name == "pil":
         return np.asarray(
-            mod.open(io.BytesIO(bytes(payload))), dtype=np.float32
+            mod.open(io.BytesIO(payload)), dtype=np.float32
         ).ravel()
-    return np.asarray(mod.imread(bytes(payload)), dtype=np.float32).ravel()
+    return np.asarray(mod.imread(payload), dtype=np.float32).ravel()
 
 
 def _hash_feature(payload: bytes, dim: int) -> "np.ndarray":

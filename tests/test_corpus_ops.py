@@ -197,6 +197,143 @@ def test_extract_features_decode_and_auto(spark):
         multimodal.extract_features(media, dim=8, mode="decode").collect()
 
 
+def _png_filter_line(line, prev, bpp, ft):
+    """Forward PNG filter (the encoder side of multimodal._png_unfilter)."""
+    out = bytearray()
+    for x in range(len(line)):
+        a = line[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out.append((line[x] - pred) & 255)
+    return bytes(out)
+
+
+def _png_bytes(px, ctype, filters=None, palette=None):
+    """Minimal PNG encoder for test fixtures: px is a (h, w, ch) or (h, w)
+    uint8 array; one filter type per scanline (default all 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    flat = px.reshape(h, w * ch)
+    filters = filters or [0] * h
+    raw = b""
+    prev = bytes(w * ch)
+    for y in range(h):
+        line = bytes(flat[y])
+        raw += bytes([filters[y]]) + _png_filter_line(line, prev, ch, filters[y])
+        prev = line
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_decode_png_all_filters():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    for filters in ([0] * 5, [0, 1, 2, 3, 4], [4, 3, 2, 1, 0]):
+        blob = _png_bytes(px, ctype=2, filters=list(filters))
+        out = multimodal.decode_media(blob, "img")
+        assert out.dtype == np.float32
+        assert out.tolist() == px.astype(np.float32).ravel().tolist()
+
+
+def test_decode_png_gray_alpha_palette():
+    import numpy as np
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert multimodal.decode_media(
+        _png_bytes(gray, ctype=0, filters=[0, 1, 4]), "img"
+    ).tolist() == gray.astype(np.float32).ravel().tolist()
+
+    rgba = np.arange(48, dtype=np.uint8).reshape(3, 4, 4)
+    assert multimodal.decode_media(
+        _png_bytes(rgba, ctype=6, filters=[2, 4, 3]), "img"
+    ).tolist() == rgba.astype(np.float32).ravel().tolist()
+
+    palette = [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    out = multimodal.decode_media(
+        _png_bytes(idx, ctype=3, palette=palette), "img"
+    )
+    expect = np.array(palette, dtype=np.float32)[idx.ravel()].ravel()
+    assert out.tolist() == expect.tolist()
+
+
+def test_decode_ppm_pgm():
+    import numpy as np
+
+    rgb = bytes(range(2 * 2 * 3))
+    blob = b"P6\n# a comment\n2 2\n255\n" + rgb
+    assert multimodal.decode_media(blob, "img").tolist() == [float(b) for b in rgb]
+    gray = bytes([9, 8, 7, 6])
+    blob = b"P5 2 2 255 " + gray
+    assert multimodal.decode_media(blob, "img").tolist() == [9.0, 8.0, 7.0, 6.0]
+    assert multimodal.decode_media(blob, "img").dtype == np.float32
+
+
+def test_decode_bmp_24bit_bottom_up():
+    import struct
+
+    import numpy as np
+
+    # 3x2 RGB image; BMP stores BGR rows bottom-up, padded to 4 bytes
+    px = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)
+    rows = b""
+    for y in (1, 0):  # bottom-up
+        row = px[y][:, [2, 1, 0]].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * ((-len(row)) % 4)
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    )
+    out = multimodal.decode_media(header + rows, "img")
+    assert out.tolist() == px.astype(np.float32).ravel().tolist()
+
+
+def test_extract_features_auto_decodes_png(spark):
+    """A PNG payload on the img route now decodes REAL under mode='auto'
+    (stdlib decoder) — the feature is the resampled pixels, not the hash."""
+    import numpy as np
+
+    px = np.arange(64 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    blob = _png_bytes(px, ctype=2)
+    rows = [("d1", "img://p", "cap", bytearray(blob), "img")]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feat = multimodal.extract_features(media, dim=8, mode="auto").first()["feature"]
+    sam = px.astype(np.float32).ravel()
+    idx = (np.arange(8, dtype=np.int64) * sam.size) // 8
+    expect = (sam[idx] / max(1.0, float(np.abs(sam).max()))).astype(np.float32)
+    assert np.allclose(feat, expect)
+
+
 def test_kmeans_fit_deterministic_and_improving(spark, sf_dir):
     """Lloyd trainer: deterministic across repartitionings (exact_mean),
     and the trained codebook assigns vectors closer (higher mean max-sim)
