@@ -464,6 +464,68 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic PII injection shared by the Spark query and its oracle:
+# the raw documents carry no PII, so each doc gets a synthetic email/ip
+# (and a phone + ssn on even doc_ids) appended as a pure function of
+# doc_id — identical string logic in both engines.
+def _pii_text(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" tel 555-123-4567 ssn 123-45-6789"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _pii_text(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    counts = TX.pii_counts(d)
+    red = TX.redact_pii(d).select("doc_id", F.md5("redacted").alias("redacted_md5"))
+    return counts.join(red, "doc_id").select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        "redacted_md5",
+    )
+
+
+def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.classifier_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.paragraph_dedup(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), window=10
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "kept_md5",
+    )
+
+
+def q_data_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    train = d.filter(F.col("doc_id") % 29 != 0)
+    out = D.decontaminate(train, bench, n=5)
+    return out.select(
+        "doc_id", F.col("n_contam").cast("long").alias("n_contam"), "contaminated"
+    )
+
+
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir)
     return _rounded_topk(SIM.cosine_scores(_emb(spark, sf_dir), q), k=10)
@@ -670,6 +732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_pii": q_text_pii,
+        "text_classifier": q_text_classifier,
+        "dedup_paragraph": q_dedup_paragraph,
+        "data_decontaminate": q_data_decontaminate,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -1783,6 +1849,84 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": """
             SELECT doc_id, md5(lower(text)) AS md5 FROM documents
+        """,
+        "text_pii": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' mail user' || doc_id || '@example.com ip 10.0.'
+                          || (doc_id % 200) || '.7'
+                          || CASE WHEN doc_id % 2 = 0
+                                  THEN ' tel 555-123-4567 ssn 123-45-6789'
+                                  ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{TX.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '{TX.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '{TX.PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{TX.PII_PATTERNS["ssn"]}')) AS BIGINT) AS n_ssn,
+                   md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                       '{TX.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                       '{TX.PII_PATTERNS["ssn"]}', '<SSN>', 'g'),
+                       '{TX.PII_PATTERNS["phone"]}', '<PHONE>', 'g'),
+                       '{TX.PII_PATTERNS["ipv4"]}', '<IPV4>', 'g')) AS redacted_md5
+            FROM d
+        """,
+        "text_classifier": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     round(list_sum(list_sort(list_transform({_TOKS},
+                             x -> ('0x' || substr(md5(x), 1, 8))::BIGINT
+                                  / 4294967296.0 - 0.5)))
+                           / greatest(len({_TOKS}), 1), 6) AS score
+              FROM documents
+            )
+            SELECT doc_id, score,
+                   CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+            FROM w
+        """,
+        "dedup_paragraph": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), chunks AS (
+              SELECT doc_id, i AS idx,
+                     array_to_string(t[(i*10+1):(i*10+10)], ' ') AS chunk
+              FROM toks,
+                   UNNEST(range(greatest(CAST(ceil(len(t) / 10.0) AS BIGINT), 1)))
+                     AS u(i)
+            ), ranked AS (
+              SELECT doc_id, idx, chunk,
+                     row_number() OVER (PARTITION BY md5(chunk)
+                                        ORDER BY doc_id, idx) AS rn
+              FROM chunks
+            )
+            SELECT doc_id,
+                   count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                                           ' ' ORDER BY idx), '')) AS kept_md5
+            FROM ranked GROUP BY doc_id
+        """,
+        "data_decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                            for i in range(1, greatest(len(t) - 4, 1) + 1)])) AS g
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0
+            ), hits AS (
+              SELECT doc_id, count(*) AS n_contam
+              FROM grams JOIN bench USING (g)
+              WHERE doc_id % 29 != 0 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_contam, 0) AS BIGINT) AS n_contam,
+                   coalesce(h.n_contam, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 29 != 0
         """,
         "text_token_stats": f"""
             SELECT source,

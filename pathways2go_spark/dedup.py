@@ -340,6 +340,100 @@ def duplicate_clusters(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame, window: int = 10, col: str = "text"
+) -> DataFrame:
+    """Sub-document (paragraph-level) dedup, the CCNet shape: chunk each
+    document into fixed `window`-token paragraphs, hash each chunk, and
+    keep only the FIRST occurrence of every distinct chunk corpus-wide
+    (first = lowest (doc_id, chunk_idx) — deterministic under any
+    partitioning). Returns per document:
+
+        doc_id, n_chunks, n_kept, kept_md5
+
+    where kept_md5 fingerprints the document's surviving text (kept
+    chunks re-joined in order), so downstream stages can join the
+    deduped content without re-deriving it.
+
+    Scale shape: one narrow chunking projection, ONE shuffle keyed by
+    chunk hash (the row_number window), one groupBy back to doc_id.
+    Chunk-hash keys are near-uniform, so no hub key; a boilerplate chunk
+    shared by millions of pages lands in one partition only for its
+    rank-1 selection — AQE skew handling covers the residual."""
+    toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
+    )
+    exploded = df.select(
+        "doc_id", F.posexplode(chunks).alias("idx", "chunk")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("idx"), F.col("chunk"))
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("rn") == 1).cast("int")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["chunk"],
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+        .select("doc_id", "n_chunks", "n_kept", "kept_md5")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    col: str = "text",
+    drop: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one word `n`-gram with the benchmark (eval/test) corpus — the
+    standard guard against test-set leakage into pretraining data.
+
+    Returns (doc_id, n_contam, contaminated) for every training doc, or
+    the clean training subset when drop=True.
+
+    Scale shape: the benchmark n-gram set is bounded by the eval corpus
+    (thousands of documents even for a large suite), so the join against
+    the training n-gram stream is a broadcast probe under AQE — the
+    100 TB training side is never shuffled on the gram key; its grams
+    stream through the probe and collapse back to one count per doc."""
+    bench_grams = _shingles(benchmark, col, n).select("shingle").distinct()
+    hits = (
+        _shingles(train, col, n)
+        .join(bench_grams, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contam"))
+    )
+    out = (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .fillna(0, subset=["n_contam"])
+        .withColumn("contaminated", F.col("n_contam") > 0)
+    )
+    if drop:
+        return train.join(
+            out.filter("contaminated").select("doc_id"), "doc_id", "left_anti"
+        )
+    return out
+
+
 def dedupe_documents(
     df: DataFrame,
     pairs: DataFrame,

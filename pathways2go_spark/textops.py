@@ -76,6 +76,75 @@ def language_id(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns, deliberately written in the regex subset shared by Java
+# (Spark) and RE2 (DuckDB/Go) so detection and its oracle are the same
+# expression: no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+# redaction must substitute in this order: an SSN also matches the phone
+# pattern's tail, so the longest/most-specific patterns run first
+PII_REDACT_ORDER = ["email", "ssn", "phone", "ipv4"]
+
+
+def pii_counts(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document PII hit counts per kind — one codegen'd projection
+    (JVM regexp_count), no Python. The standard pre-training PII census."""
+    return df.select(
+        "doc_id",
+        *[
+            F.regexp_count(F.col(col), F.lit(pat)).alias(f"n_{kind}")
+            for kind, pat in PII_PATTERNS.items()
+        ],
+    )
+
+
+def redact_pii(df: DataFrame, col: str = "text", out: str = "redacted") -> DataFrame:
+    """Replace every PII match with a typed placeholder token (e.g.
+    ``<EMAIL>``) — sequential regexp_replace passes in PII_REDACT_ORDER so
+    overlapping patterns resolve deterministically. Pure Column
+    expressions; scales as a narrow map."""
+    expr = F.col(col)
+    for kind in PII_REDACT_ORDER:
+        expr = F.regexp_replace(expr, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return df.withColumn(out, expr)
+
+
+def classifier_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Hashed-token linear quality classifier (the fastText-style shape):
+    each lowercase token hashes to a deterministic weight in [-0.5, 0.5)
+    (md5 top-32-bits, the engine-portable hash used by the SimHash
+    oracle), the document score is the mean token weight, and `label`
+    thresholds it at 0. A trained model drops in by replacing the hash
+    weight with a lookup against a broadcast weight table — the plan
+    shape (narrow projection, no shuffle) is identical."""
+    toks = tokens(col)
+    # fold the weights in ascending order so the float sum is bit-equal
+    # across engines (the SimHash-oracle technique); threshold the
+    # ROUNDED score so the label can't flip on a sub-ulp difference
+    weights = F.sort_array(
+        F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(F.lower(t)), 1, 8), 16, 10).cast(
+                "double"
+            )
+            / F.lit(float(2**32))
+            - F.lit(0.5),
+        )
+    )
+    score = F.round(
+        F.aggregate(weights, F.lit(0.0), lambda acc, x: acc + x)
+        / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+    return df.select("doc_id", score.alias("score")).withColumn(
+        "label", F.when(F.col("score") >= 0, "keep").otherwise("drop")
+    )
+
+
 def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     """Document fingerprints: full-content md5 + a shingle-set rolling
     fingerprint (min/max of 64-bit shingle hashes) for cheap near-dup

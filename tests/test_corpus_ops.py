@@ -503,3 +503,79 @@ def test_kmeans_fit_k_exceeds_rows(spark):
     assert len(cents) == 3
     with pytest.raises(ValueError):
         similarity.kmeans_fit(emb3.filter(F.col("vec_id") < 0), k=4)
+
+
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        (1, "reach me at jo.doe+x@mail.co or 192.168.0.1, ssn 123-45-6789 "
+            "tel 555-123-4567"),
+        (2, "no pii here at all"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    c = {r["doc_id"]: r for r in textops.pii_counts(d).collect()}
+    assert (c[1]["n_email"], c[1]["n_ipv4"], c[1]["n_ssn"], c[1]["n_phone"]) == (
+        1, 1, 1, 1,
+    )
+    assert (c[2]["n_email"], c[2]["n_ipv4"], c[2]["n_ssn"], c[2]["n_phone"]) == (
+        0, 0, 0, 0,
+    )
+    red = {r["doc_id"]: r["redacted"] for r in textops.redact_pii(d).collect()}
+    # ssn redacts BEFORE phone (overlap order), email/ip get their own tags
+    assert red[1] == (
+        "reach me at <EMAIL> or <IPV4>, ssn <SSN> tel <PHONE>"
+    )
+    assert red[2] == "no pii here at all"
+
+
+def test_classifier_score_deterministic(spark):
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zzz qqq")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.classifier_score(d).collect()}
+    assert out[1]["score"] == out[2]["score"]  # same text, same score
+    assert out[1]["label"] in ("keep", "drop")
+    assert -0.5 <= out[3]["score"] <= 0.5
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    a = " ".join(f"w{i}" for i in range(10))  # one exact 10-token chunk
+    b = " ".join(f"x{i}" for i in range(10))
+    rows = [
+        (1, f"{a} {b}"),   # chunks: a, b  (both first occurrences)
+        (2, f"{b} {a}"),   # chunks: b, a  (both duplicates of doc 1)
+        (3, a),            # duplicate of doc 1 chunk 0
+        (4, "unique little text"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(d, window=10).collect()}
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 2)
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (2, 0)
+    assert (out[3]["n_chunks"], out[3]["n_kept"]) == (1, 0)
+    assert (out[4]["n_chunks"], out[4]["n_kept"]) == (1, 1)
+    # fully-deduped docs fingerprint the empty string, deterministically
+    assert out[2]["kept_md5"] == out[3]["kept_md5"]
+    # result invariant under physical partitioning
+    out2 = {r["doc_id"]: r for r in
+            dedup.paragraph_dedup(d.repartition(7), window=10).collect()}
+    assert out == out2
+
+
+def test_decontaminate_flags_and_drops(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox jumps today"),  # shares a 5-gram
+            (2, "completely unrelated training content here okay"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.decontaminate(train, bench, n=5).collect()}
+    assert out[1]["contaminated"] and out[1]["n_contam"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_contam"] == 0
+    clean = dedup.decontaminate(train, bench, n=5, drop=True)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
