@@ -526,6 +526,16 @@ def q_data_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DO.pack_documents(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), budget=256, n_groups=16
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.repetition_signals(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir)
     return _rounded_topk(SIM.cosine_scores(_emb(spark, sf_dir), q), k=10)
@@ -736,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier": q_text_classifier,
         "dedup_paragraph": q_dedup_paragraph,
         "data_decontaminate": q_data_decontaminate,
+        "data_pack": q_data_pack,
+        "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -1906,6 +1918,65 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END,
                                            ' ' ORDER BY idx), '')) AS kept_md5
             FROM ranked GROUP BY doc_id
+        """,
+        "data_pack": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens,
+                     CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % {DO.SAMPLE_MOD}) % 16 AS INT) AS grp
+              FROM documents
+            ), ordered AS (
+              SELECT doc_id, n_tokens, grp,
+                     row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+              FROM toks
+            ), packed AS (
+              SELECT grp, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.grp, o.rn, o.doc_id, o.n_tokens,
+                     CASE WHEN p.fill + o.n_tokens <= 256
+                          THEN p.bin_id ELSE p.bin_id + 1 END,
+                     CASE WHEN p.fill + o.n_tokens <= 256
+                          THEN p.fill + o.n_tokens ELSE o.n_tokens END
+              FROM packed p JOIN ordered o ON o.grp = p.grp AND o.rn = p.rn + 1
+            )
+            SELECT doc_id, grp, n_tokens, bin_id FROM packed
+        """,
+        "text_repetition": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), narrow AS (
+              SELECT doc_id,
+                     round(CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                           / greatest(len(g), 1), 6) AS dup_3gram_frac
+              FROM (SELECT doc_id,
+                           [array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1) + 1)] AS g
+                    FROM toks)
+            ), wc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS g FROM toks) GROUP BY 1, 2
+            ), w1 AS (
+              SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                       AS top_word_frac
+              FROM wc GROUP BY doc_id
+            ), bc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest([array_to_string(t[i:i+1], ' ')
+                                   for i in range(1, greatest(len(t) - 1, 1) + 1)]) AS g
+                    FROM toks) GROUP BY 1, 2
+            ), w2 AS (
+              SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                       AS top_2gram_frac
+              FROM bc GROUP BY doc_id
+            )
+            SELECT n.doc_id, n.dup_3gram_frac, w1.top_word_frac, w2.top_2gram_frac,
+                   (n.dup_3gram_frac <= 0.5 AND w1.top_word_frac <= 0.3
+                    AND w2.top_2gram_frac <= 0.2) AS repetition_ok
+            FROM narrow n JOIN w1 USING (doc_id) JOIN w2 USING (doc_id)
         """,
         "data_decontaminate": f"""
             WITH toks AS (

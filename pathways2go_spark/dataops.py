@@ -111,6 +111,61 @@ def shard_assignment(
     )
 
 
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    n_groups: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing (first-fit in id order) into fixed
+    token-budget bins — the tokenize-and-pack layout step before
+    training. Returns (id, grp, n_tokens, bin_id); bin ids are local to
+    their group, so the global bin key is (grp, bin_id).
+
+    Within each group, documents are scanned in id order: a document
+    joins the current bin unless that would exceed `budget`, which
+    closes the bin and opens a new one; a document longer than `budget`
+    gets a bin of its own. Deterministic end to end: the group is a pure
+    function of the id (md5 bucket mod n_groups — engine-portable, the
+    sampling hash), so retries and different cluster sizes reproduce
+    identical bins.
+
+    Scale shape: greedy packing is inherently sequential, so it
+    parallelizes ACROSS groups — one shuffle co-locates each group, then
+    an Arrow-batched applyInPandas runs the O(group size) scan per
+    group. Pick n_groups >> executor count at scale; the only per-group
+    state is two scalars (current bin, current fill)."""
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(
+        F.col(id_col).alias("id"), token_count(text_col).alias("n_tokens")
+    ).withColumn("grp", F.pmod(_hash_bucket("id"), F.lit(n_groups)).cast("int"))
+    id_type = base.schema["id"].dataType.simpleString()
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        bins = np.empty(len(pdf), dtype=np.int64)
+        bin_id, fill = 0, 0
+        for i, n in enumerate(pdf["n_tokens"].to_numpy()):
+            if i > 0 and fill + n > budget:
+                bin_id += 1
+                fill = 0
+            fill += n
+            bins[i] = bin_id
+        pdf["bin_id"] = bins
+        return pdf[["id", "grp", "n_tokens", "bin_id"]]
+
+    return (
+        base.groupBy("grp")
+        .applyInPandas(
+            pack, schema=f"id {id_type}, grp int, n_tokens long, bin_id long"
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     fractions: dict[str, float],

@@ -145,6 +145,52 @@ def classifier_score(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(df: DataFrame, col: str = "text") -> DataFrame:
+    """Within-document repetition filters (the Gopher/MassiveText rules):
+
+        dup_3gram_frac  fraction of word 3-grams that are repeats
+        top_word_frac   share of tokens taken by the most frequent token
+        top_2gram_frac  share of 2-grams taken by the most frequent 2-gram
+        repetition_ok   the composite keep/drop gate
+
+    dup_3gram_frac is a narrow array expression (no shuffle); the two
+    mode statistics need a per-(doc, gram) count, which is two
+    aggregations keyed by doc — gram keys never leave their document, so
+    there is no corpus-wide hub key at any scale."""
+    toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    idx3 = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    g3 = F.transform(idx3, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+    dup3 = F.round(
+        (F.size(g3) - F.size(F.array_distinct(g3)))
+        / F.greatest(F.size(g3), F.lit(1)).cast("double"),
+        6,
+    )
+    narrow = df.select("doc_id", dup3.alias("dup_3gram_frac"))
+
+    def _top_frac(gram: F.Column, out: str) -> DataFrame:
+        counts = (
+            df.select("doc_id", F.explode(gram).alias("g"))
+            .groupBy("doc_id", "g")
+            .count()
+        )
+        return counts.groupBy("doc_id").agg(
+            F.round(F.max("count") / F.sum("count").cast("double"), 6).alias(out)
+        )
+
+    idx2 = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    g2 = F.transform(idx2, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    out = (
+        narrow.join(_top_frac(toks, "top_word_frac"), "doc_id")
+        .join(_top_frac(g2, "top_2gram_frac"), "doc_id")
+    )
+    return out.withColumn(
+        "repetition_ok",
+        (F.col("dup_3gram_frac") <= 0.5)
+        & (F.col("top_word_frac") <= 0.3)
+        & (F.col("top_2gram_frac") <= 0.2),
+    )
+
+
 def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     """Document fingerprints: full-content md5 + a shingle-set rolling
     fingerprint (min/max of 64-bit shingle hashes) for cheap near-dup

@@ -92,3 +92,56 @@ def test_mixture_weights_shape(spark):
     assert max(r.sample_rate for r in rows.values()) == 1.0
     assert rows["src2"].sample_rate == 0.0
     assert abs(sum(r.actual_prop for r in rows.values()) - 1.0) < 1e-6
+
+
+def test_pack_documents_greedy_invariants(spark):
+    from pathways2go_spark.dataops import pack_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 200
+    out = pack_documents(docs, budget=budget, n_groups=4).collect()
+    assert len(out) == docs.count()
+    # every (grp, bin) respects the budget unless it holds a single
+    # over-budget doc; bins are contiguous from 0 within each group
+    bins = {}
+    for r in out:
+        bins.setdefault((r["grp"], r["bin_id"]), []).append(r["n_tokens"])
+    for (g, b), toks in bins.items():
+        assert sum(toks) <= budget or len(toks) == 1
+    for g in {r["grp"] for r in out}:
+        ids = sorted(b for (gg, b) in bins if gg == g)
+        assert ids == list(range(len(ids)))
+    # greedy is maximal: the first doc of bin k+1 did NOT fit in bin k.
+    # Verify against a serial reference pack per group.
+    import collections
+
+    per_grp = collections.defaultdict(list)
+    for r in out:
+        per_grp[r["grp"]].append(r)
+    for g, rows in per_grp.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        bin_id, fill = 0, 0
+        for i, r in enumerate(rows):
+            if i > 0 and fill + r["n_tokens"] > budget:
+                bin_id, fill = bin_id + 1, 0
+            fill += r["n_tokens"]
+            assert r["bin_id"] == bin_id
+    # deterministic under physical repartitioning
+    out2 = pack_documents(docs.repartition(13), budget=budget, n_groups=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_repetition_signals(spark):
+    from pathways2go_spark.textops import repetition_signals
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),       # degenerate
+        (2, "one two three four five six seven eight nine"),  # no repeats
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_signals(d).collect()}
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[1]["dup_3gram_frac"] > 0.5
+    assert not out[1]["repetition_ok"]
+    assert out[2]["dup_3gram_frac"] == 0.0
+    assert out[2]["repetition_ok"]
