@@ -620,7 +620,11 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     prove their chosen candidates exact; this measures whether the
     candidates are the RIGHT ones, the number nprobe/planes are tuned
     by. Composed from the same proven query bodies, joined relationally."""
-    exact = q_sim_cosine_topk(spark, sf_dir).select("vec_id")
+    # the 10-row exact result feeds all three recall joins; pin it once
+    # so the full exact scan doesn't replay per union branch
+    exact = q_sim_cosine_topk(spark, sf_dir).select("vec_id").localCheckpoint(
+        eager=True
+    )
     lsh = q_sim_ann_lsh_topk(spark, sf_dir).select("vec_id")
     ivf = q_sim_ann_ivf_topk(spark, sf_dir).select("vec_id")
     pq = q_sim_ann_ivfpq_topk(spark, sf_dir).select("vec_id")

@@ -142,6 +142,10 @@ def main() -> None:
         # recall harness — so regressions there show round-over-round
         "kg_model_report", "kg_reaction_venn", "data_shards",
         "sim_ann_recall",
+        # new round-4 training-data ops with corpus-wide shuffles — the
+        # ones whose plans could regress: paragraph dedup (chunk-hash
+        # window), decontamination (gram probe), greedy packing
+        "dedup_paragraph", "data_decontaminate", "data_pack",
     ]
     qs = E.queries()
     for name in heads:
