@@ -532,6 +532,13 @@ def q_data_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    train = d.filter(F.col("doc_id") % 29 != 0)
+    return DO.corpus_funnel(train, bench, n=5)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_signals(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -751,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph": q_dedup_paragraph,
         "data_decontaminate": q_data_decontaminate,
         "data_pack": q_data_pack,
+        "data_funnel": q_data_funnel,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
@@ -2002,6 +2010,91 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_contam, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 29 != 0
+        """,
+        "data_funnel": f"""
+            WITH train AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 29 != 0
+            ), base AS (
+              SELECT doc_id, len({_TOKS_RAW}) AS n_tokens FROM train
+            ), q AS (
+              SELECT doc_id,
+                     (len({_TOKS_RAW}) >= 5
+                      AND CAST(list_sum(list_transform({_TOKS_RAW}, x -> length(x))) AS DOUBLE)
+                          / greatest(len({_TOKS_RAW}), 1) BETWEEN 2 AND 12
+                      AND {_SW_RATIO} >= 0.01) AS quality_ok
+              FROM train
+            ), toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM train
+            ), narrow AS (
+              SELECT doc_id,
+                     round(CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                           / greatest(len(g), 1), 6) AS dup_3gram_frac
+              FROM (SELECT doc_id,
+                           [array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1) + 1)] AS g
+                    FROM toks)
+            ), wc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS g FROM toks) GROUP BY 1, 2
+            ), w1 AS (
+              SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                       AS top_word_frac
+              FROM wc GROUP BY doc_id
+            ), bc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest([array_to_string(t[i:i+1], ' ')
+                                   for i in range(1, greatest(len(t) - 1, 1) + 1)]) AS g
+                    FROM toks) GROUP BY 1, 2
+            ), w2 AS (
+              SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                       AS top_2gram_frac
+              FROM bc GROUP BY doc_id
+            ), r AS (
+              SELECT n.doc_id,
+                     (n.dup_3gram_frac <= 0.5 AND w1.top_word_frac <= 0.3
+                      AND w2.top_2gram_frac <= 0.2) AS repetition_ok
+              FROM narrow n JOIN w1 USING (doc_id) JOIN w2 USING (doc_id)
+            ), p1 AS (
+              SELECT doc_id FROM q WHERE quality_ok
+            ), p2 AS (
+              SELECT doc_id FROM p1 JOIN r USING (doc_id) WHERE repetition_ok
+            ), k AS (
+              SELECT doc_id FROM (
+                SELECT t.doc_id,
+                       row_number() OVER (PARTITION BY md5(t.text)
+                                          ORDER BY t.doc_id) AS rn
+                FROM train t JOIN p2 USING (doc_id)
+              ) WHERE rn = 1
+            ), allgrams AS (
+              SELECT doc_id,
+                     unnest(list_distinct([array_to_string(t2[i:i+4], ' ')
+                            for i in range(1, greatest(len(t2) - 4, 1) + 1)])) AS g
+              FROM (SELECT doc_id, {_TOKS} AS t2 FROM documents)
+            ), bench AS (
+              SELECT DISTINCT g FROM allgrams WHERE doc_id % 29 = 0
+            ), contam AS (
+              SELECT DISTINCT a.doc_id
+              FROM allgrams a JOIN bench USING (g) JOIN k USING (doc_id)
+            ), p4 AS (
+              SELECT doc_id FROM k
+              WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+            )
+            SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs,
+                   CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens
+            FROM base
+            UNION ALL SELECT 1, 'quality', count(*),
+                   CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+            FROM base JOIN p1 USING (doc_id)
+            UNION ALL SELECT 2, 'repetition', count(*),
+                   CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+            FROM base JOIN p2 USING (doc_id)
+            UNION ALL SELECT 3, 'dedup_exact', count(*),
+                   CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+            FROM base JOIN k USING (doc_id)
+            UNION ALL SELECT 4, 'decontaminated', count(*),
+                   CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+            FROM base JOIN p4 USING (doc_id)
         """,
         "text_token_stats": f"""
             SELECT source,

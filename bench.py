@@ -146,6 +146,9 @@ def main() -> None:
         # ones whose plans could regress: paragraph dedup (chunk-hash
         # window), decontamination (gram probe), greedy packing
         "dedup_paragraph", "data_decontaminate", "data_pack",
+        # the end-to-end corpus-prep funnel (quality -> repetition ->
+        # dedup -> decontamination in one plan) — the composition path
+        "data_funnel",
     ]
     qs = E.queries()
     for name in heads:

@@ -166,6 +166,101 @@ def pack_documents(
     )
 
 
+def corpus_funnel(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end training-corpus preparation funnel — the composition a
+    100 TB pipeline actually runs, as ONE declarative plan:
+
+        raw -> quality gate -> repetition gate -> exact dedup
+            -> benchmark decontamination
+
+    Each stage applies to the previous stage's survivors (true funnel
+    semantics: the dedup keeper is ranked among quality+repetition
+    survivors, and only deduped docs are probed for contamination).
+    Returns the 5-row census (stage_idx, stage, n_docs, n_tokens).
+
+    Scale shape — the reason to compose in one plan instead of five jobs:
+    the two cheap narrow gates (quality: one codegen'd projection;
+    repetition: two per-doc gram aggs, keys never leave their document)
+    run FIRST and shrink the corpus before the only wide ops — the one
+    md5-keyed dedup shuffle and the decontamination gram probe — touch
+    it. The benchmark gram side is eval-suite-bounded, so that join is a
+    broadcast probe under AQE; the final census is five conditional
+    aggregates collapsed to scalars, then `stack`ed. No corpus-wide hub
+    key, no driver-side loop, no Python in the hot path (the gates are
+    Column expressions from textops/dedup, already oracle-EXACT
+    individually)."""
+    from pyspark.sql import Window
+
+    from .dedup import decontaminate
+    from .textops import quality_features, repetition_signals
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    q = quality_features(df, text_col).select("doc_id", "quality_ok")
+    r = repetition_signals(df, text_col).select("doc_id", "repetition_ok")
+    flags = (
+        base.join(q, "doc_id")
+        .join(r, "doc_id")
+        .withColumn("pass2", F.col("quality_ok") & F.col("repetition_ok"))
+    )
+    # dedup keeper ranked among pass2 survivors ONLY — the filter lands
+    # before the md5 shuffle, so the funnel ordering shrinks the wide op
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    keepers = (
+        flags.filter("pass2")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.lit(True).alias("keeper"))
+    )
+    flags = flags.join(keepers, "doc_id", "left").withColumn(
+        "pass3", F.col("pass2") & F.coalesce(F.col("keeper"), F.lit(False))
+    )
+    contam = decontaminate(
+        flags.filter("pass3").select("doc_id", "text"), benchmark, n=n
+    ).select("doc_id", "contaminated")
+    flags = flags.join(contam, "doc_id", "left").withColumn(
+        "pass4",
+        F.col("pass3") & ~F.coalesce(F.col("contaminated"), F.lit(False)),
+    )
+
+    def _cnt(flag, alias):
+        return F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias(alias)
+
+    def _tok(flag, alias):
+        return (
+            F.sum(F.when(flag, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias(alias)
+        )
+
+    agg = flags.agg(
+        F.count("*").cast("long").alias("c0"),
+        F.sum("n_tokens").cast("long").alias("t0"),
+        _cnt(F.col("quality_ok"), "c1"), _tok(F.col("quality_ok"), "t1"),
+        _cnt(F.col("pass2"), "c2"), _tok(F.col("pass2"), "t2"),
+        _cnt(F.col("pass3"), "c3"), _tok(F.col("pass3"), "t3"),
+        _cnt(F.col("pass4"), "c4"), _tok(F.col("pass4"), "t4"),
+    )
+    return agg.selectExpr(
+        """stack(5,
+             0, 'raw',            c0, t0,
+             1, 'quality',        c1, t1,
+             2, 'repetition',     c2, t2,
+             3, 'dedup_exact',    c3, t3,
+             4, 'decontaminated', c4, t4
+           ) as (stage_idx, stage, n_docs, n_tokens)"""
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     fractions: dict[str, float],

@@ -131,6 +131,44 @@ def test_pack_documents_greedy_invariants(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_corpus_funnel_matches_stepwise_composition(spark):
+    """corpus_funnel collapses quality -> repetition -> dedup ->
+    decontamination into one plan; its census must equal composing the
+    component ops (each individually oracle-EXACT) step by step."""
+    from pyspark.sql import Window
+
+    from pathways2go_spark.dedup import decontaminate
+    from pathways2go_spark.textops import (
+        quality_features, repetition_signals, token_count,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    train = d.filter(F.col("doc_id") % 29 != 0)
+    out = {r["stage"]: r for r in DO.corpus_funnel(train, bench).collect()}
+    order = ["raw", "quality", "repetition", "dedup_exact", "decontaminated"]
+    assert [out[s]["stage_idx"] for s in order] == [0, 1, 2, 3, 4]
+    seq = [out[s]["n_docs"] for s in order]
+    assert seq[0] == train.count()
+    assert all(a >= b for a, b in zip(seq, seq[1:]))  # a true funnel
+
+    s1 = train.join(
+        quality_features(train).filter("quality_ok").select("doc_id"), "doc_id"
+    )
+    s2 = s1.join(
+        repetition_signals(train).filter("repetition_ok").select("doc_id"),
+        "doc_id",
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s3 = s2.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    s4 = decontaminate(s3, bench, n=5, drop=True)
+    assert seq[1:] == [s.count() for s in (s1, s2, s3, s4)]
+    assert (
+        out["decontaminated"]["n_tokens"]
+        == s4.select(F.sum(token_count("text"))).first()[0]
+    )
+
+
 def test_repetition_signals(spark):
     from pathways2go_spark.textops import repetition_signals
 
