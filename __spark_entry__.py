@@ -543,6 +543,15 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_signals(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_text_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.bigram_lm_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_data_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DO.dsir_weights(d, target=d.filter(F.col("source") == "src0"))
+
+
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir)
     return _rounded_topk(SIM.cosine_scores(_emb(spark, sf_dir), q), k=10)
@@ -760,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_pack": q_data_pack,
         "data_funnel": q_data_funnel,
         "text_repetition": q_text_repetition,
+        "text_lm": q_text_lm,
+        "data_dsir": q_data_dsir,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -1955,6 +1966,84 @@ def oracle_sql() -> dict[str, str]:
               FROM packed p JOIN ordered o ON o.grp = p.grp AND o.rn = p.rn + 1
             )
             SELECT doc_id, grp, n_tokens, bin_id FROM packed
+        """,
+        "data_dsir": f"""
+            WITH toks AS (
+              SELECT doc_id, source, {_TOKS} AS t FROM documents
+            ), grams AS (
+              SELECT doc_id, source,
+                     unnest(list_concat(
+                       t,
+                       [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+                     )) AS g
+              FROM toks
+            ), bk AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b
+              FROM grams
+            ), fq AS (
+              SELECT b, count(*) AS c_q FROM bk GROUP BY b
+            ), fp AS (
+              SELECT b, count(*) AS c_p FROM bk WHERE source = 'src0'
+              GROUP BY b
+            ), tq AS (SELECT sum(c_q) AS tot_q FROM fq),
+            tp AS (SELECT sum(c_p) AS tot_p FROM fp),
+            ratio AS (
+              SELECT b,
+                     round(ln((coalesce(c_p, 0) + 1.0)
+                              / (tot_p + 4096.0))
+                           - ln((coalesce(c_q, 0) + 1.0)
+                                / (tot_q + 4096.0)), 6) AS lratio
+              FROM fq FULL JOIN fp USING (b) CROSS JOIN tq CROSS JOIN tp
+            ), feats AS (
+              SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2
+            ), pd AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+                     round(list_reduce(
+                       list_sort(list(round(c * lratio, 6))),
+                       (a, b) -> a + b), 6) AS log_weight
+              FROM feats JOIN ratio USING (b) GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(pd.n_feats, 0) AS n_feats,
+                   pd.log_weight
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
+        "text_lm": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), bi AS (
+              SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+              FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                    FROM toks)
+            ), bc AS (
+              SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
+            ), cc AS (
+              SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1
+            ), v AS (
+              SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(t) AS tok FROM toks)
+            ), nl AS (
+              -- floor(x*1e6+0.5)/1e6, not round(): the Spark side uses the
+              -- same explicit half-up so both engines agree at exact .5
+              -- decimal boundaries (see textops.bigram_lm_score docstring)
+              SELECT b.doc_id,
+                     floor((-ln((coalesce(bc.c12, 0) + 1.0)
+                                / (coalesce(cc.c1, 0) + 1.0 * v.v)))
+                           * 1e6 + 0.5) / 1e6 AS nll
+              FROM bi b LEFT JOIN bc USING (w1, w2)
+                        LEFT JOIN cc USING (w1) CROSS JOIN v
+            ), pd AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     floor((list_reduce(list_sort(list(nll)),
+                                        (a, b) -> a + b) / count(*))
+                           * 1e6 + 0.5) / 1e6 AS xent
+              FROM nl GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(pd.n_bigrams, 0) AS n_bigrams,
+                   pd.xent,
+                   coalesce(pd.xent <= 12.0, TRUE) AS lm_ok
+            FROM documents d LEFT JOIN pd USING (doc_id)
         """,
         "text_repetition": f"""
             WITH toks AS (

@@ -149,6 +149,12 @@ def main() -> None:
         # the end-to-end corpus-prep funnel (quality -> repetition ->
         # dedup -> decontamination in one plan) — the composition path
         "data_funnel",
+        # bigram-LM perplexity scoring: two count shuffles + two scoring
+        # joins — the heaviest text op, watch its join plans
+        "text_lm",
+        # DSIR importance weights: fixed-bucket-space fit + broadcast
+        # scoring join — the no-corpus-sized-shuffle contrast case
+        "data_dsir",
     ]
     qs = E.queries()
     for name in heads:

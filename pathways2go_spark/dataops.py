@@ -317,3 +317,111 @@ def mixture_weights(
         F.round("target_prop", 6).alias("target_prop"),
         "sample_rate",
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023 — public method): featurize documents as
+    hashed uni+bigram counts over a FIXED bucket space, fit two
+    bag-of-ngrams distributions (p = target domain, q = the raw corpus
+    being selected from, both add-1 smoothed over the bucket space), and
+    score every raw document by its importance log-weight
+
+        log w(x) = sum_b count_x[b] * ln(p[b] / q[b]).
+
+    Returns (doc_id, n_feats, log_weight). Callers select by
+    thresholding or Gumbel-top-k on log_weight (compose with
+    sample_stratified / pack_documents).
+
+    Scale shape — the contrast with bigram_lm_score: the model here is
+    NOT corpus-sized. Both fitted distributions live on the fixed
+    `buckets`-row space, so the fit is one groupBy per side that
+    partial-aggregates down to `buckets` rows, the log-ratio table is a
+    `buckets`-row dim, and scoring is a BROADCAST join of per-doc bucket
+    counts against that dim followed by one per-doc sum — no shuffle on
+    a corpus-sized key anywhere. Bucket hashing is the engine-portable
+    md5-top-32 trick, so the whole op has an exact DuckDB oracle; the
+    per-doc float sum folds rounded contributions in ascending order
+    (sort_array + fold, the classifier_score technique) for cross-engine
+    bit-equality."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    bi = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = F.concat(toks, bi)
+    bucket = lambda g: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+    def feats(d: DataFrame) -> DataFrame:
+        return (
+            d.select("doc_id", F.explode(grams).alias("g"))
+            .select("doc_id", bucket(F.col("g")).alias("b"))
+            .groupBy("doc_id", "b")
+            .agg(F.count("*").alias("c"))
+        )
+
+    def dist(d: DataFrame, name: str) -> tuple[DataFrame, DataFrame]:
+        # bucket census + total, smoothed over the fixed bucket space
+        cnt = (
+            d.select(F.explode(grams).alias("g"))
+            .select(bucket(F.col("g")).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias(f"c_{name}"))
+        )
+        tot = cnt.agg(F.sum(f"c_{name}").alias(f"tot_{name}"))
+        return cnt, tot
+
+    p_cnt, p_tot = dist(target, "p")
+    q_cnt, q_tot = dist(df, "q")
+    ratio = (
+        p_cnt.join(q_cnt, "b", "full")
+        .crossJoin(F.broadcast(p_tot))
+        .crossJoin(F.broadcast(q_tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_p"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tot_p") + F.lit(float(buckets)))
+                )
+                - F.log(
+                    (F.coalesce(F.col("c_q"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tot_q") + F.lit(float(buckets)))
+                ),
+                6,
+            ).alias("lratio"),
+        )
+    )
+    contrib = F.round(F.col("c") * F.col("lratio"), 6)
+    per_doc = (
+        feats(df)
+        .join(F.broadcast(ratio), "b")
+        .select("doc_id", F.col("c"), contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list("contrib")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("log_weight"),
+        )
+    )
+    return df.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+        "log_weight",
+    )

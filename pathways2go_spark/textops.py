@@ -191,6 +191,105 @@ def repetition_signals(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    train: DataFrame | None = None,
+    col: str = "text",
+    k: float = 1.0,
+    xent_threshold: float = 12.0,
+) -> DataFrame:
+    """CCNet-style language-model scoring: train an add-k-smoothed bigram
+    LM from `train` (default: the corpus itself), then score every
+    document by its per-bigram cross-entropy under that model —
+    `xent = -avg(ln P(w2|w1))`, `P = (c(w1,w2)+k) / (c(w1,·)+k·V)` — the
+    statistic perplexity filtering thresholds on (ppl = e^xent, monotone
+    in xent, so the gate is equivalent and avoids a second libm call).
+
+    Returns (doc_id, n_bigrams, xent, lm_ok); single-token documents get
+    n_bigrams=0, xent NULL, lm_ok true (no evidence either way).
+
+    Scale shape: training is two count aggregations over the exploded
+    train bigrams (map-side partial agg; the context table derives from
+    the bigram table, so train text is scanned once for counts plus once
+    for the vocab scalar). Scoring is one hash join keyed by (w1, w2)
+    and one keyed by w1 — zipfian stopword contexts make w1 a skewed
+    key, which AQE skew-join splits; neither count table is assumed
+    broadcastable (web-scale vocab), so these are plain shuffle joins.
+    The vocab size is the only scalar, attached via a 1-row broadcast
+    cross join. Per-doc reduction folds the ROUNDED per-bigram nll in
+    ascending order (sort_array + left fold — the classifier_score /
+    SimHash-oracle technique), so the float sum is bit-equal across
+    engines. Rounding here is the explicit `floor(x*1e6 + 0.5)/1e6`
+    half-up, NOT F.round: the mean of 6-decimal nll values routinely
+    lands exactly on a 7th-digit .5 boundary (a 6-decimal sum divided by
+    a small integer n), where Spark's BigDecimal-via-toString HALF_UP
+    and DuckDB's binary half-away disagree by 1e-6; the floor formula is
+    the same IEEE multiply/add/floor in both engines, so it is bit-equal
+    whenever its input is (nll >= 0 always, so floor+0.5 == half-up)."""
+    train = df if train is None else train
+    toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+
+    def bigrams(d: DataFrame) -> DataFrame:
+        # zip_with over two shifted slices: size-1 pairs, empty when the
+        # doc has <2 tokens (slice length 0), all narrow
+        n = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return d.select("doc_id", F.explode(pairs).alias("b")).select(
+            "doc_id", "b.w1", "b.w2"
+        )
+
+    bc = bigrams(train).groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = train.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+
+    def _round6(c: F.Column) -> F.Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    nll = _round6(
+        -F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("v"))
+        )
+    )
+    per_doc = (
+        bigrams(df)
+        .join(bc, ["w1", "w2"], "left")
+        .join(cc, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            _round6(
+                F.aggregate(
+                    F.sort_array(F.collect_list("nll")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count("*")
+            ).alias("xent"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "xent",
+            F.coalesce(F.col("xent") <= F.lit(xent_threshold), F.lit(True)).alias(
+                "lm_ok"
+            ),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     """Document fingerprints: full-content md5 + a shingle-set rolling
     fingerprint (min/max of 64-bit shingle hashes) for cheap near-dup

@@ -579,3 +579,35 @@ def test_decontaminate_flags_and_drops(spark):
     assert not out[2]["contaminated"] and out[2]["n_contam"] == 0
     clean = dedup.decontaminate(train, bench, n=5, drop=True)
     assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    # self-trained add-1 bigram LM; counts small enough to verify by hand:
+    # bc = {(a,b):3, (b,a):1, (b,c):1}, cc = {a:3, b:2}, V = |{a,b,c,z}| = 4
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in textops.bigram_lm_score(d).collect()}
+    # doc1: nll = [-ln(4/7), -ln(2/6), -ln(4/7)] -> xent 0.739281
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["xent"] == pytest.approx(0.739281, abs=1e-6)
+    # doc2: [-ln(4/7), -ln(2/6)] / 2 = 0.829114
+    assert out[2]["xent"] == pytest.approx(0.829114, abs=1e-6)
+    # single-token doc: no bigrams, no evidence, kept
+    assert (out[3]["n_bigrams"], out[3]["xent"], out[3]["lm_ok"]) == (
+        0, None, True,
+    )
+
+    # external train corpus + fully unseen context: P = k/(0 + k*V)
+    t = spark.createDataFrame([(10, "a b a b"), (11, "a b c")], ["doc_id", "text"])
+    q = spark.createDataFrame([(1, "z q")], ["doc_id", "text"])
+    # V = 3 ({a,b,c}); unseen w1 -> nll = ln(3) = 1.098612
+    o = textops.bigram_lm_score(q, train=t).collect()[0]
+    assert o["xent"] == pytest.approx(1.098612, abs=1e-6)
+
+    # physical-partitioning invariance (the sorted-fold determinism)
+    out2 = {r["doc_id"]: r for r in
+            textops.bigram_lm_score(d.repartition(7)).collect()}
+    assert {k: (v["n_bigrams"], v["xent"]) for k, v in out.items()} == {
+        k: (v["n_bigrams"], v["xent"]) for k, v in out2.items()
+    }

@@ -183,3 +183,30 @@ def test_repetition_signals(spark):
     assert not out[1]["repetition_ok"]
     assert out[2]["dup_3gram_frac"] == 0.0
     assert out[2]["repetition_ok"]
+
+
+def test_dsir_weights_orders_by_target_similarity(spark):
+    tgt = spark.createDataFrame(
+        [(100, "alpha beta alpha beta"), (101, "alpha gamma beta")],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),   # target-like
+            (2, "zz qq ww xx"),        # off-domain
+            (3, "alpha beta alpha"),   # duplicate of 1 -> identical weight
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in DO.dsir_weights(raw, tgt).collect()}
+    # same text, same weight; target-like beats off-domain
+    assert out[1]["log_weight"] == out[3]["log_weight"]
+    assert out[1]["log_weight"] > out[2]["log_weight"]
+    # n_feats = unigrams + bigrams = 3 + 2
+    assert out[1]["n_feats"] == 5
+    # physical-partitioning invariance (sorted-fold determinism)
+    out2 = {r["doc_id"]: r for r in
+            DO.dsir_weights(raw.repartition(7), tgt.repartition(5)).collect()}
+    assert {k: v["log_weight"] for k, v in out.items()} == {
+        k: v["log_weight"] for k, v in out2.items()
+    }
