@@ -318,6 +318,12 @@ def q_kg_causal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RP.causal_formats(_kg(spark)[0], _anc(spark))
 
 
+def q_kg_causal_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth min-hop causal reachability (BFS frontier layering
+    keyed by (model_id, node); oracle is a recursive CTE)."""
+    return RP.causal_paths(_kg(spark)[0], max_depth=4)
+
+
 def q_kg_chebi_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 full: chemical-class usage counts (GoMappingReport
     chebi_usage.txt)."""
@@ -748,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reaction_venn": q_kg_reaction_venn,
         "kg_reaction_completeness": q_kg_reaction_completeness,
         "kg_causal_formats": q_kg_causal_formats,
+        "kg_causal_paths": q_kg_causal_paths,
         "kg_chebi_usage": q_kg_chebi_usage,
         "kg_deprecated_terms": q_kg_deprecated_terms,
         "data_shards": q_data_shards,
@@ -1723,6 +1730,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT model_id, pred, CAST(count(*) AS BIGINT) AS n_pairs
             FROM pairs GROUP BY 1, 2
+        """,
+        "kg_causal_paths": f"""
+            WITH RECURSIVE causal AS (
+              SELECT model_id, subj AS src, obj AS dst FROM '{tri}'
+              WHERE pred IN ('{rp_causal}') GROUP BY 1, 2, 3
+            ), paths(model_id, src, dst, depth) AS (
+              SELECT model_id, src, dst, 1 FROM causal
+              UNION
+              SELECT p.model_id, p.src, c.dst, p.depth + 1
+              FROM paths p
+              JOIN causal c ON p.model_id = c.model_id AND p.dst = c.src
+              WHERE p.depth < 4
+            )
+            SELECT model_id, src, dst, CAST(min(depth) AS INT) AS depth
+            FROM paths GROUP BY 1, 2, 3
         """,
         "kg_chebi_usage": f"""
             WITH {ty_cte},

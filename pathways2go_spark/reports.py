@@ -440,3 +440,66 @@ def causal_formats(t: DataFrame, ancestors: DataFrame) -> DataFrame:
         .agg(F.min("pred").alias("pred"))
     )
     return pairs.groupBy("model_id", "pred").agg(F.count("*").alias("n_pairs"))
+
+
+def causal_paths(t: DataFrame, max_depth: int = 4) -> DataFrame:
+    """Bounded-depth causal reachability: the min-hop closure of the
+    8-relation causal family within each model — the "what is upstream
+    of what, and how far" table a pathway analyst asks of the finished
+    GO-CAM graph (the multi-hop extension of
+    Manuscript.getCausalComparison:438-547's single-hop pair census).
+
+    Returns (model_id, src, dst, depth), depth = minimum number of
+    causal hops from src to dst, 1 <= depth <= max_depth.
+
+    Scale shape: classic BFS frontier layering over PAIRS — iteration d
+    is one shuffle join keyed by (model_id, node) (frontier.dst =
+    edges.src) plus a left-anti against the seen set, so a pair is
+    discovered exactly once, at its minimum depth, and cycles terminate
+    without any cycle check. At most max_depth joins run; the frontier
+    AND the accumulated seen set are localCheckpointed each round — the
+    frontier to truncate lineage, the seen set so the next round's
+    anti-join probes a materialized leaf instead of a growing Union plan
+    (a cluster deployment swaps in reliable checkpoint()). The only
+    driver traffic is the 1-row empty-frontier probe that exits early.
+    Keys carry model_id, so no cross-model hub node ever becomes a
+    single shuffle key."""
+    edges = (
+        t.filter(F.col("pred").isin(CAUSAL_FAMILY))
+        .select("model_id", F.col("subj").alias("src"),
+                F.col("obj").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seen = edges.withColumn("depth", F.lit(1))
+    frontier = edges
+    for depth in range(2, max_depth + 1):
+        step = (
+            frontier.alias("f")
+            .join(
+                edges.alias("e"),
+                on=[
+                    F.col("f.model_id") == F.col("e.model_id"),
+                    F.col("f.dst") == F.col("e.src"),
+                ],
+            )
+            .select(
+                F.col("f.model_id").alias("model_id"),
+                F.col("f.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+            )
+            .distinct()
+            .join(
+                seen.select("model_id", "src", "dst"),
+                ["model_id", "src", "dst"],
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if not step.head(1):
+            break
+        seen = seen.unionByName(
+            step.withColumn("depth", F.lit(depth))
+        ).localCheckpoint(eager=True)
+        frontier = step
+    return seen

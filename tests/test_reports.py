@@ -208,3 +208,46 @@ def test_deprecated_and_chebi_usage(result):
     chebi = RP.chebi_usage(res.triples, dims.onto_ancestors).collect()
     assert all(r.cls.startswith("CHEBI_") for r in chebi)
     assert sum(r.n for r in chebi) > 0
+
+
+def test_causal_paths_min_hop_bfs(spark):
+    from pathways2go_spark.reports import causal_paths
+
+    # m1: chain a->b->c->d->e plus shortcut a->c plus cycle e->a;
+    # m2: isolated pair x->y (model key isolation)
+    edges = [
+        ("m1", "a", "b"), ("m1", "b", "c"), ("m1", "c", "d"),
+        ("m1", "d", "e"), ("m1", "a", "c"), ("m1", "e", "a"),
+        ("m2", "x", "y"),
+    ]
+    t = spark.createDataFrame(
+        [(m, s, V.CAUSALLY_UPSTREAM, o) for m, s, o in edges],
+        ["model_id", "subj", "pred", "obj"],
+    )
+    out = {
+        (r.model_id, r.src, r.dst): r.depth
+        for r in causal_paths(t, max_depth=4).collect()
+    }
+    # shortcut wins over the 2-hop path: a->c is depth 1, a->d depth 2
+    assert out[("m1", "a", "c")] == 1
+    assert out[("m1", "a", "d")] == 2
+    assert out[("m1", "a", "e")] == 3
+    # the cycle closes every pair without hanging: e->a->c is depth 2
+    assert out[("m1", "e", "c")] == 2
+    assert out[("m1", "a", "a")] == 4  # a->c->d->e->a
+    # no cross-model leakage
+    assert out[("m2", "x", "y")] == 1
+    assert ("m2", "x", "b") not in out and ("m1", "a", "y") not in out
+    # non-causal predicates are ignored
+    t2 = spark.createDataFrame(
+        [(m, s, V.CAUSALLY_UPSTREAM, o) for m, s, o in edges]
+        + [("m2", "y", V.TYPE, "z")],
+        ["model_id", "subj", "pred", "obj"],
+    )
+    assert ("m2", "y", "z") not in {
+        (r.model_id, r.src, r.dst)
+        for r in causal_paths(t2, max_depth=2).collect()
+    }
+    # early exit: max_depth beyond the closure still terminates; the
+    # cycle makes m1 one 5-node SCC, so the full closure is 5*5 + 1
+    assert len(causal_paths(t, max_depth=10).collect()) == 26
