@@ -17,7 +17,8 @@ offset>>), returning the final GO-CAM triples DataFrame.
   sim_*     cosine top-k (exact) + sign-LSH multiprobe ANN (embeddings)
   media_*   multimodal column plumbing (media table + Arrow feature UDF)
   events_ / tpch_ / nation_ / top_   relational aggregation/window/join
-            operators on the star-schema tables
+            operators on the star-schema tables, incl. gap-based
+            sessionization + JSON props extraction (events_sessions)
 
 Oracle SQL is engineered for *bit-exact* value agreement with the Spark
 plan: only integer-derived doubles (exact in IEEE754), sequential-fold
@@ -687,6 +688,39 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + JSON props
+    extraction — the classic clickstream operator. Plan shape: ONE
+    shuffle total — the window partitions by user_id, and the per-
+    session groupBy's (user_id, session_seq) clustering is satisfied by
+    the window's hash(user_id) partitioning, so the aggregate reuses the
+    exchange. All outputs are integers/strings (order-independent)."""
+    # ts is TIMESTAMP_NTZ; pin the session tz so the NTZ->instant cast
+    # is the identity wall-clock mapping DuckDB's epoch_us uses
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    with_s = ev.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+    )
+
+
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -790,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_kind_stats": q_media_kind_stats,
         "media_feature_bytes": q_media_feature_bytes,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
         "tpch_pricing": q_tpch_pricing,
         "top_orders_per_cust": q_top_orders_per_cust,
         "nation_order_stats": q_nation_order_stats,
@@ -2296,6 +2331,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH lagged AS (
+              SELECT user_id, ts, event_id, event_type, props,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            ), marked AS (
+              SELECT *, CASE WHEN gap IS NULL OR gap > 1800000000
+                             THEN 1 ELSE 0 END AS new_s
+              FROM lagged
+            ), sessioned AS (
+              SELECT *, sum(new_s) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM marked
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types,
+                   CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+                     AS duration_us,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k
+            FROM sessioned GROUP BY 1, 2
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,

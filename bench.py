@@ -152,6 +152,9 @@ def main() -> None:
         # bigram-LM perplexity scoring: two count shuffles + two scoring
         # joins — the heaviest text op, watch its join plans
         "text_lm",
+        # bounded-depth BFS closure over the KG fixture: the iterative-
+        # join path, watch per-round checkpoint cost
+        "kg_causal_paths",
         # DSIR importance weights: fixed-bucket-space fit + broadcast
         # scoring join — the no-corpus-sized-shuffle contrast case
         "data_dsir",

@@ -118,15 +118,30 @@ def main() -> None:
     n_mega_spans = mega.select(F.size("spans")).collect()[0][0]
     routed_distributed = n_mega_spans > args.span_threshold
 
+    # steal-gate each measured round exactly like bench.py /
+    # tools/scaling_bench.py: WINDOW selection only, never result
+    # selection — every round is reported, with its own steal reading
+    from bench import read_cpu_stat, steal_gate
+
+    gate_max = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_STEAL", "2.0"))
+    gate_wait = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "600"))
+
     rounds_normal, rounds_both = [], []
+    steal_normal, steal_both = [], []
     base_triples = all_triples = 0
     for _ in range(max(1, args.rounds)):
+        steal_gate(gate_max, gate_wait)
+        s0, j0 = read_cpu_stat()
         t0 = time.perf_counter()
         base_triples = run_pipeline(
             spark, normal, dims, prepared=prepared
         ).triples.count()
         rounds_normal.append(round(time.perf_counter() - t0, 2))
+        s1, j1 = read_cpu_stat()
+        steal_normal.append(round(100.0 * (s1 - s0) / max(1, j1 - j0), 2))
 
+        steal_gate(gate_max, gate_wait)
+        s0, j0 = read_cpu_stat()
         t0 = time.perf_counter()
         both = normal.unionByName(mega)
         all_triples = run_pipeline(
@@ -134,6 +149,8 @@ def main() -> None:
             span_threshold=args.span_threshold,
         ).triples.count()
         rounds_both.append(round(time.perf_counter() - t0, 2))
+        s1, j1 = read_cpu_stat()
+        steal_both.append(round(100.0 * (s1 - s0) / max(1, j1 - j0), 2))
     t_normal, t_both = min(rounds_normal), min(rounds_both)
 
     # ---- LLM-pipeline skew stresses --------------------------------------
@@ -190,6 +207,9 @@ def main() -> None:
         "sec_with_mega": round(t_both, 2),
         "rounds_normal_only": rounds_normal,
         "rounds_with_mega": rounds_both,
+        "steal_normal_only": steal_normal,
+        "steal_with_mega": steal_both,
+        "gate_max_steal": gate_max,
         "embed_allpos_buckets": len(bkt),
         "embed_allpos_candidate_frac": round(n_cand / all_pairs, 4),
         "sec_embed_stress": round(t_embed, 2),
