@@ -1,0 +1,50 @@
+"""Relational operator units: gap-based sessionization semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _run_sessions(spark, rows):
+    """Mimic q_events_sessions over an in-memory events frame."""
+    import __spark_entry__ as E
+
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        return E.queries()["events_sessions"](spark, d).collect()
+
+
+def test_sessionize_gap_split_and_json_sum(spark):
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: two events 5 min apart (one session), then a 31-min gap
+        # (new session)
+        (1, t0, 1, "view", 1.0, '{"k": 10}'),
+        (2, t0 + 5 * m, 1, "click", 1.0, '{"k": 5}'),
+        (3, t0 + 36 * m, 1, "view", 1.0, '{"k": 1}'),
+        # user 2: single event; exactly-30-min gap stays ONE session
+        (4, t0, 2, "view", 1.0, '{"k": 2}'),
+        (5, t0 + 30 * m, 2, "view", 1.0, '{"k": 3}'),
+    ]
+    out = {
+        (r.user_id, r.session_seq): r for r in _run_sessions(spark, rows)
+    }
+    assert len(out) == 3
+    s11, s12 = out[(1, 1)], out[(1, 2)]
+    assert s11.n_events == 2 and s11.n_types == 2
+    assert s11.duration_us == 5 * 60 * 1_000_000
+    assert s11.sum_k == 15
+    assert s12.n_events == 1 and s12.sum_k == 1
+    # gap == threshold is NOT a split (strict >)
+    s21 = out[(2, 1)]
+    assert s21.n_events == 2 and s21.duration_us == 30 * 60 * 1_000_000
+    assert s21.sum_k == 5
+    assert s21.session_start == "2026-01-01 12:00:00"
