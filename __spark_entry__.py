@@ -19,6 +19,8 @@ offset>>), returning the final GO-CAM triples DataFrame.
   events_ / tpch_ / nation_ / top_   relational aggregation/window/join
             operators on the star-schema tables, incl. gap-based
             sessionization + JSON props extraction (events_sessions)
+            and a merge-scan backward as-of join (events_asof,
+            relational.py; oracle = DuckDB native ASOF LEFT JOIN)
 
 Oracle SQL is engineered for *bit-exact* value agreement with the Spark
 plan: only integer-derived doubles (exact in IEEE754), sequential-fold
@@ -721,6 +723,37 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (merge-scan formulation, relational.py):
+    every purchase event picks up the most recent prior view of the
+    same user. Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from pathways2go_spark.relational import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"), "user_id", "ts_us"
+    )
+    out = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts_us",
+        right_ts="ts_us", right_cols=["view_event_id"],
+    )
+    # no-match sentinel -1 instead of NULL: NaN round-trips differently
+    # through Arrow/pandas on the two engines, -1 hashes identically
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.coalesce("view_event_id", F.lit(-1)).alias("view_event_id"),
+        F.coalesce(F.col("ts_us") - F.col("asof_ts"), F.lit(-1)).alias(
+            "gap_us"
+        ),
+    )
+
+
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -825,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_feature_bytes": q_media_feature_bytes,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
         "tpch_pricing": q_tpch_pricing,
         "top_orders_per_cust": q_top_orders_per_cust,
         "nation_order_stats": q_nation_order_stats,
@@ -2357,6 +2391,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                         AS BIGINT) AS sum_k
             FROM sessioned GROUP BY 1, 2
+        """,
+        "events_asof": """
+            WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+                 v AS (SELECT event_id AS view_event_id, user_id,
+                              epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'view')
+            SELECT p.event_id, p.user_id, p.ts_us,
+                   coalesce(v.view_event_id, -1) AS view_event_id,
+                   CAST(coalesce(p.ts_us - v.ts_us, -1) AS BIGINT) AS gap_us
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,84 @@
+"""Relational operators Spark lacks natively, built as compositions of
+DataFrame primitives (driver brief: as-of / range joins as first-class
+custom operators).
+
+The as-of join here is the MERGE-SCAN formulation, not a range join:
+tag both inputs, union them, and let one key-partitioned window carry
+the latest right-side values forward onto left rows. That is a single
+shuffle on the join key — the same cost as one groupBy — whereas the
+naive formulation (left join right on key + ts range, then pick the max
+ts per left row) is a skew-prone range join plus a second aggregation
+shuffle. DuckDB's native ASOF JOIN provides the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: every `left` row gains the `right_cols`
+    values of the most recent `right` row with the same `on` keys and
+    `right_ts` <= `left_ts` (ties match), or NULLs when none exists —
+    pandas.merge_asof / DuckDB ASOF LEFT JOIN semantics.
+
+    `left_ts` / `right_ts` must be monotone-comparable numeric or
+    timestamp columns; `tolerance` (same units as the ts columns)
+    NULLs out matches older than `left_ts - tolerance`.
+
+    Plan shape: ONE shuffle — both sides union into a single frame and
+    a window partitioned by `on`, ordered by (ts, side), computes
+    last(right value, ignorenulls) with rows-unbounded-preceding.
+    Right rows sort BEFORE left rows at equal ts (side 0 < 1), which is
+    what makes ties match. No join node exists in the plan, so there is
+    no range-join explosion and key skew degrades into one big sorted
+    partition that AQE can split, exactly like any window op."""
+    matched = [f"__asof_{c}" for c in right_cols]
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(m) for c, m in zip(right_cols, matched)],
+    )
+    l = left.select(
+        "*", F.col(left_ts).alias("__ts"), F.lit(1).alias("__side")
+    )
+    u = r.unionByName(l, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[F.last(m, ignorenulls=True).over(w).alias(f"{m}__v") for m in matched],
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__asof_ts"),
+    ).filter(F.col("__side") == 1)
+    if tolerance is not None:
+        ok = F.col("__asof_ts") >= (F.col("__ts") - F.lit(tolerance))
+        carried = carried.select(
+            "*",
+            *[F.when(ok, F.col(f"{m}__v")).alias(f"{m}__t") for m in matched],
+            F.when(ok, F.col("__asof_ts")).alias("__asof_ts__t"),
+        )
+        val = lambda m: F.col(f"{m}__t")  # noqa: E731
+        ats = F.col("__asof_ts__t")
+    else:
+        val = lambda m: F.col(f"{m}__v")  # noqa: E731
+        ats = F.col("__asof_ts")
+    return carried.select(
+        *[F.col(c) for c in left.columns],
+        *[val(m).alias(c) for c, m in zip(right_cols, matched)],
+        ats.alias("asof_ts"),
+    )

@@ -213,8 +213,11 @@ def bigram_lm_score(
     the bigram table, so train text is scanned once for counts plus once
     for the vocab scalar). Scoring is one hash join keyed by (w1, w2)
     and one keyed by w1 — zipfian stopword contexts make w1 a skewed
-    key, which AQE skew-join splits; neither count table is assumed
-    broadcastable (web-scale vocab), so these are plain shuffle joins.
+    key, which AQE skew-join splits. Neither count table is ASSUMED
+    broadcastable (web-scale vocab): the joins are declared plain and
+    AQE picks the strategy — broadcast when a count table measures
+    small (it does at test scale), shuffle join with skew splitting
+    beyond the broadcast threshold.
     The vocab size is the only scalar, attached via a 1-row broadcast
     cross join. Per-doc reduction folds the ROUNDED per-bigram nll in
     ascending order (sort_array + left fold — the classifier_score /

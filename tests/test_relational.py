@@ -48,3 +48,45 @@ def test_sessionize_gap_split_and_json_sum(spark):
     assert s21.n_events == 2 and s21.duration_us == 30 * 60 * 1_000_000
     assert s21.sum_k == 5
     assert s21.session_start == "2026-01-01 12:00:00"
+
+
+def test_asof_join_semantics_and_plan(spark):
+    from pathways2go_spark.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 205), (3, "u2", 50), (4, "u3", 10)],
+        ["id", "key", "t"],
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, "a"), ("u1", 200, "b"), ("u2", 60, "c")],
+        ["key", "t", "val"],
+    )
+    out = {
+        r.id: (r.val, r.asof_ts)
+        for r in asof_join(
+            left, right, on=["key"], left_ts="t", right_ts="t",
+            right_cols=["val"],
+        ).collect()
+    }
+    assert out[1] == ("a", 100)   # tie (t == t) matches
+    assert out[2] == ("b", 200)   # latest prior wins
+    assert out[3] == (None, None)  # right row is later -> no match
+    assert out[4] == (None, None)  # key absent from right
+    # tolerance: match older than left_t - tol is nulled
+    out_tol = {
+        r.id: (r.val, r.asof_ts)
+        for r in asof_join(
+            left, right, on=["key"], left_ts="t", right_ts="t",
+            right_cols=["val"], tolerance=4,
+        ).collect()
+    }
+    assert out_tol[1] == ("a", 100)      # gap 0 <= 4
+    assert out_tol[2] == (None, None)    # gap 5 > 4
+    # merge-scan shape: no join node, exactly one exchange
+    plan = (
+        asof_join(left, right, on=["key"], left_ts="t", right_ts="t",
+                  right_cols=["val"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
