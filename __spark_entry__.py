@@ -754,6 +754,36 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized point-in-interval range join (relational.py): every
+    purchase pairs with each view of the same user in the preceding
+    10 minutes. Oracle is a plain SQL inequality join."""
+    from pathways2go_spark.relational import range_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ten_min_us = 600_000_000
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("ts_us").alias("view_lo"),
+        (F.col("ts_us") + ten_min_us).alias("view_hi"),
+    )
+    out = range_join(
+        purchases, views, on=["user_id"], point="ts_us",
+        lo="view_lo", hi="view_hi", bucket_width=ten_min_us,
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "view_event_id",
+        (F.col("ts_us") - F.col("view_lo")).alias("gap_us"),
+    )
+
+
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -859,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
+        "events_range": q_events_range,
         "tpch_pricing": q_tpch_pricing,
         "top_orders_per_cust": q_top_orders_per_cust,
         "nation_order_stats": q_nation_order_stats,
@@ -2403,6 +2434,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(p.ts_us - v.ts_us, -1) AS BIGINT) AS gap_us
             FROM p ASOF LEFT JOIN v
               ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+        """,
+        "events_range": """
+            WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+                 v AS (SELECT event_id AS view_event_id, user_id,
+                              epoch_us(ts) AS view_lo
+                       FROM events WHERE event_type = 'view')
+            SELECT p.event_id, p.user_id, p.ts_us, v.view_event_id,
+                   CAST(p.ts_us - v.view_lo AS BIGINT) AS gap_us
+            FROM p JOIN v
+              ON p.user_id = v.user_id
+             AND p.ts_us >= v.view_lo
+             AND p.ts_us <= v.view_lo + 600000000
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,

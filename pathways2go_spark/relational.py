@@ -82,3 +82,40 @@ def asof_join(
         *[val(m).alias(c) for c, m in zip(right_cols, matched)],
         ats.alias("asof_ts"),
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    point: str,
+    lo: str,
+    hi: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval range join: every `left` row pairs with every
+    `right` row sharing the `on` keys whose [lo, hi] interval contains
+    `left.point` (closed bounds). Column names must not collide across
+    the two inputs apart from `on` (rename before calling).
+
+    Plan shape — the reason this exists: Spark plans a raw inequality
+    join as BroadcastNestedLoop (or a per-key cartesian), which is
+    quadratic in the hub-key group size. Here both sides map to integer
+    buckets of `bucket_width`: intervals explode to every bucket they
+    overlap (replication factor = duration/width + 1 — pick the width
+    near the median interval length), points map to exactly ONE bucket,
+    and the join becomes an equi-join on (keys..., bucket) followed by
+    the exact range filter. Each qualifying pair meets in exactly one
+    bucket (the point's), so no dedup pass is needed, and the shuffle is
+    an ordinary hash exchange AQE can size and skew-split."""
+    # integer `div`, not floor(double /): exact at bucket boundaries
+    wdiv = lambda c: F.expr(f"`{c}` div {int(bucket_width)}")  # noqa: E731
+    r = right.withColumn(
+        "__b", F.explode(F.sequence(wdiv(lo), wdiv(hi)))
+    )
+    l = left.withColumn("__b", wdiv(point))
+    return (
+        l.join(r, on + ["__b"])
+        .filter((F.col(point) >= F.col(lo)) & (F.col(point) <= F.col(hi)))
+        .drop("__b")
+    )

@@ -90,3 +90,40 @@ def test_asof_join_semantics_and_plan(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_buckets_and_bounds(spark):
+    from pathways2go_spark.relational import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 250), (3, "u", 999), (4, "w", 100)],
+        ["id", "key", "t"],
+    )
+    # intervals: [100,200] (tie at lo), [50,100] (tie at hi),
+    # [240,260] spans a bucket boundary at 250, [0,1000] covers all
+    iv = spark.createDataFrame(
+        [(10, "u", 100, 200), (11, "u", 50, 100), (12, "u", 240, 260),
+         (13, "u", 0, 1000), (14, "v", 0, 1000)],
+        ["iv_id", "key", "lo", "hi"],
+    )
+    out = sorted(
+        (r.id, r.iv_id)
+        for r in range_join(
+            pts, iv, on=["key"], point="t", lo="lo", hi="hi",
+            bucket_width=250,
+        ).collect()
+    )
+    assert out == [
+        (1, 10), (1, 11), (1, 13),   # closed bounds: 100 in [100,200] and [50,100]
+        (2, 12), (2, 13),            # 250 sits exactly on a bucket boundary
+        (3, 13),                     # multi-bucket interval found from any bucket
+    ]                                 # key w matches nothing; interval key v unused
+    # each pair appears exactly once (no dedup pass needed)
+    assert len(out) == len(set(out))
+    # plan: an equi hash/sort-merge join, never a nested loop / cartesian
+    plan = (
+        range_join(pts, iv, on=["key"], point="t", lo="lo", hi="hi",
+                   bucket_width=250)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
