@@ -784,6 +784,24 @@ def q_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (1 min -> 1 h -> 1 day),
+    coarser levels folding the finer level's partials (relational.py).
+    Oracle re-aggregates each resolution directly from the raw table."""
+    from pathways2go_spark.relational import hypertable_rollup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return hypertable_rollup(
+        ev, ts="ts_us", keys=["event_type"], value="k",
+        resolutions=[60_000_000, 3_600_000_000, 86_400_000_000],
+    )
+
+
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -890,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
         "events_range": q_events_range,
+        "events_rollup": q_events_rollup,
         "tpch_pricing": q_tpch_pricing,
         "top_orders_per_cust": q_top_orders_per_cust,
         "nation_order_stats": q_nation_order_stats,
@@ -2447,6 +2466,28 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = v.user_id
              AND p.ts_us >= v.view_lo
              AND p.ts_us <= v.view_lo + 600000000
+        """,
+        "events_rollup": """
+            WITH base AS (
+              SELECT event_type, epoch_us(ts) AS ts_us,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            ), lvl AS (
+              SELECT CAST(60000000 AS BIGINT) AS resolution, event_type,
+                     (ts_us // 60000000) * 60000000 AS bucket_start, k
+              FROM base
+              UNION ALL
+              SELECT 3600000000, event_type,
+                     (ts_us // 3600000000) * 3600000000, k FROM base
+              UNION ALL
+              SELECT 86400000000, event_type,
+                     (ts_us // 86400000000) * 86400000000, k FROM base
+            )
+            SELECT resolution, event_type, bucket_start,
+                   count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_v,
+                   min(k) AS min_v, max(k) AS max_v
+            FROM lvl GROUP BY 1, 2, 3
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -119,3 +119,68 @@ def range_join(
         .filter((F.col(point) >= F.col(lo)) & (F.col(point) <= F.col(hi)))
         .drop("__b")
     )
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts: str,
+    keys: list[str],
+    value: str,
+    resolutions: list[int],
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (the TimescaleDB
+    continuous-aggregate shape): time-bucketed (count, sum, min, max)
+    aggregates at each resolution, where every COARSER level folds the
+    next finer level's partials instead of re-reading the raw table.
+    `resolutions` must be ascending and each must divide the next.
+
+    Returns one frame with a `resolution` column:
+      (resolution, *keys, bucket_start, n, sum_v, min_v, max_v).
+
+    Scale shape — why re-aggregating partials matters: at 10^12 rows the
+    1-minute level is the only scan of the fact table; the 1-hour level
+    aggregates 60× fewer rows (the minute partials) and the 1-day level
+    24× fewer again — each a groupBy whose input is already
+    (keys, bucket)-clustered from the previous level's shuffle, so
+    Catalyst plans the reuse without a fresh exchange of the raw data.
+    count/sum fold exactly (sum-of-sums); min/max fold as min-of-mins /
+    max-of-maxes. Bucket arithmetic is integer `div` (exact, no double
+    rounding)."""
+    if sorted(resolutions) != list(resolutions):
+        raise ValueError("resolutions must be ascending")
+    for a, b in zip(resolutions, resolutions[1:]):
+        if b % a:
+            raise ValueError(f"{b} is not a multiple of {a}")
+
+    def bucket(col: str, res: int):
+        return F.expr(f"(`{col}` div {int(res)}) * {int(res)}")
+
+    r0 = resolutions[0]
+    level = (
+        df.select(*keys, bucket(ts, r0).alias("bucket_start"),
+                  F.col(value).alias("__v"))
+        .groupBy(*keys, "bucket_start")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("__v").alias("sum_v"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+        )
+    )
+    out = level.select(F.lit(r0).alias("resolution"), "*")
+    for res in resolutions[1:]:
+        level = (
+            level.select(
+                *keys, bucket("bucket_start", res).alias("bucket_start"),
+                "n", "sum_v", "min_v", "max_v",
+            )
+            .groupBy(*keys, "bucket_start")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_v").alias("sum_v"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+        )
+        out = out.unionByName(level.select(F.lit(res).alias("resolution"), "*"))
+    return out

@@ -127,3 +127,34 @@ def test_range_join_buckets_and_bounds(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_hypertable_rollup_folds_partials(spark):
+    import pytest as _pt
+
+    from pathways2go_spark.relational import hypertable_rollup
+
+    rows = [
+        # key a: two buckets at res 10 that merge at res 100
+        ("a", 5, 1), ("a", 9, 7), ("a", 15, 2), ("a", 105, 10),
+        ("b", 5, 3),
+    ]
+    df = spark.createDataFrame(rows, ["key", "t", "v"])
+    out = {
+        (r.resolution, r.key, r.bucket_start): (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in hypertable_rollup(
+            df, ts="t", keys=["key"], value="v", resolutions=[10, 100]
+        ).collect()
+    }
+    assert out[(10, "a", 0)] == (2, 8, 1, 7)
+    assert out[(10, "a", 10)] == (1, 2, 2, 2)
+    assert out[(10, "a", 100)] == (1, 10, 10, 10)
+    # coarse level == direct aggregation of the raw rows
+    assert out[(100, "a", 0)] == (3, 10, 1, 7)
+    assert out[(100, "a", 100)] == (1, 10, 10, 10)
+    assert out[(100, "b", 0)] == (1, 3, 3, 3)
+
+    with _pt.raises(ValueError):
+        hypertable_rollup(df, "t", ["key"], "v", [100, 10])
+    with _pt.raises(ValueError):
+        hypertable_rollup(df, "t", ["key"], "v", [10, 25])
