@@ -784,6 +784,16 @@ def q_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per source (sketches.py) — bounded
+    mapInPandas partials + relational merge, integer-exact estimator;
+    oracle mirrors the algorithm (k smallest distinct md5-32 hashes)."""
+    from pathways2go_spark.sketches import kmv_distinct
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kmv_distinct(d, col="text", keys=["source"], k=16)
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup (1 min -> 1 h -> 1 day),
     coarser levels folding the finer level's partials (relational.py).
@@ -909,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_range": q_events_range,
         "events_rollup": q_events_rollup,
+        "sketch_kmv": q_sketch_kmv,
         "tpch_pricing": q_tpch_pricing,
         "top_orders_per_cust": q_top_orders_per_cust,
         "nation_order_stats": q_nation_order_stats,
@@ -2488,6 +2499,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(k) AS BIGINT) AS sum_v,
                    min(k) AS min_v, max(k) AS max_v
             FROM lvl GROUP BY 1, 2, 3
+        """,
+        "sketch_kmv": """
+            WITH h AS (
+              SELECT DISTINCT source,
+                     ('0x' || substr(md5(text), 1, 8))::BIGINT AS hh
+              FROM documents
+            ), r AS (
+              SELECT source, hh,
+                     row_number() OVER (PARTITION BY source ORDER BY hh)
+                       AS rn
+              FROM h
+            ), s AS (
+              SELECT source, count(*) AS n_sketch, max(hh) AS kth_hash
+              FROM r WHERE rn <= 16 GROUP BY source
+            )
+            SELECT source, n_sketch, kth_hash,
+                   CAST(CASE WHEN n_sketch < 16 THEN n_sketch
+                        ELSE (15 * 4294967296) // greatest(kth_hash, 1)
+                        END AS BIGINT) AS distinct_est,
+                   n_sketch < 16 AS is_exact
+            FROM s
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -158,3 +158,31 @@ def test_hypertable_rollup_folds_partials(spark):
         hypertable_rollup(df, "t", ["key"], "v", [100, 10])
     with _pt.raises(ValueError):
         hypertable_rollup(df, "t", ["key"], "v", [10, 25])
+
+
+def test_kmv_sketch_exact_estimate_and_partition_invariance(spark):
+    from pathways2go_spark.sketches import kmv_distinct
+
+    # group "big": 500 distinct values (estimate path, k=32);
+    # group "small": 5 distinct values (exact path)
+    rows = [("big", f"v{i}") for i in range(500)] * 2 + [
+        ("small", f"w{i % 5}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = {r.grp: r for r in kmv_distinct(df, "val", ["grp"], k=32).collect()}
+    small = out["small"]
+    assert small.is_exact and small.distinct_est == 5 and small.n_sketch == 5
+    big = out["big"]
+    assert not big.is_exact and big.n_sketch == 32
+    # KMV stderr ~ 1/sqrt(k-2) ~ 18% at k=32; allow 3 sigma
+    assert abs(big.distinct_est - 500) / 500 < 0.55
+    # tournament property: the merged sketch is independent of physical
+    # partitioning, bit for bit
+    out2 = {
+        r.grp: r
+        for r in kmv_distinct(df.repartition(7), "val", ["grp"], k=32).collect()
+    }
+    for g in out:
+        assert (out[g].n_sketch, out[g].kth_hash, out[g].distinct_est) == (
+            out2[g].n_sketch, out2[g].kth_hash, out2[g].distinct_est
+        )
