@@ -230,3 +230,63 @@ def start_dedup_stream(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_windowed_metrics_stream(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+):
+    """Event-time tumbling-window aggregation with a late-data watermark
+    (the classic Structured Streaming metrics job): streamed events
+    group into `window`-sized event-time buckets per event_type; append
+    mode + `watermark` means a window is EMITTED EXACTLY ONCE, when the
+    watermark (max seen event time minus `watermark`) passes its end,
+    and rows arriving later than the watermark for an already-closed
+    window are dropped — the documented, bounded-state trade-off.
+
+    Expects parquet files with at least (ts timestamp, event_type
+    string, props string); emits (window_start, window_end, event_type,
+    n, sum_k) to parquet under out_path, exactly-once via
+    checkpointLocation. Returns the StreamingQuery.
+
+    Scale shape: per-window-per-type partial aggregates combine
+    map-side within each micro-batch; state held between batches is one
+    row per OPEN window per type (watermark evicts closed windows), so
+    state size is bounded by (windows inside the watermark horizon ×
+    types), independent of stream length."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(events_path)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias(
+                "sum_k"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "sum_k",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -181,3 +181,80 @@ def test_read_stream_triples_missing_or_empty_path(spark, tmp_path_factory):
     empty = os.path.join(base, "empty_out")
     os.makedirs(empty)
     assert read_stream_triples(spark, empty) is None
+
+
+def test_windowed_metrics_watermark_drops_late(spark, tmp_path_factory):
+    import datetime as dt
+    import os
+
+    from pathways2go_spark.streaming import start_windowed_metrics_stream
+
+    base = str(tmp_path_factory.mktemp("winstream"))
+    events, out, ckpt = (os.path.join(base, d) for d in ("ev", "out", "ck"))
+    os.makedirs(events)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def ts(h, m):
+        return dt.datetime(2026, 1, 1, h, m, 0)
+
+    def write(name, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema([
+            ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+            ("value", pa.float64()), ("props", pa.string()),
+        ])
+        pq.write_table(
+            pa.Table.from_pylist(
+                [dict(zip(schema.names, r)) for r in rows], schema=schema
+            ),
+            os.path.join(events, name),
+        )
+
+    def run():
+        q = start_windowed_metrics_stream(
+            spark, events, out, ckpt,
+            window="10 minutes", watermark="20 minutes",
+        )
+        q.awaitTermination(120)
+
+    def emitted():
+        try:
+            return {
+                (r.window_start.strftime("%H:%M"), r.event_type):
+                    (r.n, r.sum_k)
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:  # noqa: BLE001 — no output yet
+            return {}
+
+    # on-time data: 3 rows in [12:00,12:10), 1 in [12:10,12:20), plus a
+    # 12:45 clock row pushing the watermark to 12:25 > both window ends
+    write("a.parquet", [
+        (1, ts(12, 0), 1, "x", 0.0, '{"k": 1}'),
+        (2, ts(12, 4), 1, "x", 0.0, '{"k": 2}'),
+        (3, ts(12, 9), 2, "x", 0.0, '{"k": 3}'),
+        (4, ts(12, 15), 1, "x", 0.0, '{"k": 7}'),
+        (5, ts(12, 45), 9, "clk", 0.0, '{"k": 0}'),
+    ])
+    run()
+    # a LATE row for the already-closed 12:00 window + a clock advance
+    write("b.parquet", [
+        (6, ts(12, 5), 3, "x", 0.0, '{"k": 100}'),
+        (7, ts(13, 30), 9, "clk", 0.0, '{"k": 0}'),
+    ])
+    for _ in range(3):  # extra runs only flush state, never re-emit
+        run()
+        if ("12:00", "x") in emitted() and ("12:45", "clk") in emitted():
+            break
+    got = emitted()
+    # closed windows emitted exactly once, WITHOUT the late row
+    assert got[("12:00", "x")] == (3, 6)
+    assert got[("12:10", "x")] == (1, 7)
+    # the late row's window was already finalized: no second emission,
+    # no updated count (parquet append would show a duplicate key)
+    rows = spark.read.parquet(out).collect()
+    keys = [(r.window_start, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys))
