@@ -812,6 +812,88 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join (relational.py): lineitem rows of
+    urgent orders, pruned by a literal-bitmap membership test inside
+    the probe scan before the verifying semi-join. Result is exactly
+    the plain semi-join (false positives are re-verified), so the
+    oracle is ordinary IN-subquery SQL."""
+    from pathways2go_spark.relational import bloom_semi_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    urgent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    out = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return out.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 collapse of the events changelog (relational.py):
+    per user, effective-dated versions of event_type with null-safe
+    change detection and [valid_from, valid_to) dating — one shuffle,
+    two windows. Oracle mirrors with lag/lead + IS DISTINCT FROM."""
+    from pathways2go_spark.relational import scd2_versions
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "event_id",
+    )
+    out = scd2_versions(
+        ev, keys=["user_id"], ts="ts_us", attrs=["event_type"],
+        tie_break="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.coalesce("valid_to", F.lit(-1)).alias("valid_to_us"),
+        "is_current",
+        F.col("version").cast("long").alias("version"),
+    )
+
+
+def q_doc_length_pcts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length percentiles by value-domain compression
+    (sketches.exact_quantiles): one (source, length)->count groupBy,
+    cumulative-histogram rank probe — no global sort of the corpus.
+    All-integer rank definition, so the oracle is the same formula."""
+    from pathways2go_spark.sketches import exact_quantiles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.length("text").alias("len")
+    )
+    return exact_quantiles(d, col="len", pcts=[25, 50, 90, 99],
+                           keys=["source"])
+
+
+def q_events_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-state maintenance (relational.py): the
+    running (n, sum, min, max) state built from half the events is
+    folded with the other half's partials — never re-scanning history.
+    The oracle aggregates the whole table directly, so the fold is
+    proven exact, not just shape-checked."""
+    from pathways2go_spark.relational import incremental_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        "event_id",
+    )
+    hist = ev.filter(F.col("event_id") % 2 == 0)
+    delta = ev.filter(F.col("event_id") % 2 == 1)
+    state = incremental_agg(None, hist, ["event_type"], "k")
+    return incremental_agg(state, delta, ["event_type"], "k")
+
+
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -919,6 +1001,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_range": q_events_range,
         "events_rollup": q_events_rollup,
+        "events_scd2": q_events_scd2,
+        "events_agg_incremental": q_events_agg_incremental,
+        "join_bloom_prune": q_join_bloom_prune,
+        "doc_length_pcts": q_doc_length_pcts,
         "sketch_kmv": q_sketch_kmv,
         "tpch_pricing": q_tpch_pricing,
         "top_orders_per_cust": q_top_orders_per_cust,
@@ -2520,6 +2606,74 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS distinct_est,
                    n_sketch < 16 AS is_exact
             FROM s
+        """,
+        "events_scd2": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id
+              FROM events
+            ), lagged AS (
+              SELECT *,
+                     lag(event_type) OVER w AS prev,
+                     row_number() OVER w AS rn
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ), kept AS (
+              SELECT * FROM lagged
+              WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+            ), dated AS (
+              SELECT user_id, event_type, ts_us AS valid_from,
+                     lead(ts_us) OVER w2 AS valid_to,
+                     row_number() OVER w2 AS version
+              FROM kept
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            )
+            SELECT user_id, event_type,
+                   valid_from AS valid_from_us,
+                   coalesce(valid_to, -1) AS valid_to_us,
+                   valid_to IS NULL AS is_current,
+                   CAST(version AS BIGINT) AS version
+            FROM dated
+        """,
+        "events_agg_incremental": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_v,
+                   min(k) AS min_v, max(k) AS max_v
+            FROM (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            GROUP BY event_type
+        """,
+        "join_bloom_prune": """
+            SELECT l_returnflag, count(*) AS n,
+                   sum(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+            )
+            GROUP BY l_returnflag
+        """,
+        "doc_length_pcts": """
+            WITH hist AS (
+              SELECT source, CAST(length(text) AS BIGINT) AS v,
+                     count(*) AS c
+              FROM documents GROUP BY 1, 2
+            ), cum AS (
+              SELECT source, v, c,
+                     sum(c) OVER (PARTITION BY source ORDER BY v)
+                       AS cumc,
+                     sum(c) OVER (PARTITION BY source) AS n
+              FROM hist
+            ), probed AS (
+              SELECT source, v, c, cumc, n, pct
+              FROM cum, unnest([25, 50, 90, 99]) AS t(pct)
+            )
+            SELECT source, pct, v AS value, CAST(n AS BIGINT) AS n
+            FROM probed
+            WHERE cumc >= greatest(1, (n * pct + 99) // 100)
+              AND cumc - c < greatest(1, (n * pct + 99) // 100)
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -158,6 +158,12 @@ def main() -> None:
         # DSIR importance weights: fixed-bucket-space fit + broadcast
         # scoring join — the no-corpus-sized-shuffle contrast case
         "data_dsir",
+        # late-round-4 relational additions: Bloom-pruned semi-join
+        # (literal-bitmap scan filter + verify join), SCD2 changelog
+        # collapse (one shuffle, two windows), exact quantiles via
+        # value-domain compression
+        "join_bloom_prune", "events_scd2", "doc_length_pcts",
+        "events_agg_incremental",
     ]
     qs = E.queries()
     for name in heads:

@@ -184,3 +184,173 @@ def hypertable_rollup(
         )
         out = out.unionByName(level.select(F.lit(res).alias("resolution"), "*"))
     return out
+
+
+def bloom_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Left-semi join with a runtime Bloom-filter prune: rows of `left`
+    whose `left_key` appears in `right.right_key`, computed as
+    (1) build a Bloom bitmap over the right keys, (2) drop left rows
+    that fail the bitmap test BEFORE the shuffle, (3) verify survivors
+    with an ordinary left-semi equi-join, so false positives never
+    reach the output — the result is EXACTLY the plain semi-join.
+
+    This is the manual form of Spark's InjectRuntimeFilter (which the
+    optimizer only applies under its own heuristics and never through a
+    Python-composed plan boundary). Scale shape: the bitmap is built by
+    one aggregation over the (small) build side — k bit positions per
+    key, OR-combined per 64-bit word map-side, so at most
+    num_bits/64 rows ever reach the driver (16 KiB of longs at the
+    2^17 default) — and is embedded as a LITERAL array in the probe
+    predicate: the membership test is pure Column arithmetic
+    (xxhash64 -> pmod -> shiftleft -> bitwiseAND) evaluated inside the
+    scan's WholeStageCodegen, pushing the prune to the leaf. With an
+    fpp-sized bitmap the verifying join shuffles only true matches plus
+    ~fpp of `left`, instead of all of `left` — on a 100 TB probe side
+    that is the difference between shuffling the table and shuffling
+    the answer. No UDF, no driver loop over rows."""
+    if num_bits & (num_bits - 1):
+        raise ValueError("num_bits must be a power of two")
+    nwords = num_bits // 64
+
+    def positions(col):  # k independent positions via seeded xxhash64
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+
+    bits = right.select(
+        F.explode(F.array(*positions(F.col(right_key)))).alias("__pos")
+    )
+    words = (
+        bits.select(
+            F.shiftright(F.col("__pos"), 6).alias("__w"),
+            # SQL-expr form: F.shiftleft only takes a literal shift count
+            F.expr("shiftleft(1L, cast(pmod(__pos, 64) as int))").alias(
+                "__bit"
+            ),
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(__bit)").alias("__word"))
+        .collect()
+    )
+    dense = [0] * nwords
+    for r in words:
+        dense[int(r["__w"])] = int(r["__word"])
+    lit_words = F.lit(dense)
+
+    tmp = left
+    pos_cols: list[str] = []
+    test = None
+    for i, pos in enumerate(positions(F.col(left_key))):
+        pc = f"__bloom_pos_{i}"
+        pos_cols.append(pc)
+        tmp = tmp.withColumn(pc, pos)
+        word = F.element_at(
+            lit_words, F.shiftright(F.col(pc), 6).cast("int") + 1
+        )
+        bit = F.expr(f"shiftleft(1L, cast(pmod({pc}, 64) as int))")
+        hit = word.bitwiseAND(bit) != 0
+        test = hit if test is None else (test & hit)
+
+    survivors = tmp.filter(test).drop(*pos_cols)
+    return survivors.join(
+        right.select(F.col(right_key).alias(left_key)).distinct(),
+        on=left_key,
+        how="left_semi",
+    )
+
+
+def scd2_versions(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    attrs: list[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Collapse a changelog into SCD Type-2 effective-dated versions:
+    per `keys` entity, order rows by (`ts`, `tie_break`), keep only
+    rows where any of `attrs` differs (null-safely) from the previous
+    row, and date each kept version [valid_from, valid_to) with
+    valid_to = the next version's valid_from (NULL on the current
+    version). Returns (*keys, *attrs, valid_from, valid_to,
+    is_current, version) with version numbering from 1.
+
+    This is the standard warehouse CDC-to-dimension collapse (Kimball
+    SCD2) as ONE window pipeline: a single shuffle on `keys` serves
+    both the change detection (lag) and the effective-dating (lead),
+    because the second window reuses the first's (keys, ts) clustering
+    — Catalyst plans one Exchange and two Window nodes over it. Key
+    skew degrades into a large sorted partition exactly like any
+    window op; there is no self-join and no second shuffle."""
+    order = [F.col(ts)] + ([F.col(tie_break)] if tie_break else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = None
+    cur = df
+    for a in attrs:
+        prev = F.lag(a).over(w)
+        ne = ~F.col(a).eqNullSafe(prev)
+        changed = ne if changed is None else (changed | ne)
+    first = F.row_number().over(w) == 1
+    cur = cur.withColumn("__keep", first | changed)
+    kept = cur.filter("__keep")
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return kept.select(
+        *keys,
+        *attrs,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+        F.lead(ts).over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).alias("version"),
+    )
+
+
+def incremental_agg(
+    state: DataFrame | None,
+    delta: DataFrame,
+    keys: list[str],
+    value: str,
+) -> DataFrame:
+    """Incremental (append-only) aggregate-state maintenance: fold a
+    new batch of raw rows into a running per-`keys` aggregate state
+    (n, sum_v, min_v, max_v) WITHOUT re-scanning history — the
+    materialized-view-maintenance shape. `state` is a previous return
+    value of this function (or None to bootstrap); `delta` is raw rows.
+    avg is derivable (sum_v / n) and deliberately not stored: only
+    MERGEABLE partials live in the state.
+
+    Scale shape: at 10^12 accumulated rows the running state is the
+    only thing ever re-read — one frame bounded by the key domain. The
+    delta aggregates map-side into per-key partials (one shuffle of the
+    BATCH, not the history), then a union + second groupBy folds state
+    and delta partials; Catalyst executes it as one hash-agg over
+    (state ∪ delta-partials), both sides already key-shaped. count/sum
+    fold as sums, min/max as min-of-mins / max-of-maxes — exact for
+    append-only streams (deletions would need retractable sketches,
+    out of scope and documented here). Persist the returned frame with
+    the bucketed sink to make the next fold's scan key-clustered."""
+    parts = delta.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(value).alias("sum_v"),
+        F.min(value).alias("min_v"),
+        F.max(value).alias("max_v"),
+    )
+    if state is None:
+        return parts
+    return (
+        state.select(*keys, "n", "sum_v", "min_v", "max_v")
+        .unionByName(parts)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )

@@ -101,3 +101,61 @@ def kmv_distinct(
         est.alias("distinct_est"),
         (F.col("n_sketch") < kk).alias("is_exact"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    pcts: list[int],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """EXACT per-`keys` percentiles of an integer-valued `col` without
+    globally sorting the rows: for each integer percent p in `pcts`
+    returns the value at 1-indexed rank ceil(n * p / 100) (floored at
+    rank 1, so p=0 is the min and p=100 the max) — the discrete
+    lower-quantile definition, all-integer so it is bit-reproducible
+    in any engine.
+
+    Output: (*keys, pct, value, n).
+
+    Scale shape — rank-select by value-domain compression: a total sort
+    of 10^12 rows is a full-table range-shuffle, but percentiles only
+    need the CUMULATIVE HISTOGRAM, so the one wide pass is a
+    (keys, value)->count groupBy (map-side combinable, output bounded
+    by the distinct-value domain, not the row count). The cumulative
+    window and the per-pct rank probe then run over that compressed
+    frame. The pct list explodes AFTER compression, so the raw table is
+    scanned once regardless of len(pcts). Spark's own percentile_approx
+    trades exactness for a bounded sketch; this trades a value-domain
+    bound (lengths, scores, timestamps-at-fixed-granularity all
+    qualify) for exactness — and its oracle is plain SQL."""
+    keys = keys or []
+    for p in pcts:
+        if not (isinstance(p, int) and 0 <= p <= 100):
+            raise ValueError(f"pcts must be integers in [0, 100]: {p!r}")
+    hist = (
+        df.select(*keys, F.col(col).cast("long").alias("__v"))
+        .groupBy(*keys, "__v")
+        .agg(F.count("*").alias("__c"))
+    )
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    w = wk.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        *keys,
+        "__v",
+        "__c",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(wk.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("n"),
+    )
+    p = F.explode(F.lit([int(x) for x in pcts])).alias("pct")
+    probed = cum.select(*keys, "__v", "__c", "__cum", "n", p)
+    rank = F.greatest(
+        F.lit(1).cast("long"), F.expr("(n * pct + 99) div 100")
+    )
+    return probed.filter(
+        (F.col("__cum") >= rank) & (F.col("__cum") - F.col("__c") < rank)
+    ).select(*keys, "pct", F.col("__v").alias("value"), "n")

@@ -186,3 +186,157 @@ def test_kmv_sketch_exact_estimate_and_partition_invariance(spark):
         assert (out[g].n_sketch, out[g].kth_hash, out[g].distinct_est) == (
             out2[g].n_sketch, out2[g].kth_hash, out2[g].distinct_est
         )
+
+
+def test_bloom_semi_join_exact_despite_false_positives(spark):
+    """A deliberately tiny bitmap (64 bits, 1 hash) over 40 build keys
+    saturates with false positives; the verifying join must still
+    return exactly the plain semi-join."""
+    from pathways2go_spark.relational import bloom_semi_join
+
+    left = spark.range(0, 500).withColumnRenamed("id", "k")
+    right = spark.range(0, 200, 5).withColumnRenamed("id", "rk")
+    got = sorted(
+        r.k
+        for r in bloom_semi_join(
+            left, right, "k", "rk", num_bits=64, num_hashes=1
+        ).collect()
+    )
+    assert got == list(range(0, 200, 5))
+
+
+def test_bloom_semi_join_prunes_before_verify(spark):
+    """With a well-sized bitmap the pre-join filter drops (almost) all
+    non-members: count survivors of the bitmap test alone."""
+    from pathways2go_spark.relational import bloom_semi_join
+
+    left = spark.range(0, 2000).withColumnRenamed("id", "k")
+    right = spark.createDataFrame([(7,), (1234,)], ["rk"])
+    out = bloom_semi_join(left, right, "k", "rk")
+    assert sorted(r.k for r in out.collect()) == [7, 1234]
+    # the physical plan must contain the literal-bitmap scan filter
+    # (a Filter with shiftright/bitwise ops), not just the join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+
+
+def test_bloom_semi_join_rejects_non_power_of_two(spark):
+    import pytest
+
+    from pathways2go_spark.relational import bloom_semi_join
+
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        bloom_semi_join(df, df, "k", "k", num_bits=100)
+
+
+def test_scd2_versions_semantics(spark):
+    from pathways2go_spark.relational import scd2_versions
+
+    rows = [
+        # entity 1: A -> A (no change) -> B -> B -> A  => 3 versions
+        (1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "B"),
+        (1, 50, "A"),
+        # entity 2: NULL -> A -> NULL  => 3 versions (null-safe compare)
+        (2, 10, None), (2, 20, "A"), (2, 30, None),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "attr"])
+    out = {
+        (r.k, r.version): (r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_versions(df, ["k"], "ts", ["attr"]).collect()
+    }
+    assert out[(1, 1)] == ("A", 10, 30, False)
+    assert out[(1, 2)] == ("B", 30, 50, False)
+    assert out[(1, 3)] == ("A", 50, None, True)
+    assert out[(2, 1)] == (None, 10, 20, False)
+    assert out[(2, 2)] == ("A", 20, 30, False)
+    assert out[(2, 3)] == (None, 30, None, True)
+    assert len(out) == 6
+
+
+def test_scd2_versions_tie_break(spark):
+    from pathways2go_spark.relational import scd2_versions
+
+    # equal ts: tie_break orders B (id 1) before C (id 2)
+    rows = [(1, 10, 1, "A"), (1, 20, 2, "C"), (1, 20, 1, "B")]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "attr"])
+    out = sorted(
+        (r.version, r.attr)
+        for r in scd2_versions(
+            df, ["k"], "ts", ["attr"], tie_break="eid"
+        ).collect()
+    )
+    assert out == [(1, "A"), (2, "B"), (3, "C")]
+
+
+def test_exact_quantiles_rank_definition(spark):
+    from pathways2go_spark.sketches import exact_quantiles
+
+    # values 1..10 once each: p50 -> rank ceil(10*50/100)=5 -> value 5,
+    # p99 -> rank ceil(9.9)=10 -> 10, p0 -> rank floor 1 -> 1
+    df = spark.createDataFrame([(i,) for i in range(1, 11)], ["v"])
+    got = {
+        r.pct: (r.value, r.n)
+        for r in exact_quantiles(df, "v", [0, 50, 99, 100]).collect()
+    }
+    assert got == {0: (1, 10), 50: (5, 10), 99: (10, 10), 100: (10, 10)}
+
+
+def test_exact_quantiles_grouped_and_duplicates(spark):
+    from pathways2go_spark.sketches import exact_quantiles
+
+    rows = [("a", 1)] * 9 + [("a", 100)] + [("b", 7)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        (r.g, r.pct): r.value
+        for r in exact_quantiles(df, "v", [90, 91], keys=["g"]).collect()
+    }
+    # group a: n=10; p90 -> rank 9 -> 1, p91 -> rank ceil(9.1)=10 -> 100
+    assert got[("a", 90)] == 1
+    assert got[("a", 91)] == 100
+    assert got[("b", 90)] == 7 and got[("b", 91)] == 7
+
+
+def test_exact_quantiles_rejects_bad_pct(spark):
+    import pytest
+
+    from pathways2go_spark.sketches import exact_quantiles
+
+    df = spark.createDataFrame([(1,)], ["v"])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "v", [50.5])  # type: ignore[list-item]
+
+
+def test_incremental_agg_fold_matches_direct(spark):
+    from pathways2go_spark.relational import incremental_agg
+
+    rows = [("a", i) for i in range(1, 8)] + [("b", 100), ("b", -5)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    direct = {
+        (r.g): (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in incremental_agg(None, df, ["g"], "v").collect()
+    }
+    assert direct["a"] == (7, 28, 1, 7)
+    assert direct["b"] == (2, 95, -5, 100)
+    # fold in three arbitrary batches -> identical state
+    s = None
+    for lo, hi in [(0, 3), (3, 4), (4, 9)]:
+        batch = spark.createDataFrame(rows[lo:hi], ["g", "v"])
+        s = incremental_agg(s, batch, ["g"], "v")
+    folded = {
+        (r.g): (r.n, r.sum_v, r.min_v, r.max_v) for r in s.collect()
+    }
+    assert folded == direct
+
+
+def test_incremental_agg_new_key_in_delta(spark):
+    from pathways2go_spark.relational import incremental_agg
+
+    s = incremental_agg(
+        None, spark.createDataFrame([("a", 1)], ["g", "v"]), ["g"], "v"
+    )
+    s2 = incremental_agg(
+        s, spark.createDataFrame([("c", 9)], ["g", "v"]), ["g"], "v"
+    )
+    got = {r.g: (r.n, r.sum_v) for r in s2.collect()}
+    assert got == {"a": (1, 1), "c": (1, 9)}
