@@ -894,6 +894,84 @@ def q_events_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_agg(state, delta, ["event_type"], "k")
 
 
+def q_data_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap (dataops.cap_per_key): keep at most 10
+    documents per source, chosen deterministically by (md5(id), id) —
+    the salted two-phase top-cap, so a hub domain never lands in one
+    sorted partition. Survivors are a pure function of the ids, so the
+    oracle is one SQL QUALIFY; returning the rows themselves proves the
+    exact kept SET, not just its size."""
+    from pathways2go_spark.dataops import cap_per_key
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return cap_per_key(d, cap=10, key_col="source", id_col="doc_id")
+
+
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (textops.inverted_index): token -> (df, sorted
+    posting string) with a max_df hub cap, aggregated down to per-df
+    census + md5 of the posting set so the result stays small while
+    still pinning every posting byte."""
+    from pathways2go_spark.textops import inverted_index
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = inverted_index(d, max_df=395)
+    return idx.groupBy("df").agg(
+        F.count("*").alias("n_terms"),
+        F.sum(F.length("postings")).alias("postings_chars"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.sort_array(
+                    F.collect_list(F.concat_ws(":", "term", "postings"))
+                ),
+            )
+        ).alias("content_md5"),
+    )
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (textops.tfidf_top_terms):
+    6-decimal-rounded idf before the integer tf multiply, rank ties on
+    (tfidf DESC, term), so rank order is engine-identical."""
+    from pathways2go_spark.textops import tfidf_top_terms
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(d, k=3)
+
+
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (relational.zorder_key) over
+    (user_id, event hour): per 64-bucket prefix of the Morton key,
+    count + min/max of BOTH dimensions — tight per-bucket ranges on
+    both are exactly the file-footer property that lets a predicate on
+    EITHER column prune a Z-ordered 100 TB table. The key math is
+    plain bit arithmetic, mirrored term-for-term in the oracle."""
+    from pathways2go_spark.relational import zorder_key
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("x"),
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+        ).alias("y"),
+    )
+    z = zorder_key(F.col("x"), F.col("y"), bits=10)
+    return (
+        ev.withColumn("zb", F.shiftright(z, 14))
+        .groupBy("zb")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -1005,6 +1083,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_agg_incremental": q_events_agg_incremental,
         "join_bloom_prune": q_join_bloom_prune,
         "doc_length_pcts": q_doc_length_pcts,
+        "data_domain_cap": q_data_domain_cap,
+        "text_inverted_index": q_text_inverted_index,
+        "text_tfidf": q_text_tfidf,
+        "events_zorder": q_events_zorder,
         "sketch_kmv": q_sketch_kmv,
         "tpch_pricing": q_tpch_pricing,
         "top_orders_per_cust": q_top_orders_per_cust,
@@ -1168,6 +1250,10 @@ _SIMHASH_HI = " + ".join(
 
 
 def oracle_sql() -> dict[str, str]:
+    from pathways2go_spark.relational import zorder_key_sql
+
+    # Morton-key SQL mirror of relational.zorder_key (events_zorder)
+    _ZORDER_SQL = zorder_key_sql("x", "y", bits=10)
     fx = _fx()
     tri = fx["expected_triples"]
     anc = fx["onto_ancestors"]
@@ -2674,6 +2760,81 @@ def oracle_sql() -> dict[str, str]:
             FROM probed
             WHERE cumc >= greatest(1, (n * pct + 99) // 100)
               AND cumc - c < greatest(1, (n * pct + 99) // 100)
+        """,
+        "data_domain_cap": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ) <= 10
+        """,
+        "text_inverted_index": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id AS doc, term
+              FROM documents,
+                   unnest(string_split_regex(trim(text), '\\s+'))
+                     AS t(term)
+              WHERE term <> ''
+            ), census AS (
+              SELECT term, count(*) AS df FROM tok GROUP BY term
+              HAVING count(*) <= 395
+            ), idx AS (
+              SELECT t.term, c.df,
+                     string_agg(CAST(t.doc AS VARCHAR), ','
+                                ORDER BY t.doc) AS postings
+              FROM tok t JOIN census c USING (term)
+              GROUP BY t.term, c.df
+            )
+            SELECT df, count(*) AS n_terms,
+                   CAST(sum(length(postings)) AS BIGINT)
+                     AS postings_chars,
+                   md5(string_agg(term || ':' || postings, '|'
+                                  ORDER BY term || ':' || postings))
+                     AS content_md5
+            FROM idx GROUP BY df
+        """,
+        "text_tfidf": """
+            WITH tok AS (
+              SELECT doc_id AS doc, term
+              FROM documents,
+                   unnest(string_split_regex(trim(text), '\\s+'))
+                     AS t(term)
+              WHERE term <> ''
+            ), tf AS (
+              SELECT doc, term, count(*) AS tf
+              FROM tok GROUP BY doc, term
+            ), dfc AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (
+              SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+            ), scored AS (
+              SELECT tf.doc, tf.term, tf.tf, dfc.df,
+                     round(tf.tf * round(
+                       ln((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0, 6
+                     ), 6) AS tfidf
+              FROM tf JOIN dfc USING (term) CROSS JOIN n
+            )
+            SELECT doc, term, tf, df, tfidf,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc ORDER BY tfidf DESC, term
+              ) AS rank
+              FROM scored
+            )
+            WHERE rank <= 3
+        """,
+        "events_zorder": f"""
+            WITH e AS (
+              SELECT user_id AS x,
+                     epoch_us(ts) // 3600000000 AS y
+              FROM events
+            )
+            SELECT {_ZORDER_SQL} // 16384 AS zb,
+                   count(*) AS n,
+                   min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y
+            FROM e GROUP BY 1
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -164,6 +164,11 @@ def main() -> None:
         # value-domain compression
         "join_bloom_prune", "events_scd2", "doc_length_pcts",
         "events_agg_incremental",
+        # per-domain frequency cap (salted two-phase top-cap), inverted
+        # index with max_df hub cap, TF-IDF top terms, Z-order
+        # clustering-key census
+        "data_domain_cap", "text_inverted_index", "text_tfidf",
+        "events_zorder",
     ]
     qs = E.queries()
     for name in heads:

@@ -425,3 +425,44 @@ def dsir_weights(
         F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
         "log_weight",
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    cap: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salts: int = 16,
+) -> DataFrame:
+    """Frequency cap: keep at most `cap` rows per `key_col`, selected
+    deterministically by (md5(id), id) order — the per-domain cap of a
+    web-corpus pipeline (no single host may contribute more than N
+    documents), with a retry/cluster-size-independent survivor set.
+
+    Scale shape — salted two-phase top-cap: a plain
+    row_number() OVER (PARTITION BY key) puts a hub domain's 100M rows
+    into ONE sorted partition. Phase 1 ranks within (key, salt) — each
+    hub shard is 1/`salts` of the hub — and keeps `cap` per shard;
+    phase 2 re-ranks the survivors (<= salts*cap per key, bounded by
+    the KEY DOMAIN not the row count) and keeps the true global `cap`.
+    Correct because the cap smallest (md5, id) pairs of a key are a
+    subset of the union of each shard's cap smallest — the same
+    tournament property as the KMV sketch merge. Both windows shuffle,
+    but the second input is tiny; under-cap keys flow through both
+    ranks unharmed. The survivor set is a pure function of the ids, so
+    the oracle is one SQL QUALIFY."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    pick = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w1 = Window.partitionBy(key_col, "__salt").orderBy(*pick)
+    w2 = Window.partitionBy(key_col).orderBy(*pick)
+    return (
+        df.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts))
+        )
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= cap)
+        .withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= cap)
+        .drop("__salt", "__r1", "__r2")
+    )

@@ -354,3 +354,84 @@ def incremental_agg(
             F.max("max_v").alias("max_v"),
         )
     )
+
+
+def zorder_key(x: F.Column, y: F.Column, bits: int = 10) -> F.Column:
+    """Morton (Z-order) key: interleave the low `bits` bits of two
+    non-negative integer dimensions — bit i of x lands at position 2i,
+    bit i of y at 2i+1. Pure Column arithmetic (mask/shift/or), so it
+    evaluates inside WholeStageCodegen; the same formula is plain SQL,
+    so the key itself is oracle-checkable bit-for-bit."""
+    mask = (1 << bits) - 1
+    xm = x.cast("long").bitwiseAND(F.lit(mask))
+    ym = y.cast("long").bitwiseAND(F.lit(mask))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_key_sql(x_expr: str, y_expr: str, bits: int = 10) -> str:
+    """The ANSI-SQL rendering of zorder_key over the same expressions —
+    disjoint bit positions, so the interleave is a plain sum."""
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x_expr}) & {mask}) >> {i} & 1) * {1 << (2 * i)}")
+        terms.append(
+            f"((({y_expr}) & {mask}) >> {i} & 1) * {1 << (2 * i + 1)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 10,
+    partitions: int | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Cluster a table for TWO-dimensional scan pruning: compute the
+    Morton key of (x_col, y_col), range-partition on it, and sort each
+    partition by it — the Delta/Iceberg OPTIMIZE ZORDER layout, which
+    vanilla Spark writes lack. Returns the clustered frame with a `z`
+    column; write it with partitionBy-free parquet and every file's
+    min/max footer stats are tight on BOTH dimensions, so a predicate
+    on EITHER column prunes row groups (a lexicographic sort only
+    prunes its leading column).
+
+    `normalize=True` (default) first rescales each dimension into the
+    full [0, 2^bits) range from its min/max (one aggregate, scalar
+    driver traffic — the same role as Delta's per-column range ids):
+    without it, a dimension whose domain is narrower than 2^bits
+    contributes dead high bits and the interleave degenerates into a
+    sort on the wider dimension alone.
+
+    Scale shape: one range shuffle (sampled boundaries) + local sort —
+    exactly the cost of any sorted write; the z computation is
+    codegen'd column math. At 100 TB this is the difference between
+    scanning the corpus and scanning the files a (user, time-range)
+    query actually touches."""
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    if normalize:
+        top = (1 << bits) - 1
+        mnx, mxx, mny, mxy = df.agg(
+            F.min(x), F.max(x), F.min(y), F.max(y)
+        ).first()
+
+        def scale(c, mn, mx):
+            if mn is None or mx is None or mx == mn:
+                return F.lit(0).cast("long")
+            return ((c - F.lit(mn)) * F.lit(top) / F.lit(mx - mn)).cast(
+                "long"
+            )
+
+        x, y = scale(x, mnx, mxx), scale(y, mny, mxy)
+    out = df.withColumn("z", zorder_key(x, y, bits))
+    n = partitions or out.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, "z").sortWithinPartitions("z")

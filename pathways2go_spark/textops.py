@@ -8,7 +8,7 @@ in the hot path. Designed for the driver's `documents` table
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny English function-word list for the n-gram/stopword heuristic
@@ -307,4 +307,97 @@ def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
         F.xxhash64(F.lower(F.col(col))).alias("h64"),
         F.array_min(sh).alias("shingle_min"),
         F.array_max(sh).alias("shingle_max"),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Token -> posting-list index over the corpus: for each distinct
+    whitespace token, its document frequency and the comma-joined
+    sorted list of containing doc ids. Output (term, df, postings).
+
+    Scale shape: explode + distinct is one shuffle on (term, doc); the
+    df census and the posting collect both key on term, so Catalyst
+    reuses the join's hash partitioning for the final groupBy (one
+    Exchange on term total). `max_df` bounds the hub problem — a
+    stopword's posting row would otherwise be corpus-sized — by
+    filtering on the (term, df) census BEFORE any list is built;
+    production indexes always drop or tier such terms. Postings are a
+    canonical string (numeric doc order), so the oracle is
+    string_agg(... ORDER BY) — no engine-specific array rendering."""
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc"), F.explode(tokens(col)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    census = tok.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        census = census.filter(F.col("df") <= max_df)
+    return (
+        tok.join(census, "term")
+        .groupBy("term", "df")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings")
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF:
+    idf = round6(ln((N + 1) / (df + 1)) + 1), tfidf = round6(tf * idf),
+    ranked per document by (tfidf DESC, term ASC) — the keyword-
+    extraction step of a corpus-quality pipeline. Output
+    (doc, term, tf, df, tfidf, rank), rank <= k.
+
+    Determinism: idf is rounded to 6 decimals BEFORE the tf multiply
+    (tf is an integer, so tf * idf6 is exact in doubles up to tf ~ 2^32
+    / 10^6), and the rank ties break on the rounded value then the term
+    — so rank order is identical in any engine (same trick as
+    bigram_lm_score). N is one scalar count to the driver (documented;
+    O(1) traffic). Scale shape: tf groupBy on (doc, term), df census on
+    term, broadcast-size join of the census back (term domain, not
+    corpus domain), one window per doc — a document's term set is
+    bounded by the document, so no skewed sort."""
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc"), F.explode(tokens(col)).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = tok.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+
+    def _round6(c: F.Column) -> F.Column:
+        return F.round(c, 6)
+
+    idf6 = _round6(
+        F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0)))
+        + F.lit(1.0)
+    )
+    scored = tf.join(dfc, "term").withColumn(
+        "tfidf", _round6(F.col("tf") * idf6)
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc", "term", "tf", "df", "tfidf", "rank")
     )

@@ -611,3 +611,45 @@ def test_bigram_lm_score_hand_computed(spark):
     assert {k: (v["n_bigrams"], v["xent"]) for k, v in out.items()} == {
         k: (v["n_bigrams"], v["xent"]) for k, v in out2.items()
     }
+
+
+def test_inverted_index_postings_and_max_df(spark):
+    from pathways2go_spark.textops import inverted_index
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (10, "banana  apple"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = {r.term: (r.df, r.postings)
+           for r in inverted_index(df).collect()}
+    # duplicate in-doc occurrences collapse; postings in numeric order
+    assert idx["apple"] == (2, "1,10")
+    assert idx["banana"] == (3, "1,2,10")
+    assert idx["cherry"] == (1, "2")
+    capped = {r.term for r in inverted_index(df, max_df=2).collect()}
+    assert capped == {"apple", "cherry"}  # banana (df=3) dropped
+
+
+def test_tfidf_top_terms_rank_and_rounding(spark):
+    from pathways2go_spark.textops import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "x x x common"),
+            (2, "y common"),
+            (3, "common common z"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r.doc, r.rank): (r.term, r.tf, r.df)
+           for r in tfidf_top_terms(df, k=2).collect()}
+    # doc 1: x (tf=3, df=1) outranks common (tf=1, df=3)
+    assert out[(1, 1)][0] == "x" and out[(1, 2)][0] == "common"
+    # doc 3: common tf=2 df=3 -> tfidf = 2*round6(ln(4/4)+1) = 2.0;
+    # z tf=1 df=1 -> round6(ln(2)+1) ~= 1.693147 -> common ranks first
+    assert out[(3, 1)] == ("common", 2, 3)
+    assert out[(3, 2)] == ("z", 1, 1)

@@ -210,3 +210,46 @@ def test_dsir_weights_orders_by_target_similarity(spark):
     assert {k: v["log_weight"] for k, v in out.items()} == {
         k: v["log_weight"] for k, v in out2.items()
     }
+
+
+def test_cap_per_key_exact_survivor_set(spark):
+    """The salted two-phase top-cap must select EXACTLY the cap
+    smallest (md5(id), id) per key — compare against the plain
+    single-window rank."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, 200)  # 4 sources x 50 docs
+    got = DO.cap_per_key(docs, cap=7, key_col="source", id_col="doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    want = (
+        docs.withColumn("r", F.row_number().over(w))
+        .filter("r <= 7")
+        .drop("r")
+    )
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    )
+    per_key = {r.source: r.n for r in
+               got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_key == {f"src{i}": 7 for i in range(4)}
+
+
+def test_cap_per_key_under_cap_passthrough_and_salt_invariance(spark):
+    docs = _docs(spark, 20)  # 4 sources x 5 docs, cap above size
+    got = DO.cap_per_key(docs, cap=10, key_col="source", id_col="doc_id")
+    assert got.count() == 20
+    # survivor set must not depend on the salt count
+    a = sorted(r.doc_id for r in DO.cap_per_key(
+        _docs(spark, 120), 5, salts=2).collect())
+    b = sorted(r.doc_id for r in DO.cap_per_key(
+        _docs(spark, 120), 5, salts=32).collect())
+    assert a == b
+
+
+def test_cap_per_key_rejects_bad_cap(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        DO.cap_per_key(_docs(spark, 10), cap=0)

@@ -340,3 +340,73 @@ def test_incremental_agg_new_key_in_delta(spark):
     )
     got = {r.g: (r.n, r.sum_v) for r in s2.collect()}
     assert got == {"a": (1, 1), "c": (1, 9)}
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from pathways2go_spark.relational import zorder_key
+
+    def ref(x, y, bits=10):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(3, 5), (0, 0), (1023, 1023), (17, 900), (512, 1)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == ref(x, y), (x, y)
+    # masking: bits above `bits` are ignored
+    big = spark.createDataFrame([(1024 + 3, 2048 + 5)], ["x", "y"])
+    assert big.select(
+        zorder_key(F.col("x"), F.col("y")).alias("z")
+    ).first().z == ref(3, 5)
+
+
+def test_zorder_sql_mirror(spark):
+    """The generated SQL mirror must equal the Column version on the
+    same engine (Spark runs both), so the DuckDB oracle is exercising
+    the identical formula."""
+    from pathways2go_spark.relational import zorder_key, zorder_key_sql
+
+    df = spark.range(0, 300).select(
+        (F.col("id") * 7 % 1024).alias("x"),
+        (F.col("id") * 13 % 1024).alias("y"),
+    )
+    mism = df.select(
+        zorder_key(F.col("x"), F.col("y")).alias("a"),
+        F.expr(zorder_key_sql("x", "y")).alias("b"),
+    ).filter("a <> b").count()
+    assert mism == 0
+
+
+def test_zorder_layout_bounds_both_dims(spark):
+    """After Z-order layout, per-partition ranges of BOTH dimensions
+    must be far tighter than the global range — the file-stat pruning
+    property. A lexicographic sort on x alone would leave y unbounded
+    in every partition."""
+    from pathways2go_spark.relational import zorder_layout
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        (F.col("id") / 128).cast("long").alias("y"),
+    )
+    laid = zorder_layout(df, "x", "y", bits=7, partitions=16)
+    stats = laid.groupBy(F.spark_partition_id().alias("p")).agg(
+        (F.max("x") - F.min("x")).alias("rx"),
+        (F.max("y") - F.min("y")).alias("ry"),
+        F.count("*").alias("n"),
+    ).collect()
+    assert sum(r.n for r in stats) == n
+    # global range is 127 on both dims; z-clustered partitions must
+    # average well under half of it on each
+    avg_rx = sum(r.rx for r in stats) / len(stats)
+    avg_ry = sum(r.ry for r in stats) / len(stats)
+    assert avg_rx < 64 and avg_ry < 64, (avg_rx, avg_ry)
