@@ -327,6 +327,13 @@ def q_kg_causal_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RP.causal_paths(_kg(spark)[0], max_depth=4)
 
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-model PageRank over the causal graph (reports.py): 5 rounded
+    power iterations with sort-fold float determinism; the oracle is
+    the same 5 iterations unrolled as generated CTEs."""
+    return RP.causal_pagerank(_kg(spark)[0], iters=5)
+
+
 def q_kg_chebi_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 full: chemical-class usage counts (GoMappingReport
     chebi_usage.txt)."""
@@ -1040,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reaction_completeness": q_kg_reaction_completeness,
         "kg_causal_formats": q_kg_causal_formats,
         "kg_causal_paths": q_kg_causal_paths,
+        "kg_pagerank": q_kg_pagerank,
         "kg_chebi_usage": q_kg_chebi_usage,
         "kg_deprecated_terms": q_kg_deprecated_terms,
         "data_shards": q_data_shards,
@@ -1255,6 +1263,62 @@ def oracle_sql() -> dict[str, str]:
     # Morton-key SQL mirror of relational.zorder_key (events_zorder)
     _ZORDER_SQL = zorder_key_sql("x", "y", bits=10)
     fx = _fx()
+
+    def _pagerank_sql(tri_path: str, causal_in: str, iters: int) -> str:
+        """Unrolled mirror of reports.causal_pagerank: iteration k's
+        CTEs repeat the exact rounded float steps (round6 contrib ->
+        sort-fold sum -> round6 blend), so the oracle is bit-identical
+        rather than merely close."""
+        ctes = [
+            f"""edges AS (
+              SELECT model_id, subj AS src, obj AS dst FROM '{tri_path}'
+              WHERE pred IN ('{causal_in}') GROUP BY 1, 2, 3
+            )""",
+            """nodes AS (
+              SELECT model_id, src AS node FROM edges
+              UNION
+              SELECT model_id, dst FROM edges
+            )""",
+            """nn AS (
+              SELECT model_id, count(*) AS n FROM nodes GROUP BY 1
+            )""",
+            """outdeg AS (
+              SELECT model_id, src, count(*) AS od FROM edges
+              GROUP BY 1, 2
+            )""",
+            """r0 AS (
+              SELECT nodes.model_id, nodes.node, nn.n,
+                     round(1.0 / nn.n, 6) AS pr
+              FROM nodes JOIN nn USING (model_id)
+            )""",
+        ]
+        for k in range(1, iters + 1):
+            p = k - 1
+            ctes.append(f"""c{k} AS (
+              SELECT e.model_id, e.dst, round(r.pr / o.od, 6) AS c
+              FROM edges e
+              JOIN r{p} r ON e.model_id = r.model_id AND e.src = r.node
+              JOIN outdeg o ON e.model_id = o.model_id AND e.src = o.src
+            )""")
+            ctes.append(f"""a{k} AS (
+              SELECT model_id, dst,
+                     round(list_reduce(list_sort(list(c)),
+                                       (x, y) -> x + y), 6) AS s
+              FROM c{k} GROUP BY 1, 2
+            )""")
+            ctes.append(f"""r{k} AS (
+              SELECT r.model_id, r.node, r.n,
+                     round(round(0.15 / r.n, 6)
+                           + 0.85 * coalesce(a.s, 0.0), 6) AS pr
+              FROM r{p} r
+              LEFT JOIN a{k} a
+                ON r.model_id = a.model_id AND r.node = a.dst
+            )""")
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f"\nSELECT model_id, node, pr, CAST(n AS BIGINT) AS n_nodes"
+              f" FROM r{iters}"
+        )
     tri = fx["expected_triples"]
     anc = fx["onto_ancestors"]
     aud = fx["expected_audit"]
@@ -2048,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT model_id, src, dst, CAST(min(depth) AS INT) AS depth
             FROM paths GROUP BY 1, 2, 3
         """,
+        "kg_pagerank": _pagerank_sql(tri, rp_causal, iters=5),
         "kg_chebi_usage": f"""
             WITH {ty_cte},
             chem AS (SELECT class_iri AS cls FROM '{anc}'

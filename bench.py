@@ -169,6 +169,8 @@ def main() -> None:
         # clustering-key census
         "data_domain_cap", "text_inverted_index", "text_tfidf",
         "events_zorder",
+        # per-model causal PageRank: 5 rounded power iterations
+        "kg_pagerank",
     ]
     qs = E.queries()
     for name in heads:

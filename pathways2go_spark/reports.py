@@ -503,3 +503,97 @@ def causal_paths(t: DataFrame, max_depth: int = 4) -> DataFrame:
         ).localCheckpoint(eager=True)
         frontier = step
     return seen
+
+
+def causal_pagerank(
+    t: DataFrame, iters: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """Per-model PageRank over the causal-edge graph: which reactions
+    does the pathway's causal structure concentrate influence on — the
+    graph-centrality extension of the single-hop causal census
+    (Manuscript.getCausalComparison:438-547), asked of the finished
+    GO-CAM graph.
+
+    Simplified (dangling mass dropped) power iteration:
+    pr_0 = round6(1/N); pr_{k+1}(v) = round6(round6((1-d)/N) +
+    d * round6(sum_{u->v} round6(pr_k(u) / outdeg(u)))) — every float
+    step rounded to 6 decimals and the incoming sum computed as a
+    SORT-FOLD (F.aggregate over sort_array(collect_list)), so the
+    result is bit-identical in any engine regardless of aggregation
+    order (same determinism treatment as bigram_lm_score / dsir).
+
+    Scale shape: one iteration = one join keyed by (model_id, src) +
+    one groupBy keyed by (model_id, dst) — both carry model_id, so no
+    cross-model hub node becomes a single shuffle key; ranks are
+    localCheckpointed per iteration to truncate lineage (a cluster
+    deployment swaps in reliable checkpoint()). State is bounded by
+    the node domain, never the corpus.
+
+    Returns (model_id, node, pr, n_nodes)."""
+    edges = (
+        t.filter(F.col("pred").isin(CAUSAL_FAMILY))
+        .select("model_id", F.col("subj").alias("src"),
+                F.col("obj").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select("model_id", F.col("src").alias("node"))
+        .unionByName(edges.select("model_id", F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.groupBy("model_id").agg(F.count("*").alias("n"))
+    nodes = nodes.join(nn, "model_id").localCheckpoint(eager=True)
+    outdeg = edges.groupBy("model_id", "src").agg(
+        F.count("*").alias("od")
+    )
+    ranks = nodes.select(
+        "model_id", "node", "n", F.round(F.lit(1.0) / F.col("n"), 6).alias("pr")
+    ).localCheckpoint(eager=True)
+    # round the numerator itself first: Python's 1.0 - 0.85 is
+    # 0.15000000000000002, but the SQL mirror writes the literal 0.15 —
+    # round6 lands both on the identical double before the division
+    base = F.round(
+        F.round(F.lit(1.0 - damping), 6) / F.col("n"), 6
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                ranks.select("model_id", F.col("node").alias("src"), "pr"),
+                ["model_id", "src"],
+            )
+            .join(outdeg, ["model_id", "src"])
+            .select(
+                "model_id", "dst",
+                F.round(F.col("pr") / F.col("od"), 6).alias("c"),
+            )
+        )
+        incoming = contrib.groupBy("model_id", "dst").agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list("c")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("s")
+        )
+        ranks = (
+            nodes.join(
+                incoming.withColumnRenamed("dst", "node"),
+                ["model_id", "node"],
+                "left",
+            )
+            .select(
+                "model_id", "node", "n",
+                F.round(
+                    base
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    6,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "model_id", "node", "pr", F.col("n").alias("n_nodes")
+    )

@@ -251,3 +251,37 @@ def test_causal_paths_min_hop_bfs(spark):
     # early exit: max_depth beyond the closure still terminates; the
     # cycle makes m1 one 5-node SCC, so the full closure is 5*5 + 1
     assert len(causal_paths(t, max_depth=10).collect()) == 26
+
+
+def test_causal_pagerank_cycle_and_dangling(spark):
+    """On a 3-cycle the stationary ranks are uniform (power iteration
+    must stay at 1/N every step); a dangling sink keeps collecting
+    d * contrib while sources decay toward (1-d)/N."""
+    from pathways2go_spark.reports import CAUSAL_FAMILY, causal_pagerank
+
+    p = CAUSAL_FAMILY[0]
+    cyc = [("m1", a, p, b) for a, b in
+           [("a", "b"), ("b", "c"), ("c", "a")]]
+    # m2: two sources both pointing at one sink (dangling)
+    star = [("m2", "s1", p, "t"), ("m2", "s2", p, "t")]
+    t = spark.createDataFrame(cyc + star,
+                              ["model_id", "subj", "pred", "obj"])
+    out = {(r.model_id, r.node): (r.pr, r.n_nodes)
+           for r in causal_pagerank(t, iters=5).collect()}
+    # cycle: every node keeps pr exactly round6(1/3)
+    third = 0.333333
+    for n in "abc":
+        assert out[("m1", n)] == (third, 3), out[("m1", n)]
+    # star sources never receive mass: after >=2 iters
+    # pr(s) = round6(0.15/3) = 0.05
+    assert out[("m2", "s1")] == (0.05, 3)
+    assert out[("m2", "s2")] == (0.05, 3)
+    # sink: pr(t) = round6(0.05 + 0.85 * 2 * round6(pr_prev(s)))
+    # converges to 0.05 + 0.85*2*0.05 = 0.135
+    assert out[("m2", "t")] == (0.135, 3)
+    # non-causal predicates are ignored entirely
+    t2 = spark.createDataFrame(
+        [("m3", "x", "not_causal", "y")],
+        ["model_id", "subj", "pred", "obj"],
+    )
+    assert causal_pagerank(t2, iters=2).count() == 0
