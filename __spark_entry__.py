@@ -801,6 +801,21 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(d, col="text", keys=["source"], k=16)
 
 
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus token stream
+    (sketches.cms_heavy_hitters): depth*width bounded cells, md5 hash
+    family, est >= true count — the bounded-memory hub-key detector.
+    The oracle replays the identical sketch in SQL."""
+    from pathways2go_spark.sketches import cms_heavy_hitters
+
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return cms_heavy_hitters(toks, col="tok", k=10, width=64, depth=4)
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup (1 min -> 1 h -> 1 day),
     coarser levels folding the finer level's partials (relational.py).
@@ -1096,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "events_zorder": q_events_zorder,
         "sketch_kmv": q_sketch_kmv,
+        "sketch_cms": q_sketch_cms,
         "tpch_pricing": q_tpch_pricing,
         "top_orders_per_cust": q_top_orders_per_cust,
         "nation_order_stats": q_nation_order_stats,
@@ -2113,6 +2129,39 @@ def oracle_sql() -> dict[str, str]:
             FROM paths GROUP BY 1, 2, 3
         """,
         "kg_pagerank": _pagerank_sql(tri, rp_causal, iters=5),
+        "sketch_cms": f"""
+            WITH vals AS (
+              SELECT tok AS v FROM documents,
+                   unnest(string_split_regex(trim(text), '\\s+'))
+                     AS t(tok)
+              WHERE tok <> ''
+            ), rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            pairs AS (
+              SELECT v, r,
+                     ('0x' || substr(md5(r || '|' || v), 1, 8))::BIGINT
+                       % 64 AS b
+              FROM vals CROSS JOIN rs
+            ), cells AS (
+              SELECT r, b, count(*) AS c FROM pairs GROUP BY 1, 2
+            ), cand AS (
+              SELECT v AS value, count(*) AS true_n FROM vals GROUP BY 1
+            ), probes AS (
+              SELECT value, true_n, r,
+                     ('0x' || substr(md5(r || '|' || value), 1, 8))
+                       ::BIGINT % 64 AS b
+              FROM cand CROSS JOIN rs
+            ), est AS (
+              SELECT value, true_n, min(c) AS est
+              FROM probes JOIN cells USING (r, b)
+              GROUP BY 1, 2
+            )
+            SELECT value, est, true_n, CAST(rank AS INT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (ORDER BY est DESC, value)
+                AS rank
+              FROM est
+            ) WHERE rank <= 10
+        """,
         "kg_chebi_usage": f"""
             WITH {ty_cte},
             chem AS (SELECT class_iri AS cls FROM '{anc}'

@@ -171,6 +171,8 @@ def main() -> None:
         "events_zorder",
         # per-model causal PageRank: 5 rounded power iterations
         "kg_pagerank",
+        # count-min heavy hitters over the token stream
+        "sketch_cms",
     ]
     qs = E.queries()
     for name in heads:

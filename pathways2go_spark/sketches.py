@@ -159,3 +159,92 @@ def exact_quantiles(
     return probed.filter(
         (F.col("__cum") >= rank) & (F.col("__cum") - F.col("__c") < rank)
     ).select(*keys, "pct", F.col("__v").alias("value"), "n")
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters: top-`k` values of `col` by CMS
+    ESTIMATE (Cormode & Muthukrishnan 2005) — the bounded-memory way to
+    find hub keys before they wreck a shuffle. Returns
+    (value, est, true_n) ranked by (est DESC, value): est is the CMS
+    estimate (min over `depth` bucket rows of the bucket's total
+    count), true_n the exact count for calibration; est >= true_n
+    always, with overestimate bounded by the collisions in the
+    value's least-loaded bucket.
+
+    Determinism: bucket_i(v) = md5(i || v) mod width — the same
+    engine-portable hash family as every oracle in this repo — so the
+    sketch (not just the answer) is bit-reproducible in SQL.
+
+    Scale shape: the sketch table is depth groupBys folded into ONE
+    groupBy over (row, bucket) pairs exploded from each value —
+    depth*width cells TOTAL regardless of row count, map-side
+    combinable. The candidate set (distinct values joined against the
+    broadcast-size cell table) keeps this exact-verifiable at test
+    scale; a 100 TB deployment would feed candidates from a sample or
+    the stream, never the full distinct domain — the sketch itself
+    never grows."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    v = F.col(col).cast("string")
+
+    def bucket(i: int) -> F.Column:
+        h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), v)), 1, 8),
+                   16, 10)
+        return F.pmod(h.cast("long"), F.lit(width))
+
+    pairs = df.select(
+        v.alias("__v"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("r"), bucket(i).alias("b"))
+                for i in range(depth)
+            ])
+        ).alias("rb"),
+    ).select("__v", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    cells = pairs.groupBy("r", "b").agg(F.count("*").alias("c"))
+
+    cand = df.groupBy(v.alias("value")).agg(F.count("*").alias("true_n"))
+    probes = cand.select(
+        "value", "true_n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("r"),
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{i}|"),
+                                               F.col("value"))),
+                                1, 8,
+                            ),
+                            16, 10,
+                        ).cast("long"),
+                        F.lit(width),
+                    ).alias("b"),
+                )
+            for i in range(depth)])
+        ).alias("rb"),
+    ).select("value", "true_n", F.col("rb.r").alias("r"),
+             F.col("rb.b").alias("b"))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("value", "true_n")
+        .agg(F.min("c").alias("est"))
+    )
+    from pyspark.sql import Window
+
+    # TakeOrderedAndProject (per-partition top-k, merged at the driver),
+    # NOT a global rank window — a window with no partition key would
+    # sort the whole candidate domain in one task; the rank window below
+    # only ever sees the k survivors
+    top = est.orderBy(F.desc("est"), F.col("value")).limit(k)
+    w = Window.orderBy(F.desc("est"), F.col("value"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "value", "est", "true_n", "rank"
+    )

@@ -410,3 +410,37 @@ def test_zorder_layout_bounds_both_dims(spark):
     avg_rx = sum(r.rx for r in stats) / len(stats)
     avg_ry = sum(r.ry for r in stats) / len(stats)
     assert avg_rx < 64 and avg_ry < 64, (avg_rx, avg_ry)
+
+
+def test_cms_heavy_hitters_bounds_and_ranking(spark):
+    """CMS estimate must never undercount; with a width that dwarfs the
+    value domain there are no collisions, so est == true count and the
+    ranking is the exact frequency ranking."""
+    from pathways2go_spark.sketches import cms_heavy_hitters
+
+    rows = (["hub"] * 50) + (["mid"] * 10) + ["a", "b", "c"]
+    df = spark.createDataFrame([(v,) for v in rows], ["val"])
+    out = cms_heavy_hitters(df, "val", k=3, width=1024, depth=4).collect()
+    assert [(r.value, r.est, r.true_n) for r in out] == [
+        ("hub", 50, 50), ("mid", 10, 10), ("a", 1, 1)
+    ]
+    # tiny width forces collisions: estimates may only go UP
+    tight = {
+        r.value: (r.est, r.true_n)
+        for r in cms_heavy_hitters(df, "val", k=5, width=2,
+                                   depth=2).collect()
+    }
+    for v, (est, true_n) in tight.items():
+        assert est >= true_n, (v, est, true_n)
+    # the dominating value still ranks first under collisions
+    assert tight["hub"][1] == 50
+
+
+def test_cms_rejects_bad_dims(spark):
+    import pytest
+
+    from pathways2go_spark.sketches import cms_heavy_hitters
+
+    df = spark.createDataFrame([("x",)], ["val"])
+    with pytest.raises(ValueError):
+        cms_heavy_hitters(df, "val", width=0)
