@@ -816,6 +816,58 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(toks, col="tok", k=10, width=64, depth=4)
 
 
+def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch set algebra (sketches.kmv_set_ops): distinct-
+    token-count estimates for two corpus halves and their union /
+    intersection, from two bounded k=16 sketches (the token domain
+    exceeds k, so the saturated inverse-probability estimator path is
+    what the oracle checks) — never co-shuffling
+    the raw token sets. All-integer estimators; the oracle replays the
+    identical sketch algebra in SQL."""
+    from pathways2go_spark.sketches import kmv_set_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    a = toks.filter(F.length("source") <= 4).select("tok")
+    b = toks.filter(F.length("source") > 4).select("tok")
+    return kmv_set_ops(a, b, col="tok", k=16)
+
+
+def q_data_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A-ES weighted sampling (dataops.weighted_sample):
+    per language, 5 documents with inclusion probability proportional
+    to n_chars — derandomized u from md5(doc_id), selection key
+    -ln(u)/w rounded half-up at 1e-9 so the survivor set is a pure
+    function of ids and weights (exact SQL oracle, retry-stable)."""
+    from pathways2go_spark.dataops import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(
+        docs, k=5, weight_col="n_chars", id_col="doc_id", keys=["lang"]
+    )
+
+
+def q_events_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval union (relational.interval_coverage):
+    per user, merge overlapping [ts, ts + value*10s) activity intervals
+    into maximal islands and report interval/island counts + covered
+    microseconds. One shuffle on user_id; windows + rollup reuse it."""
+    from pathways2go_spark.relational import interval_coverage
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        s.alias("s"),
+        (s + F.floor(F.col("value") * F.lit(1e7))).alias("e"),
+    )
+    return interval_coverage(iv, ["user_id"], "s", "e")
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup (1 min -> 1 h -> 1 day),
     coarser levels folding the finer level's partials (relational.py).
@@ -1112,6 +1164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder": q_events_zorder,
         "sketch_kmv": q_sketch_kmv,
         "sketch_cms": q_sketch_cms,
+        "sketch_kmv_setops": q_sketch_kmv_setops,
+        "data_weighted_sample": q_data_weighted_sample,
+        "events_coverage": q_events_coverage,
         "tpch_pricing": q_tpch_pricing,
         "top_orders_per_cust": q_top_orders_per_cust,
         "nation_order_stats": q_nation_order_stats,
@@ -2161,6 +2216,119 @@ def oracle_sql() -> dict[str, str]:
                 AS rank
               FROM est
             ) WHERE rank <= 10
+        """,
+        "sketch_kmv_setops": """
+            WITH toks AS (
+              SELECT source, tok FROM documents,
+                   unnest(string_split_regex(trim(text), '\\s+'))
+                     AS t(tok)
+              WHERE tok <> ''
+            ), hashed AS (
+              SELECT DISTINCT
+                     CASE WHEN length(source) <= 4 THEN 'a' ELSE 'b' END
+                       AS side,
+                     ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hh
+              FROM toks
+            ), ranked AS (
+              SELECT side, hh,
+                     row_number() OVER (PARTITION BY side ORDER BY hh)
+                       AS rn
+              FROM hashed
+            ), kept AS (SELECT side, hh FROM ranked WHERE rn <= 16),
+            sides AS (
+              SELECT side, count(*) AS n, max(hh) AS kth FROM kept
+              GROUP BY side
+            ), se AS (
+              SELECT side, n,
+                     CAST(CASE WHEN n < 16 THEN n
+                          ELSE (15 * 4294967296) // greatest(kth, 1)
+                          END AS BIGINT) AS est,
+                     CASE WHEN n < 16 THEN 4294967296 ELSE kth END
+                       AS theta
+              FROM sides
+            ), th AS (
+              SELECT a.n AS n_a, b.n AS n_b, a.est AS est_a,
+                     b.est AS est_b,
+                     least(a.theta, b.theta) AS theta
+              FROM (SELECT * FROM se WHERE side = 'a') a,
+                   (SELECT * FROM se WHERE side = 'b') b
+            ), mem AS (
+              SELECT hh,
+                     max(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS in_a,
+                     max(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS in_b
+              FROM kept GROUP BY hh
+            ), ret AS (
+              SELECT th.*, mem.in_a, mem.in_b
+              FROM mem, th WHERE mem.hh < th.theta
+            ), agg AS (
+              SELECT n_a, n_b, est_a, est_b, theta,
+                     count(*) AS retained,
+                     sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0
+                         END) AS common
+              FROM ret GROUP BY 1, 2, 3, 4, 5
+            )
+            SELECT n_a, n_b, est_a, est_b, theta,
+                   CAST(retained AS BIGINT) AS retained,
+                   CAST(CASE WHEN theta = 4294967296 THEN retained
+                        ELSE (retained * 4294967296) // theta
+                        END AS BIGINT) AS est_union,
+                   CAST(CASE WHEN theta = 4294967296 THEN common
+                        ELSE (common * 4294967296) // theta
+                        END AS BIGINT) AS est_intersect
+            FROM agg
+        """,
+        "data_weighted_sample": """
+            WITH w AS (
+              SELECT lang, doc_id, n_chars,
+                     floor((-ln(
+                         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8))::BIGINT + 1)
+                         / 4294967296.0)
+                       / CAST(n_chars AS DOUBLE)) * 1e9 + 0.5) / 1e9
+                       AS samp_key
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            ), r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY lang ORDER BY samp_key, doc_id
+                     ) AS rank
+              FROM w
+            )
+            SELECT lang, doc_id, n_chars AS weight, samp_key,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 5
+        """,
+        "events_coverage": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + CAST(floor(value * 1e7) AS BIGINT)
+                       AS e
+              FROM events
+            ), f AS (SELECT * FROM iv WHERE e > s),
+            flag AS (
+              SELECT user_id, s, e,
+                     CASE WHEN max(e) OVER w IS NULL
+                            OR s > max(e) OVER w THEN 1 ELSE 0 END
+                       AS neu
+              FROM f
+              WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING)
+            ), isl AS (
+              SELECT *, sum(neu) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS island
+              FROM flag
+            ), g AS (
+              SELECT user_id, island, min(s) AS i_s, max(e) AS i_e,
+                     count(*) AS n
+              FROM isl GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+                   CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(sum(i_e - i_s) AS BIGINT) AS covered
+            FROM g GROUP BY 1
         """,
         "kg_chebi_usage": f"""
             WITH {ty_cte},

@@ -427,6 +427,68 @@ def dsir_weights(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    keys: list[str] | None = None,
+    salts: int = 16,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep `k`
+    rows per `keys` group with inclusion probability proportional to
+    `weight_col` — the quality-weighted document sample of a training
+    pipeline (sample 1M docs favoring high quality scores), reproducible
+    across retries and cluster sizes.
+
+    Algorithm A-ES (Efraimidis & Spirtes 2006, public method): each row
+    draws u in (0, 1] and the k LARGEST u^(1/w) win. Here u is
+    derandomized — u = (md5_top32(id) + 1) / 2^32, exact in a double —
+    and the selection key is the monotone transform
+    samp_key = -ln(u) / w (SMALLEST k win), rounded half-up at 1e-9
+    (`floor(x*1e9+0.5)/1e9`, the same IEEE-bit-equal formula both Spark
+    and DuckDB evaluate identically — the text_lm trick) with ties
+    broken on id, so the survivor set is a pure function of the ids and
+    weights: exact SQL oracle, byte-stable resume. Rows with
+    weight <= 0 or a null weight are excluded (inclusion probability 0).
+
+    Scale shape — the cap_per_key salted two-phase top-k: phase 1 ranks
+    within (keys, salt) so a hub group's rows never sort in one task;
+    phase 2 re-ranks the <= salts*k survivors per group. The k smallest
+    keys of a group are a subset of the union of each shard's k
+    smallest (tournament property). Output: (*keys, id, weight,
+    samp_key, rank)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = keys or []
+    idc = F.col(id_col).cast("string")
+    h = F.conv(F.substring(F.md5(idc), 1, 8), 16, 10).cast("long")
+    u = (h + F.lit(1).cast("long")) / F.lit(4294967296.0)
+    raw = -F.log(u) / F.col(weight_col).cast("double")
+    samp_key = F.floor(raw * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    pick = [F.col("samp_key"), F.col(id_col)]
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*pick)
+    w2 = Window.partitionBy(*keys).orderBy(*pick) if keys else (
+        Window.orderBy(*pick)
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("samp_key", samp_key)
+        .withColumn("__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts)))
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            *keys,
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            "samp_key",
+            "rank",
+        )
+    )
+
+
 def cap_per_key(
     df: DataFrame,
     cap: int,

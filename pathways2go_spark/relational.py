@@ -356,6 +356,64 @@ def incremental_agg(
     )
 
 
+def interval_coverage(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Interval UNION per key — merge overlapping/adjacent [start, end)
+    intervals into maximal islands and report per-key coverage: the
+    gaps-and-islands operator (sensor uptime, session coverage, genomic
+    interval union) that Spark has no native node for.
+
+    Semantics: intervals with start <= running max end of all earlier
+    intervals (ordered by start, then end) extend the current island;
+    adjacency counts as overlap ([1,5) + [5,9) is ONE island — half-open
+    intervals that touch cover a contiguous range). Zero-length and
+    inverted intervals (end <= start) are dropped before merging.
+    Output per key: (*key_cols, n_intervals, n_islands, covered) where
+    covered = sum of merged island lengths — double-counting overlaps
+    exactly once.
+
+    Scale shape: ONE shuffle on the keys; the island detection is two
+    windows over that same partitioning (running max-end lag, then a
+    running sum over the new-island flags) and the final rollup is a
+    groupBy on the identical key, so Catalyst reuses the exchange.
+    Island numbering is inherently a sequential scan per key — a hub
+    key serializes in one task, the honest cost of ordered semantics
+    (mitigate upstream by time-bucketing the key if one entity owns
+    billions of intervals). Everything is integer arithmetic: exact
+    SQL oracle."""
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    iv = df.select(
+        *key_cols, s.alias("__s"), e.alias("__e")
+    ).filter(F.col("__e") > F.col("__s"))
+    wo = Window.partitionBy(*key_cols).orderBy("__s", "__e")
+    prev_max_e = F.max("__e").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "__new",
+        F.when(
+            prev_max_e.isNull() | (F.col("__s") > prev_max_e), 1
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy(*key_cols, "__island").agg(
+        F.min("__s").alias("__is"),
+        F.max("__e").alias("__ie"),
+        F.count("*").alias("__n"),
+    )
+    return islands.groupBy(*key_cols).agg(
+        F.sum("__n").alias("n_intervals"),
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("__ie") - F.col("__is")).alias("covered"),
+    )
+
+
 def zorder_key(x: F.Column, y: F.Column, bits: int = 10) -> F.Column:
     """Morton (Z-order) key: interleave the low `bits` bits of two
     non-negative integer dimensions — bit i of x lands at position 2i,

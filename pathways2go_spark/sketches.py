@@ -161,6 +161,138 @@ def exact_quantiles(
     ).select(*keys, "pct", F.col("__v").alias("value"), "n")
 
 
+def kmv_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV/theta-sketch SET ALGEBRA: distinct-count estimates for A, B,
+    A ∪ B and A ∩ B from two bounded k-minimum-values sketches — the
+    mergeable-sketch operation that makes pre-aggregated sketch tables
+    useful (cross-corpus overlap, day-over-day retention) without ever
+    co-shuffling the raw sets.
+
+    Deterministic spec (all-integer, replayable in SQL):
+      h(v)        = md5-top-32(v), uniform in [0, 2^32)
+      S_side      = k smallest DISTINCT h per side (full set if < k)
+      theta_side  = max(S_side) when |S_side| == k else 2^32
+      theta       = min(theta_a, theta_b)
+      R           = {h in S_a ∪ S_b : h < theta}   (strict, the
+                    DataSketches convention: the boundary hash is an
+                    order statistic, not a sample)
+      m, c        = |R|, |{h in R : h in S_a AND h in S_b}|
+      unsaturated (theta == 2^32): est_union = m, est_intersect = c
+      saturated: est_union = m * 2^32 div theta,
+                 est_intersect = c * 2^32 div theta
+      (each distinct value survives into [0, theta) with probability
+      theta / 2^32 — the inverse-probability estimator of Bar-Yossef et
+      al. 2002 / the Apache DataSketches theta union, in integer math)
+    Per-side est_a/est_b use the standard KMV formula
+    ((k-1) << 32 div kth when saturated else exact).
+
+    Scale shape: each side runs the same bounded mapInPandas partial as
+    kmv_distinct (≤ partitions × k rows leave any scan); everything
+    after operates on ≤ 2k total rows, so the set algebra costs nothing
+    no matter how large A and B are — and because sketches are
+    mergeable, a 100 TB deployment stores per-partition/per-day sketch
+    rows and answers overlap queries from those alone."""
+    tagged = df_a.select(
+        F.lit("a").alias("__side"), F.col(col).alias("__val")
+    ).unionByName(
+        df_b.select(F.lit("b").alias("__side"), F.col(col).alias("__val"))
+    )
+    hashed = tagged.select(
+        "__side",
+        F.conv(F.substring(F.md5(F.col("__val")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("__h"),
+    )
+    out_schema = "`__side` string, `__h` bigint"
+    kk = int(k)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[str, list] = {}
+        for pdf in batches:
+            for side, grp in pdf.groupby("__side", sort=False):
+                merged = state.get(side)
+                new = grp["__h"].unique()
+                if merged is None:
+                    merged = sorted(set(new.tolist()))
+                else:
+                    merged = sorted(set(merged).union(new.tolist()))
+                state[side] = merged[:kk]
+        if not state:
+            return
+        rows = [(s, h) for s, hs in state.items() for h in hs]
+        yield pd.DataFrame(rows, columns=["__side", "__h"])
+
+    parts = hashed.mapInPandas(partial, schema=out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__side").orderBy("__h")
+    kept = (
+        parts.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk)
+        .select("__side", "__h")
+    )
+    # ≤ 2k rows from here on — every downstream op is sketch-bounded
+    full = F.lit(1 << 32).cast("long")
+    sides = kept.groupBy("__side").agg(
+        F.count("*").alias("n"), F.max("__h").alias("kth")
+    )
+    side_est = sides.select(
+        "__side",
+        "n",
+        F.when(F.col("n") < kk, F.col("n"))
+        .otherwise(F.expr(f"({kk - 1} * 4294967296L) div greatest(kth, 1L)"))
+        .alias("est"),
+        F.when(F.col("n") < kk, full).otherwise(F.col("kth")).alias("theta"),
+    )
+    a = side_est.filter(F.col("__side") == "a").select(
+        F.col("n").alias("n_a"),
+        F.col("est").alias("est_a"),
+        F.col("theta").alias("theta_a"),
+    )
+    b = side_est.filter(F.col("__side") == "b").select(
+        F.col("n").alias("n_b"),
+        F.col("est").alias("est_b"),
+        F.col("theta").alias("theta_b"),
+    )
+    thetas = a.crossJoin(b).withColumn(
+        "theta", F.least("theta_a", "theta_b")
+    )
+    membership = kept.groupBy("__h").agg(
+        F.max(F.when(F.col("__side") == "a", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("__side") == "b", 1).otherwise(0)).alias("in_b"),
+    )
+    retained = membership.crossJoin(F.broadcast(thetas)).filter(
+        F.col("__h") < F.col("theta")
+    )
+    agg = retained.groupBy(
+        "n_a", "n_b", "est_a", "est_b", "theta"
+    ).agg(
+        F.count("*").alias("retained"),
+        F.sum(F.expr("CAST(in_a = 1 AND in_b = 1 AS INT)")).alias("common"),
+    )
+    unsat = F.col("theta") == full
+    return agg.select(
+        "n_a",
+        "n_b",
+        "est_a",
+        "est_b",
+        "theta",
+        "retained",
+        F.when(unsat, F.col("retained"))
+        .otherwise(F.expr("(retained * 4294967296L) div theta"))
+        .alias("est_union"),
+        F.when(unsat, F.col("common"))
+        .otherwise(F.expr("(common * 4294967296L) div theta"))
+        .alias("est_intersect"),
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     col: str,

@@ -253,3 +253,66 @@ def test_cap_per_key_rejects_bad_cap(spark):
 
     with pytest.raises(ValueError):
         DO.cap_per_key(_docs(spark, 10), cap=0)
+
+
+def test_weighted_sample_matches_serial_aes(spark):
+    """The survivor set must equal a serial A-ES replay: samp_key =
+    round9(-ln((md5_top32(id)+1)/2^32) / w), k smallest per group with
+    id tiebreak."""
+    import hashlib
+    import math
+
+    docs = _docs(spark).withColumn(
+        "w", (F.col("doc_id") % 10 + 1).cast("double")
+    )
+    got = sorted(
+        (r.source, r.doc_id, r.rank)
+        for r in DO.weighted_sample(
+            docs, k=3, weight_col="w", id_col="doc_id", keys=["source"]
+        ).collect()
+    )
+    rows = [(i, f"src{i % 4}", float(i % 10 + 1)) for i in range(200)]
+    keyed = []
+    for i, src, w in rows:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967296.0
+        key = math.floor((-math.log(u) / w) * 1e9 + 0.5) / 1e9
+        keyed.append((src, key, i))
+    want = []
+    for src in {s for _, s, _ in rows}:
+        grp = sorted((k, i) for s, k, i in keyed if s == src)[:3]
+        want.extend((src, i, rank + 1) for rank, (_, i) in enumerate(grp))
+    assert got == sorted(want)
+
+
+def test_weighted_sample_salt_invariance_and_guards(spark):
+    import pytest
+
+    docs = _docs(spark).withColumn("w", F.lit(2.0))
+    a = sorted(r.doc_id for r in DO.weighted_sample(
+        docs, k=5, weight_col="w", keys=["source"], salts=4).collect())
+    b = sorted(r.doc_id for r in DO.weighted_sample(
+        docs, k=5, weight_col="w", keys=["source"], salts=16).collect())
+    assert a == b
+    # weight <= 0 / null rows are excluded (inclusion probability 0)
+    bad = docs.withColumn(
+        "w",
+        F.when(F.col("doc_id") < 100, F.lit(None).cast("double"))
+        .when(F.col("doc_id") < 150, F.lit(-1.0))
+        .otherwise(F.lit(0.0)),
+    )
+    assert DO.weighted_sample(bad, k=5, weight_col="w").count() == 0
+    with pytest.raises(ValueError):
+        DO.weighted_sample(docs, k=0, weight_col="w")
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    """A row whose weight dwarfs every other must be selected: its key
+    -ln(u)/w is smaller than any unit-weight row's unless u == 1 (md5
+    of '7' is not 2^32-1)."""
+    docs = _docs(spark, n=50).withColumn(
+        "w", F.when(F.col("doc_id") == 7, 1e9).otherwise(1.0)
+    )
+    picked = {r.doc_id for r in DO.weighted_sample(
+        docs, k=3, weight_col="w").collect()}
+    assert 7 in picked

@@ -436,6 +436,61 @@ def test_cms_heavy_hitters_bounds_and_ranking(spark):
     assert tight["hub"][1] == 50
 
 
+def test_kmv_set_ops_exact_when_unsaturated(spark):
+    """Below k the sketches ARE the distinct hash sets, so union and
+    intersection counts are exact (mod 32-bit collisions, absent here)."""
+    from pathways2go_spark.sketches import kmv_set_ops
+
+    a = spark.createDataFrame([(f"v{i}",) for i in range(10)], ["x"])
+    b = spark.createDataFrame([(f"v{i}",) for i in range(5, 15)], ["x"])
+    r = kmv_set_ops(a, b, col="x", k=64).collect()[0]
+    assert (r.n_a, r.n_b, r.est_a, r.est_b) == (10, 10, 10, 10)
+    assert r.theta == 1 << 32
+    assert r.est_union == 15 and r.est_intersect == 5
+
+
+def test_kmv_set_ops_saturated_identity_and_disjoint(spark):
+    from pathways2go_spark.sketches import kmv_set_ops
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(1000)], ["x"])
+    # identical sets: the two sketches coincide, so every retained hash
+    # is common and est_intersect == est_union, both near 1000
+    r = kmv_set_ops(a, a, col="x", k=32).collect()[0]
+    assert r.theta < 1 << 32  # saturated path exercised
+    assert r.est_union == r.est_intersect
+    assert 500 <= r.est_union <= 2000, r
+    # disjoint sets: intersection estimate collapses to (near) zero
+    b = spark.createDataFrame([(f"y{i}",) for i in range(1000)], ["x"])
+    d = kmv_set_ops(a, b, col="x", k=32).collect()[0]
+    assert d.est_intersect * 4 <= d.est_union
+    assert 1000 <= d.est_union <= 4000, d
+
+
+def test_interval_coverage_merge_semantics(spark):
+    """Adjacent half-open intervals merge; overlaps count once;
+    zero-length and inverted intervals are dropped; containment
+    doesn't double-count."""
+    from pathways2go_spark.relational import interval_coverage
+
+    rows = [
+        ("u1", 1, 5), ("u1", 5, 9),            # adjacency -> one island
+        ("u1", 10, 12), ("u1", 11, 20),        # overlap -> one island
+        ("u1", 30, 31),                        # singleton island
+        ("u1", 4, 4), ("u1", 9, 3),            # dropped (e <= s)
+        ("u2", 1, 100), ("u2", 10, 20),        # containment
+        ("u2", 150, 160),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    out = {
+        r.k: r
+        for r in interval_coverage(df, ["k"], "s", "e").collect()
+    }
+    u1 = out["u1"]
+    assert (u1.n_intervals, u1.n_islands, u1.covered) == (5, 3, 19)
+    u2 = out["u2"]
+    assert (u2.n_intervals, u2.n_islands, u2.covered) == (3, 2, 109)
+
+
 def test_cms_rejects_bad_dims(spark):
     import pytest
 
