@@ -442,6 +442,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dupes(_doubled_emb(spark, sf_dir), threshold=0.95)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup.semantic_dedup): k-means-cluster the embedding
+    space with the distributed Lloyd trainer (k=8, 2 iterations, exact
+    sorted-fold means so the oracle replays the training bit-exactly),
+    then drop any vector whose cell holds an earlier vector at
+    cosine >= 0.92 — semantic near-dup pruning whose pairwise join is
+    cluster-local, never all-pairs."""
+    return D.semantic_dedup(_emb(spark, sf_dir), k=8, iters=2,
+                            threshold=0.92)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = TX.quality_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return out.select(
@@ -1127,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_semantic": q_dedup_semantic,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_pii": q_text_pii,
@@ -1236,21 +1248,25 @@ def _BKT(col: str) -> str:
         )
     return " + ".join(terms)
 
-def _kmeans_ivf_sql(k: int = 8, iters: int = 2, probe: int = 4) -> str:
-    """Unrolled Lloyd k-means (matching similarity.kmeans_fit with
-    exact_mean=True) + IVF probe/top-k, as one DuckDB query. Assignment
-    uses the same quantized argmax (round 6, ties -> lowest cell); means
-    are sequential folds over values sorted ascending (list_sum over
-    list(val ORDER BY val) == F.aggregate over sort_array — verified
-    bit-equal folds); centroids round to 6 decimals per iteration."""
+def _kmeans_cos(e: str, c: str) -> str:
+    """Quantized cosine (round 6) — the cross-engine assignment contract
+    shared by similarity.ivf_assign(round_to=6) and every k-means SQL
+    mirror below."""
+    return (
+        f"round(list_dot_product({e}, {c}) / "
+        f"(sqrt(list_dot_product({e}, {e})) * "
+        f"sqrt(list_dot_product({c}, {c}))), 6)"
+    )
 
-    def cos(e: str, c: str) -> str:
-        return (
-            f"round(list_dot_product({e}, {c}) / "
-            f"(sqrt(list_dot_product({e}, {e})) * "
-            f"sqrt(list_dot_product({c}, {c}))), 6)"
-        )
 
+def _kmeans_train_ctes(k: int, iters: int) -> tuple[str, str]:
+    """Unrolled Lloyd k-means CTE chain (matching similarity.kmeans_fit
+    with exact_mean=True): init = first k vec_ids, assignment = quantized
+    argmax (round 6, ties -> lowest cell), means = sequential folds over
+    values sorted ascending (list_sum over list(val ORDER BY val) ==
+    F.aggregate over sort_array — verified bit-equal folds); centroids
+    round to 6 decimals per iteration. Returns (cte_body, final_cte)."""
+    cos = _kmeans_cos
     ev = "CAST(e.embedding AS DOUBLE[])"
     ctes = [
         f"c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce "
@@ -1281,8 +1297,15 @@ def _kmeans_ivf_sql(k: int = 8, iters: int = 2, probe: int = 4) -> str:
           LEFT JOIN (SELECT cell AS cid, list(m ORDER BY pos) AS ce
                      FROM m{it} GROUP BY cell) n USING (cid)
         )""")
-    fin = f"c{iters}"
-    body = ",\n        ".join(ctes)
+    return ",\n        ".join(ctes), f"c{iters}"
+
+
+def _kmeans_ivf_sql(k: int = 8, iters: int = 2, probe: int = 4) -> str:
+    """Unrolled Lloyd k-means + IVF probe/top-k, as one DuckDB query
+    (training chain: _kmeans_train_ctes)."""
+    cos = _kmeans_cos
+    ev = "CAST(e.embedding AS DOUBLE[])"
+    body, fin = _kmeans_train_ctes(k, iters)
     return f"""
         WITH {body},
         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
@@ -1306,6 +1329,39 @@ def _kmeans_ivf_sql(k: int = 8, iters: int = 2, probe: int = 4) -> str:
         SELECT e.vec_id, {cos(ev, "q.qe")} AS cosine
         FROM assigned e JOIN probe p ON e.cell = p.cell, q
         ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+def _semantic_dedup_sql(k: int = 8, iters: int = 2,
+                        threshold: float = 0.92) -> str:
+    """SemDeDup mirror: the same unrolled k-means training chain, final
+    assignment, then a cluster-LOCAL pairwise cosine join — a document is
+    dropped iff an earlier (lower vec_id) same-cell document has
+    round(cosine, 6) >= threshold, exactly dedup.semantic_dedup."""
+    cos = _kmeans_cos
+    ev = "CAST(e.embedding AS DOUBLE[])"
+    body, fin = _kmeans_train_ctes(k, iters)
+    pair_cos = _kmeans_cos("CAST(a.embedding AS DOUBLE[])",
+                           "CAST(b.embedding AS DOUBLE[])")
+    return f"""
+        WITH {body},
+        assigned AS (
+          SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos(ev, "c.ce")} DESC,
+                                               c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN {fin} c
+          ) WHERE rn = 1
+        ),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a
+          JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE {pair_cos} >= {threshold}
+        )
+        SELECT s.vec_id, s.cell, d.vec_id IS NULL AS kept
+        FROM assigned s LEFT JOIN dropped d USING (vec_id)
     """
 
 
@@ -2862,6 +2918,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "sim_ann_ivf_trained": _kmeans_ivf_sql(k=8, iters=2, probe=4),
+        "dedup_semantic": _semantic_dedup_sql(k=8, iters=2, threshold=0.92),
         "media_kind_stats": f"""
             SELECT split_part(s.media_ref, '://', 1) AS media_kind,
                    count(*) AS n_media, count(DISTINCT doc_id) AS n_docs

@@ -456,3 +456,66 @@ def dedupe_documents(
         F.col("doc_id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.92,
+    round_to: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding space, then prune near-duplicates WITHIN each cluster only.
+
+    Shape at 100 TB: the pairwise cosine join carries `cell` as its key,
+    so candidate pairs are cluster-local — k grows with the corpus
+    (k ~ sqrt(N) in the paper) and keeps cells bounded, so the join
+    never degenerates to all-pairs; training is the distributed Lloyd
+    trainer (similarity.kmeans_fit — only the k x dim codebook touches
+    the driver) and assignment is one narrow codegen'd pass.
+
+    Keep rule (deterministic): within a cell, a document is dropped iff
+    an earlier document (lower `id_col`) in the same cell has cosine >=
+    threshold — the paper's "keep one per semantic cluster" with
+    first-occurrence survivorship. Cosines are quantized to `round_to`
+    decimals before the comparison so the decision is reproducible
+    cross-engine (same contract as the IVF oracle family).
+
+    Returns (vec_id, cell, kept) for every input row.
+    """
+    from pathways2go_spark.similarity import ivf_assign, kmeans_fit
+
+    cents = kmeans_fit(emb, k=k, iters=iters, vec_col=vec_col,
+                       id_col=id_col, round_to=round_to, exact_mean=True)
+    assigned = ivf_assign(emb, cents, vec_col=vec_col, round_to=round_to)
+    v = F.col(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0),
+                              lambda a, x: a + x.cast("double") * x))
+    e = assigned.select(F.col(id_col), v.alias("v"), norm.alias("n"), "cell")
+    a = e.select(F.col(id_col).alias("a"), F.col("v").alias("va"),
+                 F.col("n").alias("na"), "cell")
+    b = e.select(F.col(id_col).alias("b"), F.col("v").alias("vb"),
+                 F.col("n").alias("nb"), "cell")
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")),
+                                      round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+        .withColumn("kept", F.lit(False))
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(dropped, id_col, "left")
+        .withColumn("kept", F.coalesce(F.col("kept"), F.lit(True)))
+    )

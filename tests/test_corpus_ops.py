@@ -653,3 +653,30 @@ def test_tfidf_top_terms_rank_and_rounding(spark):
     # z tf=1 df=1 -> round6(ln(2)+1) ~= 1.693147 -> common ranks first
     assert out[(3, 1)] == ("common", 2, 3)
     assert out[(3, 2)] == ("z", 1, 1)
+
+
+def test_semantic_dedup_cluster_local_first_occurrence(spark):
+    # two tight semantic clusters (x-axis-ish, y-axis-ish) + one singleton;
+    # within a cluster the lowest vec_id survives, near-twins drop, and
+    # cross-cluster similarity never triggers a drop.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # twin of 0
+        (3, [0.01, 0.999, 0.0, 0.0]),   # twin of 1
+        (4, [0.0, 0.0, 1.0, 0.0]),      # singleton direction
+        (5, [0.98, 0.05, 0.0, 0.0]),    # second twin of 0
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: (r.cell, r.kept)
+           for r in dedup.semantic_dedup(emb, k=2, iters=1,
+                                         threshold=0.99).collect()}
+    assert len(out) == 6
+    # cluster seeds survive
+    assert out[0][1] is True and out[1][1] is True
+    # twins drop (same cell as their seed, cosine > 0.99)
+    assert out[2] == (out[0][0], False)
+    assert out[3] == (out[1][0], False)
+    assert out[5] == (out[0][0], False)
+    # the singleton direction is kept even though it shares a cell
+    assert out[4][1] is True
