@@ -897,6 +897,29 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (relational.salted_join): events carry only 5
+    distinct event_type values, so a plain shuffle join funnels ~20% of
+    the table through one reducer per key; salting fans each hot key
+    over 16 (key, salt) partitions by replicating the small dim. The
+    salt never escapes, so the oracle is the plain join."""
+    from pathways2go_spark.relational import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("w", F.length("event_type").cast("long"))
+    )
+    j = salted_join(ev.select("event_id", "event_type", "value"),
+                    dim, "event_type", salt=16)
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("w").alias("w"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
 def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime Bloom-filter semi-join (relational.py): lineitem rows of
     urgent orders, pruned by a literal-bitmap membership test inside
@@ -1168,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_scd2": q_events_scd2,
         "events_agg_incremental": q_events_agg_incremental,
+        "join_salted": q_join_salted,
         "join_bloom_prune": q_join_bloom_prune,
         "doc_length_pcts": q_doc_length_pcts,
         "data_domain_cap": q_data_domain_cap,
@@ -3069,6 +3093,18 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             GROUP BY event_type
+        """,
+        "join_salted": """
+            WITH dim AS (
+              SELECT DISTINCT event_type,
+                     CAST(length(event_type) AS BIGINT) AS w
+              FROM events
+            )
+            SELECT e.event_type, count(*) AS n, max(d.w) AS w,
+                   round(min(e.value), 6) AS min_value,
+                   round(max(e.value), 6) AS max_value
+            FROM events e JOIN dim d USING (event_type)
+            GROUP BY e.event_type
         """,
         "join_bloom_prune": """
             SELECT l_returnflag, count(*) AS n,

@@ -493,3 +493,47 @@ def zorder_layout(
     out = df.withColumn("z", zorder_key(x, y, bits))
     n = partitions or out.sparkSession.sparkContext.defaultParallelism
     return out.repartitionByRange(n, "z").sortWithinPartitions("z")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    salt: int = 16,
+    how: str = "inner",
+    salt_col: str = "__salt",
+) -> DataFrame:
+    """Skew-defusing salted equi-join (the north rule's "salted
+    repartitioning to defuse hub-pathway skew", as a first-class op).
+
+    A shuffle join hashes rows to partitions by join key, so one hot key
+    (a hub pathway, a dominant event_type) lands its entire row
+    population on ONE reducer. Salting spreads it: every `big` row gets
+    a salt in [0, salt) — a deterministic hash of the full row, so
+    retries re-derive the same salt — and `small` is replicated once per
+    salt value; joining on (key, salt) fans each hot key over `salt`
+    partitions at the cost of a `salt`x expansion of the SMALL side
+    only.
+
+    When to reach for it: the small side is too big to broadcast (else
+    broadcast and no shuffle happens at all) and the big side's key
+    histogram is spiky beyond what AQE's skew-join splitting handles
+    (AQE splits oversized partitions post-shuffle, but a single
+    map-side-hot key still funnels through one fetch stream; salting
+    moves the fix before the exchange). Output is identical to the
+    plain join — the salt never escapes.
+
+    Supports how in {"inner", "left"}: every (key, salt) replica exists
+    on the small side, so left-unmatched rows surface exactly once.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join: unsupported how={how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt_expr = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)
+    ).cast("int")
+    b = big.withColumn(salt_col, salt_expr)
+    s = small.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return b.join(s, keys + [salt_col], how).drop(salt_col)

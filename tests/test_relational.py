@@ -499,3 +499,37 @@ def test_cms_rejects_bad_dims(spark):
     df = spark.createDataFrame([("x",)], ["val"])
     with pytest.raises(ValueError):
         cms_heavy_hitters(df, "val", width=0)
+
+
+def test_salted_join_matches_plain_and_salts_the_key(spark):
+    from pathways2go_spark.relational import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(200)],
+        ["id", "k", "v"],
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("cold", 2), ("never", 3)], ["k", "w"]
+    )
+    # force the shuffle path — salting is a no-op under broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for how in ("inner", "left"):
+            out = salted_join(big, small, "k", salt=8, how=how)
+            plain = big.join(small, "k", how)
+            assert sorted(map(tuple, out.collect())) == sorted(
+                map(tuple, plain.collect())
+            )
+            assert "__salt" not in out.columns
+        # the salt must be part of the join key (pre-exchange fan-out)
+        plan = (
+            salted_join(big, small, "k", salt=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "__salt" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", how="full")
