@@ -152,6 +152,34 @@ def q_kg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kg(spark)[1]
 
 
+def q_kg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style row-level MERGE over the triple snapshot
+    (sinks.merge_snapshot): key the store by (model_id, subj, pred)
+    (min-obj representative), derive a deterministic change feed from
+    the key hash — md5 first hex digit 0-1 deletes the key, 2-3 upserts
+    a re-versioned obj — and materialize the post-merge snapshot. One
+    anti-join shuffle on the key; copy-on-write semantics."""
+    from pathways2go_spark.sinks import merge_snapshot
+
+    base = (
+        _kg(spark)[0]
+        .groupBy("model_id", "subj", "pred")
+        .agg(F.min("obj").alias("obj"))
+    )
+    h = F.substring(F.md5(F.concat_ws("|", "model_id", "subj", "pred")), 1, 1)
+    tagged = base.withColumn("h", h)
+    changes = (
+        tagged.filter(F.col("h").isin("0", "1", "2", "3"))
+        .withColumn("op", F.when(F.col("h").isin("0", "1"), "D")
+                    .otherwise(F.lit("U")))
+        .withColumn("obj", F.when(F.col("op") == "U",
+                                  F.concat(F.col("obj"), F.lit("#v2")))
+                    .otherwise(F.col("obj")))
+        .drop("h")
+    )
+    return merge_snapshot(base, changes, ["model_id", "subj", "pred"])
+
+
 def q_kg_entity_ontology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REACTO entity-class ontology (SURVEY.md §2.6 E1-E12) over the KG
     fixture corpus; oracle re-derives the axioms independently in DuckDB."""
@@ -1125,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
         "kg_audit": q_kg_audit,
+        "kg_merge": q_kg_merge,
         "kg_entity_ontology": q_kg_entity_ontology,
         "kg_gpad": q_kg_gpad,
         "kg_ttl": q_kg_ttl,
@@ -1847,6 +1876,33 @@ def oracle_sql() -> dict[str, str]:
         """
     sql = {
         "kg_triples": f"SELECT model_id, subj, pred, obj FROM '{tri}'",
+        "kg_merge": f"""
+            WITH base AS (
+              SELECT model_id, subj, pred, min(obj) AS obj
+              FROM '{tri}' GROUP BY model_id, subj, pred
+            ),
+            tagged AS (
+              SELECT *, substr(md5(model_id || '|' || subj || '|' || pred),
+                               1, 1) AS h
+              FROM base
+            ),
+            ch AS (
+              SELECT model_id, subj, pred,
+                     CASE WHEN h IN ('2', '3') THEN obj || '#v2'
+                          ELSE obj END AS obj,
+                     CASE WHEN h IN ('0', '1') THEN 'D' ELSE 'U' END AS op
+              FROM tagged WHERE h IN ('0', '1', '2', '3')
+            )
+            SELECT b.model_id, b.subj, b.pred, b.obj
+            FROM base b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM ch c
+              WHERE c.model_id = b.model_id AND c.subj = b.subj
+                AND c.pred = b.pred
+            )
+            UNION ALL
+            SELECT model_id, subj, pred, obj FROM ch WHERE op = 'U'
+        """,
         "kg_audit": f"SELECT rule, model_id, reaction, detail FROM '{aud}'",
         "kg_ttl": ttl_sql,
         "kg_entity_ontology": eo_sql,

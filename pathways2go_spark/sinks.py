@@ -235,3 +235,38 @@ def parse_ttl_lines(lines: DataFrame) -> DataFrame:
         model.alias("model_id"), subj.alias("subj"),
         pred.alias("pred"), obj.alias("obj"),
     )
+
+
+def merge_snapshot(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Row-level MERGE into a keyed snapshot — the Iceberg `MERGE INTO`
+    copy-on-write shape, expressed over plain DataFrames (this image has
+    no Iceberg jars; on a real deployment the result writes back through
+    write_triples' bucketed layout and the lineage manifest versions the
+    snapshot).
+
+    `changes` carries the base columns plus `op_col`: 'U' upserts the
+    row (update when the key exists, insert when it does not), 'D'
+    deletes the key. Semantics per key: every changed key leaves the
+    base (one anti join), then upsert rows come back — so an update
+    replaces, a delete vanishes, and an unmatched 'D' is a no-op,
+    exactly MERGE WHEN MATCHED/NOT MATCHED.
+
+    Scale shape: ONE shuffle on `keys` for the anti join (broadcast when
+    the change set is small — AQE decides), plus a union that needs no
+    exchange. With the base bucketed by key (write_triples) the anti
+    join co-locates and only touched buckets rewrite — Iceberg's
+    copy-on-write file pruning. The merge-on-read alternative (emit the
+    change set as delete/data files, reconcile at scan) is this same
+    function applied lazily at read time.
+    """
+    for k in keys:
+        if k not in base.columns or k not in changes.columns:
+            raise ValueError(f"merge_snapshot: key {k!r} missing")
+    ups = changes.filter(F.col(op_col) == "U").drop(op_col)
+    kept = base.join(changes.select(*keys).distinct(), keys, "left_anti")
+    return kept.unionByName(ups)

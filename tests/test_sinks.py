@@ -133,3 +133,31 @@ def test_ttl_literal_escaping(spark):
     )
     back = parse_ttl_lines(ttl_lines(df))
     assert _key_set(back) == _key_set(df)
+
+
+def test_merge_snapshot_upsert_delete_insert(spark):
+    from pathways2go_spark.sinks import merge_snapshot
+
+    base = spark.createDataFrame(
+        [("m1", "a", 1), ("m1", "b", 2), ("m2", "a", 3)],
+        ["model_id", "subj", "v"],
+    )
+    changes = spark.createDataFrame(
+        [
+            ("m1", "a", 10, "U"),   # update existing
+            ("m1", "b", 2, "D"),    # delete existing
+            ("m3", "z", 99, "U"),   # insert brand-new key
+            ("m9", "x", 0, "D"),    # delete of a missing key: no-op
+        ],
+        ["model_id", "subj", "v", "op"],
+    )
+    out = sorted(
+        map(tuple, merge_snapshot(base, changes,
+                                  ["model_id", "subj"]).collect())
+    )
+    assert out == [("m1", "a", 10), ("m2", "a", 3), ("m3", "z", 99)]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        merge_snapshot(base, changes.drop("subj"), ["model_id", "subj"])
