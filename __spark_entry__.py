@@ -355,6 +355,13 @@ def q_kg_causal_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RP.causal_paths(_kg(spark)[0], max_depth=4)
 
 
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-model triangle census + clustering coefficient over the
+    undirected causal graph (reports.causal_triangles): wedge-build +
+    close as two (model_id, node)-keyed joins."""
+    return RP.causal_triangles(_kg(spark)[0])
+
+
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-model PageRank over the causal graph (reports.py): 5 rounded
     power iterations with sort-fold float determinism; the oracle is
@@ -1177,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reaction_completeness": q_kg_reaction_completeness,
         "kg_causal_formats": q_kg_causal_formats,
         "kg_causal_paths": q_kg_causal_paths,
+        "kg_triangles": q_kg_triangles,
         "kg_pagerank": q_kg_pagerank,
         "kg_chebi_usage": q_kg_chebi_usage,
         "kg_deprecated_terms": q_kg_deprecated_terms,
@@ -2303,6 +2311,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT model_id, pred, CAST(count(*) AS BIGINT) AS n_pairs
             FROM pairs GROUP BY 1, 2
+        """,
+        "kg_triangles": f"""
+            WITH e AS (
+              SELECT model_id, least(subj, obj) AS a,
+                     greatest(subj, obj) AS b
+              FROM '{tri}'
+              WHERE pred IN ('{rp_causal}') AND subj <> obj
+              GROUP BY 1, 2, 3
+            ),
+            deg AS (
+              SELECT model_id, node, count(*) AS d
+              FROM (SELECT model_id, a AS node FROM e
+                    UNION ALL SELECT model_id, b FROM e)
+              GROUP BY 1, 2
+            ),
+            w AS (
+              SELECT model_id, CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+              FROM deg GROUP BY 1
+            ),
+            tr AS (
+              SELECT e1.model_id, count(*) AS nt
+              FROM e e1
+              JOIN e e2 ON e1.model_id = e2.model_id AND e1.b = e2.a
+              JOIN e e3 ON e3.model_id = e1.model_id
+                       AND e3.a = e1.a AND e3.b = e2.b
+              GROUP BY 1
+            ),
+            ne AS (SELECT model_id, count(*) AS n_edges FROM e GROUP BY 1)
+            SELECT ne.model_id, ne.n_edges, w.n_wedges,
+                   CAST(coalesce(tr.nt, 0) AS BIGINT) AS n_triangles,
+                   round(CASE WHEN w.n_wedges > 0
+                              THEN 3.0 * coalesce(tr.nt, 0) / w.n_wedges
+                              ELSE 0.0 END, 6) AS clustering
+            FROM ne JOIN w USING (model_id) LEFT JOIN tr USING (model_id)
         """,
         "kg_causal_paths": f"""
             WITH RECURSIVE causal AS (

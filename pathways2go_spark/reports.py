@@ -597,3 +597,68 @@ def causal_pagerank(
     return ranks.select(
         "model_id", "node", "pr", F.col("n").alias("n_nodes")
     )
+
+
+def causal_triangles(t: DataFrame) -> DataFrame:
+    """Per-model triangle census + global clustering coefficient over
+    the undirected causal graph — the feedback-loop / mutual-regulation
+    density analytics a pathway analyst asks of the finished GO-CAM
+    corpus (the motif extension of the single-hop causal census,
+    Manuscript.getCausalComparison:438-547).
+
+    Edges canonicalize to (a = least, b = greatest) so direction and
+    multi-predicate parallel edges collapse, each triangle materializes
+    exactly once as a < b < c, and self-loops drop. Triangles are the
+    standard distributed two-join enumeration — wedge build then close —
+    with every join keyed by (model_id, node), so no cross-model hub
+    node ever becomes a single shuffle key; wedge counts come from the
+    degree table, not an extra join.
+
+    Returns (model_id, n_edges, n_wedges, n_triangles, clustering) with
+    clustering = round(3 * triangles / wedges, 6) (0.0 when wedge-free).
+    """
+    e = (
+        t.filter(F.col("pred").isin(CAUSAL_FAMILY))
+        .select(
+            "model_id",
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select("model_id", F.col("a").alias("node"))
+        .unionAll(e.select("model_id", F.col("b").alias("node")))
+        .groupBy("model_id", "node")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.groupBy("model_id").agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges")
+    )
+    closing = e.select("model_id", "a", F.col("b").alias("c"))
+    tri = (
+        e.join(
+            e.select("model_id", F.col("a").alias("b"), F.col("b").alias("c")),
+            ["model_id", "b"],
+        )
+        .join(closing, ["model_id", "a", "c"])
+        .groupBy("model_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges_per = e.groupBy("model_id").agg(F.count("*").alias("n_edges"))
+    out = (
+        edges_per.join(wedges, "model_id")
+        .join(tri, "model_id", "left")
+        .withColumn("n_triangles",
+                    F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long"))
+    )
+    return out.select(
+        "model_id", "n_edges", "n_wedges", "n_triangles",
+        F.round(
+            F.when(F.col("n_wedges") > 0,
+                   3.0 * F.col("n_triangles") / F.col("n_wedges"))
+            .otherwise(F.lit(0.0)), 6,
+        ).alias("clustering"),
+    )

@@ -285,3 +285,31 @@ def test_causal_pagerank_cycle_and_dangling(spark):
         ["model_id", "subj", "pred", "obj"],
     )
     assert causal_pagerank(t2, iters=2).count() == 0
+
+
+def test_causal_triangles_known_graph(spark):
+    from pathways2go_spark.reports import CAUSAL_FAMILY, causal_triangles
+
+    p = CAUSAL_FAMILY[0]
+    rows = [
+        # m1: triangle a-b-c plus pendant c-d; direction/parallel edges
+        # collapse (b->a duplicates a->b via a second causal pred)
+        ("m1", "a", p, "b"), ("m1", "b", CAUSAL_FAMILY[1], "a"),
+        ("m1", "b", p, "c"), ("m1", "a", p, "c"), ("m1", "c", p, "d"),
+        # m2: a path only — no triangle; self-loop must drop
+        ("m2", "x", p, "y"), ("m2", "y", p, "z"), ("m2", "x", p, "x"),
+        # m3: non-causal edges only — absent from output
+        ("m3", "q", "some_other_pred", "r"),
+    ]
+    t = spark.createDataFrame(rows, ["model_id", "subj", "pred", "obj"])
+    out = {r.model_id: r.asDict() for r in causal_triangles(t).collect()}
+    assert set(out) == {"m1", "m2"}
+    # m1: 4 edges, degrees a=2,b=2,c=3,d=1 -> wedges 1+1+3 = 5, 1 triangle
+    assert out["m1"]["n_edges"] == 4
+    assert out["m1"]["n_wedges"] == 5
+    assert out["m1"]["n_triangles"] == 1
+    assert out["m1"]["clustering"] == 0.6
+    # m2: 2 edges, one wedge at y, no triangle
+    assert out["m2"]["n_wedges"] == 1
+    assert out["m2"]["n_triangles"] == 0
+    assert out["m2"]["clustering"] == 0.0
