@@ -362,6 +362,13 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RP.causal_triangles(_kg(spark)[0])
 
 
+def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-model weakly-connected components of the full KG edge graph
+    (reports.kg_components over dedup.duplicate_clusters); oracle is a
+    recursive-CTE transitive closure with min-reachable-node labels."""
+    return RP.kg_components(_kg(spark)[0])
+
+
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-model PageRank over the causal graph (reports.py): 5 rounded
     power iterations with sort-fold float determinism; the oracle is
@@ -1185,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_causal_formats": q_kg_causal_formats,
         "kg_causal_paths": q_kg_causal_paths,
         "kg_triangles": q_kg_triangles,
+        "kg_components": q_kg_components,
         "kg_pagerank": q_kg_pagerank,
         "kg_chebi_usage": q_kg_chebi_usage,
         "kg_deprecated_terms": q_kg_deprecated_terms,
@@ -2311,6 +2319,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT model_id, pred, CAST(count(*) AS BIGINT) AS n_pairs
             FROM pairs GROUP BY 1, 2
+        """,
+        "kg_components": f"""
+            WITH RECURSIVE e AS (
+              SELECT model_id, subj AS s, obj AS o FROM '{tri}'
+              WHERE pred IN ('{rp_edges}') GROUP BY 1, 2, 3
+            ),
+            und AS (
+              SELECT model_id, s AS a, o AS b FROM e
+              UNION SELECT model_id, o, s FROM e
+            ),
+            reach(model_id, node, peer) AS (
+              SELECT model_id, a, a FROM und
+              UNION
+              SELECT r.model_id, r.node, u.b
+              FROM reach r
+              JOIN und u ON r.model_id = u.model_id AND r.peer = u.a
+            ),
+            comp AS (
+              SELECT model_id, node, min(peer) AS cid
+              FROM reach GROUP BY 1, 2
+            ),
+            sizes AS (
+              SELECT model_id, cid, count(*) AS sz
+              FROM comp GROUP BY 1, 2
+            )
+            SELECT model_id, CAST(sum(sz) AS BIGINT) AS n_nodes,
+                   CAST(count(*) AS BIGINT) AS n_components,
+                   CAST(max(sz) AS BIGINT) AS largest_component
+            FROM sizes GROUP BY model_id
         """,
         "kg_triangles": f"""
             WITH e AS (

@@ -662,3 +662,43 @@ def causal_triangles(t: DataFrame) -> DataFrame:
             .otherwise(F.lit(0.0)), 6,
         ).alias("clustering"),
     )
+
+
+def kg_components(t: DataFrame) -> DataFrame:
+    """Per-model weakly-connected components over the full KG edge set
+    (every relation in vocab.EDGE_PREDS) — the graph-health report that
+    flags models whose pathway fractured into disconnected islands
+    during conversion (the reference's reasoner notices only ontology
+    inconsistency, not graph fragmentation).
+
+    Reuses the dedup engine's connected-components core
+    (dedup.duplicate_clusters — iterative min-label propagation, one
+    (node)-keyed shuffle per round, scalar-only driver traffic); nodes
+    are namespaced as model\\x1fnode so components can never leak across
+    models while still running as ONE global job over the whole corpus.
+
+    Returns (model_id, n_nodes, n_components, largest_component).
+    """
+    from pathways2go_spark.dedup import duplicate_clusters
+    from pathways2go_spark.vocab import EDGE_PREDS
+
+    sep = "\x1f"
+    e = (
+        t.filter(F.col("pred").isin(EDGE_PREDS))
+        .select(
+            F.concat_ws(sep, "model_id", "subj").alias("a"),
+            F.concat_ws(sep, "model_id", "obj").alias("b"),
+        )
+        .distinct()
+    )
+    comp = duplicate_clusters(e)
+    sizes = (
+        comp.withColumn("model_id", F.substring_index("doc_id", sep, 1))
+        .groupBy("model_id", "cluster_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    return sizes.groupBy("model_id").agg(
+        F.sum("sz").cast("long").alias("n_nodes"),
+        F.count("*").cast("long").alias("n_components"),
+        F.max("sz").cast("long").alias("largest_component"),
+    )

@@ -313,3 +313,23 @@ def test_causal_triangles_known_graph(spark):
     assert out["m2"]["n_wedges"] == 1
     assert out["m2"]["n_triangles"] == 0
     assert out["m2"]["clustering"] == 0.0
+
+
+def test_kg_components_per_model_isolation(spark):
+    from pathways2go_spark.reports import kg_components
+
+    p = V.PART_OF
+    rows = [
+        # m1: one 3-node chain + one 2-node island
+        ("m1", "a", p, "b"), ("m1", "b", p, "c"), ("m1", "x", p, "y"),
+        # m2: same node NAMES as m1 — must not merge across models
+        ("m2", "a", p, "b"),
+        # non-edge predicate: ignored entirely
+        ("m2", "a", "rdf_type", "SomeClass"),
+    ]
+    t = spark.createDataFrame(rows, ["model_id", "subj", "pred", "obj"])
+    out = {r.model_id: r.asDict() for r in kg_components(t).collect()}
+    assert out["m1"] == {"model_id": "m1", "n_nodes": 5,
+                         "n_components": 2, "largest_component": 3}
+    assert out["m2"] == {"model_id": "m2", "n_nodes": 2,
+                         "n_components": 1, "largest_component": 2}
