@@ -854,6 +854,17 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(d, col="text", keys=["source"], k=16)
 
 
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sample quantile sketch (sketches.kmv_sample_quantiles):
+    quantiles of document length read off the 256 rows with the
+    smallest md5(doc_id) — deterministic, mergeable, TakeOrdered-only
+    (no global sort)."""
+    from pathways2go_spark.sketches import kmv_sample_quantiles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kmv_sample_quantiles(d, "n_chars", "doc_id", k=256)
+
+
 def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters over the corpus token stream
     (sketches.cms_heavy_hitters): depth*width bounded cells, md5 hash
@@ -1245,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder": q_events_zorder,
         "sketch_kmv": q_sketch_kmv,
         "sketch_cms": q_sketch_cms,
+        "sketch_quantiles": q_sketch_quantiles,
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "data_weighted_sample": q_data_weighted_sample,
         "events_coverage": q_events_coverage,
@@ -3169,6 +3181,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(k) AS BIGINT) AS sum_v,
                    min(k) AS min_v, max(k) AS max_v
             FROM lvl GROUP BY 1, 2, 3
+        """,
+        "sketch_quantiles": """
+            WITH s AS (
+              SELECT CAST(n_chars AS DOUBLE) AS v,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents ORDER BY h LIMIT 256
+            ),
+            r AS (
+              SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+                     count(*) OVER () AS n
+              FROM s
+            )
+            SELECT qv.q, r.v AS est, CAST(r.n AS BIGINT) AS n_sample
+            FROM r JOIN (VALUES (0.25), (0.5), (0.75), (0.9)) qv(q)
+              ON r.rn = greatest(1, CAST(ceil(qv.q * r.n) AS BIGINT))
         """,
         "sketch_kmv": """
             WITH h AS (

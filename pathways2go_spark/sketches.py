@@ -380,3 +380,64 @@ def cms_heavy_hitters(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "value", "est", "true_n", "rank"
     )
+
+
+def kmv_sample_quantiles(
+    df: DataFrame,
+    val_col: str,
+    id_col: str,
+    k: int = 256,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Bounded-memory quantile estimation from a KMV uniform sample: keep
+    the k rows with the SMALLEST md5(id) — a deterministic, uniformly
+    distributed sample (md5 is a uniform map of the id space) — then read
+    each requested quantile off the sample by rank.
+
+    Why this shape and not t-digest/GK: the sample is a pure function of
+    the id set, so the sketch is (a) MERGEABLE — the k smallest hashes of
+    a union are a subset of the union of each side's k smallest, so
+    re-taking the k smallest of two merged sketches reproduces the
+    whole-data sketch exactly (unit-tested), and (b) bit-reproducible in
+    SQL, unlike any implementation-defined digest layout.
+
+    Scale shape: orderBy(h).limit(k) compiles to TakeOrdered — a
+    per-partition top-k heap + driver-side merge of p*k candidate rows,
+    never a global sort; the rank windows then run over k rows only.
+    Estimate error is the standard sampling bound O(1/sqrt(k)).
+
+    Returns one row per q: (q, est, n_sample).
+    """
+    if k <= 0:
+        raise ValueError("kmv_sample_quantiles: k must be positive")
+    s = (
+        df.select(
+            F.col(val_col).cast("double").alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v", "h")
+    r = s.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy(F.lit(1))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    qdf = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    return (
+        qdf.join(
+            r,
+            F.col("rn")
+            == F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n"))),
+        )
+        .select("q", F.col("v").alias("est"),
+                F.col("n").cast("long").alias("n_sample"))
+    )

@@ -533,3 +533,46 @@ def test_salted_join_matches_plain_and_salts_the_key(spark):
 
     with pytest.raises(ValueError):
         salted_join(big, small, "k", how="full")
+
+
+def test_kmv_sample_quantiles_merge_and_determinism(spark):
+    from pathways2go_spark.sketches import kmv_sample_quantiles
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 1000)) for i in range(2000)], ["id", "v"]
+    )
+    whole = sorted(map(tuple,
+                       kmv_sample_quantiles(df, "v", "id", k=64).collect()))
+    # mergeability: sketch(part1 U part2) == sketch over the union of
+    # each part's k-sample (k smallest hashes of the union survive)
+    p1, p2 = df.filter("id < 700"), df.filter("id >= 700")
+
+    def sample(d):
+        return (
+            d.select(F.col("v"),
+                     F.md5(F.col("id").cast("string")).alias("h"))
+            .orderBy("h").limit(64)
+            .withColumn("id", F.lit(None).cast("long"))
+        )
+
+    # re-sketch the merged per-part samples via the same rank logic:
+    # feed the union through kmv_sample_quantiles keyed by a passthrough
+    merged = sample(p1).unionByName(sample(p2))
+    # emulate: take k smallest hashes of merged, rank by (v, h)
+    import pandas as pd
+
+    m = merged.orderBy("h").limit(64).toPandas().sort_values(["v", "h"])
+    n = len(m)
+    got = {}
+    for q in (0.25, 0.5, 0.75, 0.9):
+        import math
+
+        got[q] = m.iloc[max(1, math.ceil(q * n)) - 1]["v"]
+    assert {r[0]: r[1] for r in whole} == got
+    # n_sample caps at k
+    assert all(r[2] == 64 for r in whole)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kmv_sample_quantiles(df, "v", "id", k=0)
