@@ -733,6 +733,29 @@ def q_media_feature_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, hour-of-day): one pass emits
+    the full lattice — per-cell, per-type, per-hour, and grand totals —
+    as Spark's native partial-agg-friendly expand, with NULL lattice
+    markers coalesced to sentinels so the result is join- and
+    oracle-stable (event_type is never NULL in the data)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("hr", F.hour("ts"))
+        .cube("event_type", "hr")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hr"), F.lit(-1)).cast("int").alias("hr"),
+            "n", "min_value", "max_value",
+        )
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -1241,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_kind_stats": q_media_kind_stats,
         "media_feature_bytes": q_media_feature_bytes,
         "events_hourly": q_events_hourly,
+        "events_cube": q_events_cube,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
         "events_range": q_events_range,
@@ -3108,6 +3132,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_cube": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   CAST(coalesce(hr, -1) AS INT) AS hr,
+                   count(*) AS n,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hr, value
+                  FROM events)
+            GROUP BY CUBE (event_type, hr)
         """,
         "events_sessions": """
             WITH lagged AS (
