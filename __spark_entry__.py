@@ -1197,6 +1197,105 @@ def q_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority pipeline: segment-filtered
+    customers x pre-cutoff orders x post-cutoff lineitems, top-10 orders
+    by revenue. The segment filter runs BEFORE the join so only the
+    1/5-selectivity key column ships (broadcast — the filtered customer
+    dim is bounded by segment share, and the explicit hint keeps the big
+    fact tables shuffle-free on that edge at any scale); the date
+    filters sit on the scans where parquet min/max pruning sees them.
+    Top-10 orders by (rounded revenue desc, orderkey) — a total order,
+    so LIMIT is deterministic in both engines."""
+    cutoff = "1998-01-01"
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            ),
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x event_type count matrix via native pivot. The pivot
+    value list is EXPLICIT — without it Spark runs an extra
+    collect-distinct job over the fact table to discover the columns,
+    a full pre-scan that 100 TB cannot afford (and the output schema
+    becomes data-dependent, which breaks downstream contracts). Absent
+    cells coalesce to 0 so the matrix is dense."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("hr", F.hour("ts"))
+        .groupBy("hr")
+        .pivot("event_type", types)
+        .count()
+        .select(
+            F.col("hr").cast("int").alias("hr"),
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+                for t in types
+            ],
+        )
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel signup -> click -> purchase
+    (relational.ordered_funnel): one exchange + one sort for all stages,
+    stacked RANGE-frame window mins instead of k-1 self-joins."""
+    from pathways2go_spark.relational import ordered_funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    return ordered_funnel(
+        ev,
+        user="user_id",
+        ts="ts_us",
+        step="event_type",
+        steps=["signup", "click", "purchase"],
+    )
+
+
+def q_kg_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree histogram of the KG: subjects per (model, subj) degree
+    — the graph-shape profile a 100 TB KG operator watches for hub
+    drift. Two stacked aggregations, the second over the first's
+    already-partitioned output."""
+    tri = _kg(spark)[0]
+    deg = tri.groupBy("model_id", "subj").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_subjects"))
+        .select(F.col("degree").cast("long"), "n_subjects")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
@@ -1285,6 +1384,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_weighted_sample": q_data_weighted_sample,
         "events_coverage": q_events_coverage,
         "tpch_pricing": q_tpch_pricing,
+        "tpch_shipping_priority": q_tpch_shipping_priority,
+        "events_pivot": q_events_pivot,
+        "events_funnel": q_events_funnel,
+        "kg_degree_hist": q_kg_degree_hist,
         "top_orders_per_cust": q_top_orders_per_cust,
         "nation_order_stats": q_nation_order_stats,
     }
@@ -2435,6 +2538,14 @@ def oracle_sql() -> dict[str, str]:
             FROM paths GROUP BY 1, 2, 3
         """,
         "kg_pagerank": _pagerank_sql(tri, rp_causal, iters=5),
+        "kg_degree_hist": f"""
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   count(*) AS n_subjects
+            FROM (
+              SELECT model_id, subj, count(*) AS degree
+              FROM '{tri}' GROUP BY 1, 2
+            ) GROUP BY 1
+        """,
         "sketch_cms": f"""
             WITH vals AS (
               SELECT tok AS v FROM documents,
@@ -3415,6 +3526,75 @@ def oracle_sql() -> dict[str, str]:
                    min(l_extendedprice) AS min_price,
                    max(l_extendedprice) AS max_price
             FROM lineitem GROUP BY 1, 2
+        """,
+        "tpch_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "events_pivot": """
+            SELECT CAST(hour(ts) AS INT) AS hr,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'error') AS error,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                     AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS view
+            FROM events GROUP BY 1
+        """,
+        "events_funnel": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+            ),
+            s0 AS (
+              SELECT *, CASE WHEN event_type = 'signup' THEN ts_us END AS q0
+              FROM e
+            ),
+            s1 AS (
+              SELECT *, CASE WHEN event_type = 'click'
+                              AND min(q0) OVER w IS NOT NULL
+                         THEN ts_us END AS q1
+              FROM s0
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+            ),
+            s2 AS (
+              SELECT *, CASE WHEN event_type = 'purchase'
+                              AND min(q1) OVER w IS NOT NULL
+                         THEN ts_us END AS q2
+              FROM s1
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+            ),
+            pu AS (
+              SELECT user_id, min(q0) AS t0, min(q1) AS t1, min(q2) AS t2
+              FROM s2 GROUP BY 1
+            ),
+            c AS (
+              SELECT count(t0) AS c0, count(t1) AS c1, count(t2) AS c2
+              FROM pu
+            )
+            SELECT 0 AS stage, 'signup' AS step, c0 AS users,
+                   CAST(1.0 AS DOUBLE) AS conv FROM c
+            UNION ALL
+            SELECT 1, 'click', c1,
+                   coalesce(round(CAST(c1 AS DOUBLE) / nullif(c0, 0), 6),
+                            CAST(0.0 AS DOUBLE)) FROM c
+            UNION ALL
+            SELECT 2, 'purchase', c2,
+                   coalesce(round(CAST(c2 AS DOUBLE) / nullif(c1, 0), 6),
+                            CAST(0.0 AS DOUBLE)) FROM c
         """,
         "top_orders_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -537,3 +537,82 @@ def salted_join(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return b.join(s, keys + [salt_col], how).drop(salt_col)
+
+
+def ordered_funnel(
+    events: DataFrame,
+    user: str,
+    ts: str,
+    step: str,
+    steps: list[str],
+) -> DataFrame:
+    """Strictly-ordered conversion funnel (signup -> click -> purchase)
+    in ONE shuffle.
+
+    Semantics: a step[i] event QUALIFIES iff some qualified step[i-1]
+    event for the same user has a strictly smaller `ts` (i>0; every
+    step[0] event qualifies). Stage i's user count is the number of
+    users with at least one qualified step[i] event. Out-of-order
+    events (a click before any signup) never count, matching product
+    funnel semantics.
+
+    Plan shape (why this scales): qualified times chain through stacked
+    window mins over the SAME window spec — partitionBy(user),
+    orderBy(ts), RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    (strictly earlier by VALUE, so ts ties never self-qualify) — and
+    Catalyst plans one Exchange + one Sort, evaluating all k window
+    functions in a single streaming pass with O(1) state per user. The
+    per-user groupBy that follows sees a child already hash-partitioned
+    on `user`, so EnsureRequirements inserts NO second exchange. The
+    naive alternative (k-1 self-joins, one per stage) pays k-1 shuffles
+    and re-materializes the event table per stage.
+
+    `ts` must be a numeric column (e.g. unix micros) — RANGE frames
+    need value arithmetic.
+
+    Returns one row per stage: (stage int, step string, users bigint,
+    conv double) where conv = users / previous stage users (round 6;
+    1.0 for stage 0, and 0.0 when the previous stage is empty — conv is
+    kept total so downstream float compares never meet NULL/NaN).
+    """
+    if not steps:
+        raise ValueError("ordered_funnel: steps must be non-empty")
+    w = (
+        Window.partitionBy(user)
+        .orderBy(ts)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    q = events.select(user, ts, step).withColumn(
+        "q0", F.when(F.col(step) == steps[0], F.col(ts))
+    )
+    for i, s in enumerate(steps[1:], start=1):
+        prev_before = F.min(F.col(f"q{i - 1}")).over(w)
+        q = q.withColumn(
+            f"q{i}",
+            F.when(
+                (F.col(step) == s) & prev_before.isNotNull(), F.col(ts)
+            ),
+        )
+    per_user = q.groupBy(user).agg(
+        *[F.min(f"q{i}").alias(f"t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[F.count(f"t{i}").alias(f"c{i}") for i in range(len(steps))]
+    )
+    cells = []
+    for i, s in enumerate(steps):
+        conv = (
+            "CAST(1.0 AS DOUBLE)"
+            if i == 0
+            else (
+                f"coalesce(round(CAST(c{i} AS DOUBLE) "
+                f"/ nullif(c{i - 1}, 0), 6), CAST(0.0 AS DOUBLE))"
+            )
+        )
+        cells.append(f"{i}, '{s}', c{i}, {conv}")
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {', '.join(cells)}) "
+            "as (stage, step, users, conv)"
+        )
+    )

@@ -576,3 +576,55 @@ def test_kmv_sample_quantiles_merge_and_determinism(spark):
 
     with pytest.raises(ValueError):
         kmv_sample_quantiles(df, "v", "id", k=0)
+
+
+def test_ordered_funnel_strict_ordering_and_plan(spark):
+    """ordered_funnel: out-of-order events never count, ts ties do not
+    qualify (strictly-earlier RANGE frame), re-entries are idempotent,
+    and all stages resolve in ONE hash exchange."""
+    from pathways2go_spark.relational import ordered_funnel
+
+    rows = [
+        # u1: clean signup -> click -> purchase
+        (1, 10, "signup"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: click BEFORE signup; purchase after signup but no
+        #     qualified click -> stops at stage 0
+        (2, 20, "click"), (2, 30, "signup"), (2, 40, "purchase"),
+        # u3: click TIES signup ts -> strictness rejects it; the later
+        #     click qualifies, but the purchase precedes it -> stage 1
+        (3, 10, "signup"), (3, 10, "click"), (3, 50, "click"),
+        (3, 40, "purchase"),
+        # u4: purchase only -> counts nowhere
+        (4, 99, "purchase"),
+        # u5: repeat signups/clicks collapse to one funnel entry
+        (5, 1, "signup"), (5, 2, "signup"), (5, 3, "click"),
+        (5, 4, "click"), (5, 5, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts_us long, step string")
+    out = ordered_funnel(
+        ev, "user_id", "ts_us", "step", ["signup", "click", "purchase"]
+    )
+    got = {r["step"]: (r["stage"], r["users"], r["conv"])
+           for r in out.collect()}
+    # stage 0: u1, u2, u3, u5 signed up
+    assert got["signup"] == (0, 4, 1.0)
+    # stage 1: u1, u3, u5 have a click strictly after a signup
+    assert got["click"] == (1, 3, 0.75)
+    # stage 2: u1, u5 purchase strictly after a qualified click
+    assert got["purchase"] == (2, 2, round(2 / 3, 6))
+
+    # AdaptiveSparkPlan's toString repeats the plan (final + initial);
+    # count exchanges in the final plan only
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    import re
+
+    # the per-user chain costs exactly one hash exchange: both window
+    # stages share the (user, ts) sort and the groupBy(user) reuses the
+    # window's partitioning (the remaining exchange is the final
+    # single-row global count)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
