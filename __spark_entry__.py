@@ -1296,6 +1296,86 @@ def q_kg_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct (l_orderkey, l_partkey) pairs per return
+    flag (sketches.hll_distinct): md5-derived registers, so the whole
+    sketch — not just its answer — is replayed bit-exactly by the
+    oracle. ~20k true distincts per flag at sf0.01 exercises the raw
+    harmonic-mean branch; smaller groups fall into linear counting."""
+    from pathways2go_spark.sketches import hll_distinct
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        F.concat_ws(
+            "-", F.col("l_orderkey").cast("string"),
+            F.col("l_partkey").cast("string"),
+        ).alias("pair"),
+    )
+    return hll_distinct(li, "pair", keys=["l_returnflag"])
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate census over the self-doubled corpus
+    (textops.boilerplate_census): the doubled half makes every chunk a
+    cross-document duplicate, and organic repeats inside the original
+    half exercise the min_df threshold independently."""
+    return TX.boilerplate_census(
+        _doubled_docs(spark, sf_dir), min_df=2, window=10
+    )
+
+
+def q_data_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-epoch training order (dataops.epoch_order):
+    bucketed md5 permutation, global position from broadcast bucket
+    offsets — never a global sort."""
+    return DO.epoch_order(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), epochs=2
+    )
+
+
+KG_SNAP_STORE = "/root/repo/.kg_snap_store"
+
+
+def q_kg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style snapshot log + time travel over the triple store
+    (sinks.append_snapshot / read_as_of): the KG triples split into
+    three deterministic appends by the first md5 nibble of the row
+    (0-5 / 6-a / b-f -> snapshots 1..3), then the table is read AS OF
+    snapshot 2 — the union of snapshots 1+2 resolved through the
+    manifest chain into one multi-path scan — and aggregated per pred.
+    The store is rebuilt from scratch on every call (idempotent appends,
+    crash-safe manifest-last commit), so it can never go stale against
+    a regenerated fixture."""
+    import shutil
+
+    from pathways2go_spark.sinks import append_snapshot, read_as_of
+
+    shutil.rmtree(KG_SNAP_STORE, ignore_errors=True)
+    tri = _kg(spark)[0]
+    nib = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "model_id", "subj", "pred", "obj")), 1, 1
+        ),
+        16,
+        10,
+    ).cast("int")
+    t = tri.withColumn("__n", nib)
+    append_snapshot(t.filter(F.col("__n") <= 5).drop("__n"),
+                    KG_SNAP_STORE, 1)
+    append_snapshot(
+        t.filter((F.col("__n") > 5) & (F.col("__n") <= 10)).drop("__n"),
+        KG_SNAP_STORE, 2, parent=1,
+    )
+    append_snapshot(t.filter(F.col("__n") > 10).drop("__n"),
+                    KG_SNAP_STORE, 3, parent=2)
+    return (
+        read_as_of(spark, KG_SNAP_STORE, 2)
+        .groupBy("pred")
+        .agg(F.count("*").alias("n_triples"),
+             F.count_distinct("model_id").alias("n_models"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
@@ -1390,6 +1470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_hist": q_kg_degree_hist,
         "top_orders_per_cust": q_top_orders_per_cust,
         "nation_order_stats": q_nation_order_stats,
+        "sketch_hll": q_sketch_hll,
+        "text_boilerplate": q_text_boilerplate,
+        "data_epoch": q_data_epoch,
+        "kg_time_travel": q_kg_time_travel,
     }
 
 
@@ -3858,5 +3942,118 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT * FROM circ_islands
           UNION ALL SELECT * FROM circ_members
         )
+    """
+    # HyperLogLog: the oracle replays the REGISTER TABLE itself (md5
+    # bit-slice index + 33-len(bin) rank), not just the estimate; the
+    # numerator literal is shared with sketches.HLL_NUM so the final
+    # division is the same IEEE op on both engines.
+    from pathways2go_spark.sketches import HLL_M, HLL_NUM
+
+    sql["sketch_hll"] = f"""
+        WITH h AS (
+          SELECT l_returnflag,
+                 md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                     CAST(l_partkey AS VARCHAR)) AS h
+          FROM lineitem
+        ), rr AS (
+          SELECT l_returnflag,
+                 CAST(('0x' || substr(h, 1, 3))::BIGINT AS INT) AS reg,
+                 ('0x' || substr(h, 4, 8))::BIGINT AS w
+          FROM h
+        ), regs AS (
+          SELECT l_returnflag, reg,
+                 max(CASE WHEN w = 0 THEN 33
+                     ELSE 33 - length(bin(w)) END) AS mj
+          FROM rr GROUP BY 1, 2
+        ), pk AS (
+          SELECT l_returnflag,
+                 count(*) AS n_regs,
+                 sum((1::BIGINT << (33 - mj))::BIGINT)::BIGINT AS s_present
+          FROM regs GROUP BY 1
+        ), est AS (
+          SELECT l_returnflag, n_regs,
+                 CAST({HLL_M} - n_regs AS BIGINT) AS zeros,
+                 s_present
+                   + CAST({HLL_M} - n_regs AS BIGINT)
+                     * (1::BIGINT << 33) AS s_scaled
+          FROM pk
+        )
+        SELECT l_returnflag, n_regs, zeros, s_scaled,
+               floor(CASE WHEN {HLL_NUM!r} / s_scaled <= {2.5 * HLL_M}
+                           AND zeros > 0
+                          THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
+                          ELSE {HLL_NUM!r} / s_scaled END * 1e6 + 0.5)
+                 / 1e6 AS hll_est
+        FROM est
+    """
+    # boilerplate census over the doubled corpus: chunking mirror of
+    # dedup_paragraph, then a document-frequency census instead of a
+    # first-occurrence rank
+    sql["text_boilerplate"] = f"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {DOC_OFFSET}, text FROM documents
+        ), toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM docs
+        ), chunks AS (
+          SELECT doc_id, i AS idx,
+                 array_to_string(t[(i*10+1):(i*10+10)], ' ') AS chunk
+          FROM toks,
+               UNNEST(range(greatest(CAST(ceil(len(t) / 10.0) AS BIGINT), 1)))
+                 AS u(i)
+        ), census AS (
+          SELECT md5(chunk) AS ch, count(DISTINCT doc_id) AS docfreq
+          FROM chunks GROUP BY 1
+        ), flagged AS (
+          SELECT c.doc_id, c.idx, c.chunk,
+                 (s.docfreq >= 2) AS is_boiler
+          FROM chunks c JOIN census s ON md5(c.chunk) = s.ch
+        )
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_boiler,
+               round(CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS boiler_ratio,
+               md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN chunk END,
+                                       ' ' ORDER BY idx), '')) AS clean_md5
+        FROM flagged GROUP BY doc_id
+    """
+    # epoch order: global_pos = rank by h within epoch EQUALS the
+    # hierarchical bucket-offset + in-bucket rank (bucket is h's top
+    # byte, so h order is bucket-major)
+    sql["data_epoch"] = """
+        WITH e AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, CAST(ep AS INT) AS epoch
+          FROM documents, UNNEST(range(2)) AS u(ep)
+        ), k AS (
+          SELECT epoch, id,
+                 md5(CAST(epoch AS VARCHAR) || ':' || id) AS h
+          FROM e
+        )
+        SELECT epoch, id AS doc_id,
+               CAST(('0x' || substr(h, 1, 2))::BIGINT AS INT) AS bucket,
+               row_number() OVER (
+                 PARTITION BY epoch,
+                              CAST(('0x' || substr(h, 1, 2))::BIGINT AS INT)
+                 ORDER BY h, id) AS pos,
+               row_number() OVER (PARTITION BY epoch ORDER BY h, id)
+                 AS global_pos
+        FROM k
+    """
+    # time travel AS OF snapshot 2 = the md5-nibble <= 10 subset of the
+    # golden triples (snapshots 1+2 of the three-way split)
+    sql["kg_time_travel"] = f"""
+        WITH t AS (
+          SELECT model_id, subj, pred, obj,
+                 ('0x' || substr(md5(model_id || '|' || subj || '|' ||
+                                     pred || '|' || obj), 1, 1))::BIGINT
+                   AS n
+          FROM '{tri}'
+        )
+        SELECT pred, count(*) AS n_triples,
+               count(DISTINCT model_id) AS n_models
+        FROM t WHERE n <= 10 GROUP BY pred
     """
     return sql

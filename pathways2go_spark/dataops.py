@@ -528,3 +528,67 @@ def cap_per_key(
         .filter(F.col("__r2") <= cap)
         .drop("__salt", "__r1", "__r2")
     )
+
+
+def epoch_order(
+    df: DataFrame,
+    epochs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch global training order (the "shuffle each
+    epoch" step of a training-data pipeline) WITHOUT a global sort:
+    each epoch e orders the corpus by h = md5(e || ':' || id) — a fresh
+    uniform permutation per epoch, reproducible on any cluster size and
+    across retries (no RNG state, no partition dependence).
+
+    Output: (epoch, doc_id, bucket, pos, global_pos) where
+    bucket = the first byte of h (256 read buckets), pos = rank within
+    the bucket, global_pos = the document's position in the epoch's
+    total order. Readers stream buckets in index order; because the
+    bucket is h's top byte, (bucket, pos) ascending IS h ascending, so
+    global_pos = bucket offset + pos without ever totally sorting.
+
+    Scale shape — the two-phase scan again (cf. shard_assignment): a
+    window over ORDER BY h collapses into one task at 10^12 rows; here
+    the wide op is a 256-bucket hash shuffle + per-bucket local sort,
+    the per-(epoch, bucket) counts (<= 256 * epochs rows) come to the
+    driver once, and offsets broadcast back. Failure-deterministic: the
+    bucket is a pure function of (epoch, id)."""
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    spark = df.sparkSession
+    e = F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch")
+    base = df.select(F.col(id_col).cast("string").alias("id")).select(
+        "id", e
+    )
+    h = F.md5(F.concat_ws(":", F.col("epoch"), F.col("id")))
+    keyed = base.select(
+        "epoch",
+        "id",
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+    )
+    counts = sorted(
+        keyed.groupBy("epoch", "bucket").count().collect(),
+        key=lambda r: (r["epoch"], r["bucket"]),
+    )
+    offsets, acc = [], {}
+    for r in counts:
+        ep = r["epoch"]
+        offsets.append((ep, r["bucket"], acc.get(ep, 0)))
+        acc[ep] = acc.get(ep, 0) + r["count"]
+    off = spark.createDataFrame(
+        offsets or [(0, 0, 0)], "epoch int, bucket int, offset long"
+    )
+    w = Window.partitionBy("epoch", "bucket").orderBy("h", "id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(off), ["epoch", "bucket"])
+        .select(
+            "epoch",
+            F.col("id").alias(id_col),
+            "bucket",
+            "pos",
+            (F.col("offset") + F.col("pos")).alias("global_pos"),
+        )
+    )

@@ -270,3 +270,112 @@ def merge_snapshot(
     ups = changes.filter(F.col(op_col) == "U").drop(op_col)
     kept = base.join(changes.select(*keys).distinct(), keys, "left_anti")
     return kept.unionByName(ups)
+
+
+# ----------------------------------------------------------------------
+# Iceberg-style snapshot log: append-only table versions + time travel
+# ----------------------------------------------------------------------
+#
+# The north-star deployment materializes the KG into Iceberg tables;
+# this image has no Iceberg jars, so the same METADATA CONTRACT is
+# expressed directly: every append writes its data files under an
+# immutable snapshot directory and commits one manifest JSON recording
+# (snapshot_id, parent, row/file counts). Readers resolve a snapshot id
+# to its ancestor chain and scan exactly those directories — Iceberg's
+# time travel (`VERSION AS OF`) — in ONE multi-path parquet scan.
+# Commits are atomic at manifest granularity (data first, manifest
+# last), so a crashed append leaves no visible snapshot and a re-run is
+# idempotent: an existing manifest short-circuits the write.
+
+
+def _snap_dir(path: str, snapshot_id: int) -> str:
+    return f"{path.rstrip('/')}/data/snap={int(snapshot_id)}"
+
+
+def _manifest_path(path: str, snapshot_id: int) -> str:
+    return f"{path.rstrip('/')}/_snapshots/{int(snapshot_id)}.json"
+
+
+def append_snapshot(
+    df: DataFrame,
+    path: str,
+    snapshot_id: int,
+    parent: int | None = None,
+) -> dict:
+    """Append `df` as snapshot `snapshot_id` (immutable). Write order is
+    crash-safe: data files land first, the manifest commits last — a
+    failure in between leaves an orphan data dir that the next run
+    overwrites, never a readable-but-incomplete snapshot. Re-appending
+    an existing snapshot id is a no-op (resume semantics, same contract
+    as write_triples' completed_buckets)."""
+    spark = df.sparkSession
+    mp = _manifest_path(path, snapshot_id)
+    fs, p = _hadoop_fs(spark, mp)
+    if fs.exists(p):
+        with_in = fs.open(p)
+        try:
+            raw = bytes(with_in.readAllBytes()).decode("utf-8")
+        finally:
+            with_in.close()
+        return json.loads(raw)
+    dd = _snap_dir(path, snapshot_id)
+    df.write.mode("overwrite").parquet(dd)
+    n_rows = spark.read.parquet(dd).count()
+    manifest = {
+        "snapshot_id": int(snapshot_id),
+        "parent": None if parent is None else int(parent),
+        "n_rows": int(n_rows),
+        "data_dir": dd,
+    }
+    _fs_write_text(spark, mp, json.dumps(manifest, sort_keys=True))
+    return manifest
+
+
+def _read_manifests(spark: SparkSession, path: str) -> list[dict]:
+    md = f"{path.rstrip('/')}/_snapshots"
+    fs, p = _hadoop_fs(spark, md)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not name.endswith(".json"):
+            continue
+        inp = fs.open(st.getPath())
+        try:
+            out.append(json.loads(bytes(inp.readAllBytes()).decode("utf-8")))
+        finally:
+            inp.close()
+    return sorted(out, key=lambda m: m["snapshot_id"])
+
+
+def snapshot_log(spark: SparkSession, path: str) -> DataFrame:
+    """The table's version history as a DataFrame:
+    (snapshot_id, parent, n_rows, cum_rows) — Iceberg's
+    `table.snapshots` metadata view."""
+    ms = _read_manifests(spark, path)
+    rows, cum = [], 0
+    for m in ms:
+        cum += m["n_rows"]
+        rows.append((m["snapshot_id"], m["parent"], m["n_rows"], cum))
+    return spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        "snapshot_id int, parent int, n_rows long, cum_rows long",
+    ).filter(F.col("snapshot_id").isNotNull())
+
+
+def read_as_of(spark: SparkSession, path: str, snapshot_id: int) -> DataFrame:
+    """Time travel: the table AS OF `snapshot_id` — the union of that
+    snapshot's ancestor chain, resolved from manifests (driver-side,
+    O(snapshots)) into ONE multi-path parquet scan; no per-snapshot
+    union nodes, so partition pruning and split planning see the whole
+    file set at once."""
+    ms = {m["snapshot_id"]: m for m in _read_manifests(spark, path)}
+    if snapshot_id not in ms:
+        raise ValueError(f"unknown snapshot {snapshot_id} under {path}")
+    chain, cur = [], snapshot_id
+    while cur is not None:
+        m = ms[cur]
+        chain.append(m["data_dir"])
+        cur = m["parent"]
+    return spark.read.parquet(*sorted(chain))

@@ -441,3 +441,83 @@ def kmv_sample_quantiles(
         .select("q", F.col("v").alias("est"),
                 F.col("n").cast("long").alias("n_sample"))
     )
+
+
+# HyperLogLog constants: alpha_m for m >= 128 (Flajolet et al. 2007,
+# public method). The numerator alpha * m^2 * 2^33 is precomputed in
+# Python and embedded as ONE double literal in both the Spark plan and
+# the SQL oracle, so the estimate is a single IEEE division of exact
+# integers by a shared constant — bit-identical cross-engine.
+HLL_P = 12
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << 33)
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-`keys` HyperLogLog distinct-count sketch with DETERMINISTIC,
+    engine-portable registers (Flajolet-Fuchs-Gandouet-Meunier 2007,
+    public method): hash every value with md5, use the first 12 bits as
+    the register index (m = 4096 registers) and
+    rho = 1 + leading-zeros of the next 32 bits as the register value;
+    each register keeps max(rho).
+
+    The classic objection to oracle-checking HLL — register layout is
+    implementation-defined (see kmv_distinct's module doc on Spark's
+    approx_count_distinct) — does not apply here because the registers
+    are DERIVED IN THE QUERY PLAN from md5 bit-slices: DuckDB replays
+    the identical slicing. leading-zeros is computed as
+    33 - length(bin(w)) — bin() renders without leading zeros in both
+    engines, so the whole register table is integer-exact.
+
+    Estimator (all exactly representable values):
+      S = sum over registers of 2^(33 - rho_j), absent registers
+          contributing 2^33 — an exact int64 (<= m * 2^33 = 2^45);
+      raw = HLL_NUM / S (one IEEE division);
+      linear counting m * ln(m / zeros) when raw <= 2.5m and zeros > 0,
+      rounded by the floor(x*1e6+0.5)/1e6 trick both engines evaluate
+      identically (the text_lm / weighted_sample technique).
+
+    Output: (*keys, n_regs, zeros, s_scaled, hll_est).
+
+    Scale shape — why HLL at 100 TB: per-key state is bounded by m
+    REGARDLESS of cardinality (KMV keeps k hashes; HLL keeps m 6-bit
+    maxima), the partial aggregate is map-side combinable
+    (groupBy(keys, reg).max(rho): at most m rows per key leave each
+    partition), and sketches merge by register-wise max — the union of
+    two corpora is one more groupBy, never a re-scan. Standard error is
+    1.04/sqrt(m) ~ 1.6% at m = 4096."""
+    keys = keys or []
+    h = F.md5(F.col(col).cast("string"))
+    reg = F.conv(F.substring(h, 1, HLL_P // 4), 16, 10).cast("int")
+    w = F.conv(F.substring(h, HLL_P // 4 + 1, 8), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(w))
+    ).cast("int")
+    regs = (
+        df.select(*keys, reg.alias("__reg"), rho.alias("__rho"))
+        .groupBy(*keys, "__reg")
+        .agg(F.max("__rho").alias("__mj"))
+    )
+    per_key = regs.groupBy(*keys).agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.expr("shiftleft(1L, 33 - __mj)")).alias("s_present"),
+    )
+    zeros = (F.lit(HLL_M) - F.col("n_regs")).cast("long")
+    s_scaled = (
+        F.col("s_present") + zeros * F.lit(1 << 33).cast("long")
+    ).alias("s_scaled")
+    raw = F.lit(HLL_NUM) / F.col("s_scaled")
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("zeros"))
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("zeros") > 0), lc
+    ).otherwise(raw)
+    est6 = F.floor(est * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        per_key.select(*keys, "n_regs", zeros.alias("zeros"), s_scaled)
+        .withColumn("hll_est", est6)
+    )

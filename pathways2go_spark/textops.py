@@ -401,3 +401,72 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc", "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def boilerplate_census(
+    df: DataFrame,
+    min_df: int = 2,
+    window: int = 10,
+    col: str = "text",
+) -> DataFrame:
+    """Boilerplate removal census (the RefinedWeb / CCNet line-dedup
+    shape, applied to fixed token windows since this corpus has no
+    newlines): chunk every document into `window`-token segments, count
+    each distinct segment's DOCUMENT frequency corpus-wide, and mark
+    segments appearing in >= `min_df` documents as boilerplate
+    (navigation bars, license footers, template text — content repeated
+    across pages rather than within one). Unlike paragraph_dedup (which
+    keeps the first occurrence), boilerplate removal drops EVERY
+    occurrence of a cross-document segment, including the first.
+
+    Returns per document:
+        doc_id, n_chunks, n_boiler, boiler_ratio, clean_md5
+    where clean_md5 fingerprints the surviving text (non-boilerplate
+    chunks re-joined in order; empty string when everything is
+    boilerplate).
+
+    Scale shape: one narrow chunking projection; the document-frequency
+    census is (chunk-hash, doc_id) distinct -> groupBy(chunk-hash) — two
+    shuffles on near-uniform hash keys, partial-aggregated map-side; the
+    flag join keys on the same chunk hash so AQE reuses the exchange. A
+    boilerplate segment shared by millions of pages contributes ONE
+    census row (count, not collect) — no hub posting list is ever
+    built."""
+    toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
+    )
+    exploded = df.select(
+        "doc_id", F.posexplode(chunks).alias("idx", "chunk")
+    ).withColumn("ch", F.md5(F.col("chunk")))
+    census = (
+        exploded.select("ch", "doc_id")
+        .distinct()
+        .groupBy("ch")
+        .agg(F.count("*").alias("docfreq"))
+    )
+    flagged = exploded.join(census, "ch").withColumn(
+        "is_boiler", F.col("docfreq") >= min_df
+    )
+    kept = F.when(~F.col("is_boiler"), F.col("chunk"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.col("is_boiler").cast("int")).cast("long").alias("n_boiler"),
+        F.round(
+            F.sum(F.col("is_boiler").cast("int"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("boiler_ratio"),
+        F.md5(
+            F.coalesce(
+                F.concat_ws(" ", F.array_sort(
+                    F.collect_list(F.when(~F.col("is_boiler"), F.struct(
+                        F.col("idx"), F.col("chunk")
+                    )))
+                ).getField("chunk")),
+                F.lit(""),
+            )
+        ).alias("clean_md5"),
+    )

@@ -680,3 +680,41 @@ def test_semantic_dedup_cluster_local_first_occurrence(spark):
     assert out[5] == (out[0][0], False)
     # the singleton direction is kept even though it shares a cell
     assert out[4][1] is True
+
+
+def test_boilerplate_census_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from pathways2go_spark.textops import boilerplate_census
+
+    footer = "all rights reserved by the example site contact us today"
+    uniq_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq_b = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"{uniq_a} {footer}"),
+        (2, f"{uniq_b} {footer}"),
+        (3, uniq_a.replace("alpha", "omega")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_census(df, min_df=2, window=10).collect()
+    }
+    # the footer chunk appears in docs 1 and 2 -> boilerplate in BOTH
+    # (first occurrence dropped too, unlike paragraph_dedup)
+    assert out[1]["n_chunks"] == 2 and out[1]["n_boiler"] == 1
+    assert out[2]["n_chunks"] == 2 and out[2]["n_boiler"] == 1
+    assert out[3]["n_boiler"] == 0
+    import hashlib
+
+    assert out[3]["clean_md5"] == hashlib.md5(
+        uniq_a.replace("alpha", "omega").encode()
+    ).hexdigest()
+    # all-boilerplate doc fingerprints the empty string
+    dup = spark.createDataFrame(
+        [(1, footer), (2, footer)], "doc_id long, text string"
+    )
+    o2 = boilerplate_census(dup, min_df=2, window=10).collect()
+    empty = hashlib.md5(b"").hexdigest()
+    assert all(r["clean_md5"] == empty and r["boiler_ratio"] == 1.0
+               for r in o2)

@@ -316,3 +316,35 @@ def test_weighted_sample_favors_heavy_weights(spark):
     picked = {r.doc_id for r in DO.weighted_sample(
         docs, k=3, weight_col="w").collect()}
     assert 7 in picked
+
+
+def test_epoch_order_is_bucket_major_and_epoch_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from pathways2go_spark.dataops import epoch_order
+
+    docs = spark.range(300).select(F.col("id").alias("doc_id"))
+    out = epoch_order(docs, epochs=2)
+    rows = out.collect()
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1}
+    for ep, rs in by_epoch.items():
+        assert len(rs) == 300
+        # global_pos is a permutation of 1..n
+        gps = sorted(r["global_pos"] for r in rs)
+        assert gps == list(range(1, 301))
+        # bucket-major: sorting by (bucket, pos) == sorting by global_pos
+        order_a = [r["doc_id"] for r in sorted(
+            rs, key=lambda r: (r["bucket"], r["pos"]))]
+        order_b = [r["doc_id"] for r in sorted(
+            rs, key=lambda r: r["global_pos"])]
+        assert order_a == order_b
+    # different epochs produce different permutations
+    p0 = [r["doc_id"] for r in sorted(by_epoch[0], key=lambda r: r["global_pos"])]
+    p1 = [r["doc_id"] for r in sorted(by_epoch[1], key=lambda r: r["global_pos"])]
+    assert p0 != p1 and sorted(p0) == sorted(p1)
+    # partition-count invariance (failure determinism)
+    out4 = epoch_order(docs.repartition(7), epochs=2)
+    assert sorted(map(tuple, out4.collect())) == sorted(map(tuple, rows))

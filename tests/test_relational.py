@@ -628,3 +628,37 @@ def test_ordered_funnel_strict_ordering_and_plan(spark):
     # window's partitioning (the remaining exchange is the final
     # single-row global count)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_hll_distinct_accuracy_and_mergeability(spark):
+    from pyspark.sql import functions as F
+
+    from pathways2go_spark.sketches import HLL_M, hll_distinct
+
+    n = 30000
+    df = spark.range(n).select(
+        (F.col("id") % 2).cast("string").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    out = {r["k"]: r for r in hll_distinct(df, "v", keys=["k"]).collect()}
+    for k, true in (("0", n // 2), ("1", n // 2)):
+        est = out[k]["hll_est"]
+        # HLL standard error 1.04/sqrt(m) ~ 1.6%; 5% is a safe bound
+        assert abs(est - true) / true < 0.05, (k, est, true)
+    # mergeability: register-wise max over two halves == whole. The
+    # sketch exposes (n_regs, s_scaled), both pure functions of the
+    # register table, so equality there proves register-table equality
+    # up to the aggregate (plus the estimate, a pure function of them).
+    whole = hll_distinct(df.select("v"), "v").collect()[0]
+    h1 = df.filter(F.col("k") == "0").select("v")
+    h2 = df.filter(F.col("k") == "1").select("v")
+    merged = hll_distinct(h1.unionByName(h2), "v").collect()[0]
+    assert merged["n_regs"] == whole["n_regs"]
+    assert merged["s_scaled"] == whole["s_scaled"]
+    assert merged["hll_est"] == whole["hll_est"]
+    # small-cardinality group lands in the linear-counting branch and
+    # is near-exact there
+    tiny = spark.range(40).select(F.concat(F.lit("t"), F.col("id")).alias("v"))
+    t = hll_distinct(tiny, "v").collect()[0]
+    assert t["zeros"] > 0 and abs(t["hll_est"] - 40) <= 1, t
+    assert t["n_regs"] <= HLL_M

@@ -161,3 +161,51 @@ def test_merge_snapshot_upsert_delete_insert(spark):
 
     with pytest.raises(ValueError):
         merge_snapshot(base, changes.drop("subj"), ["model_id", "subj"])
+
+
+def test_snapshot_log_time_travel_and_resume(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pathways2go_spark.sinks import (
+        append_snapshot,
+        read_as_of,
+        snapshot_log,
+    )
+
+    store = str(tmp_path / "snaps")
+    a = spark.range(10).select(F.col("id").alias("v"))
+    b = spark.range(10, 25).select(F.col("id").alias("v"))
+    c = spark.range(25, 27).select(F.col("id").alias("v"))
+    m1 = append_snapshot(a, store, 1)
+    m2 = append_snapshot(b, store, 2, parent=1)
+    append_snapshot(c, store, 3, parent=2)
+    assert m1["n_rows"] == 10 and m2["parent"] == 1
+    # time travel: AS OF 2 sees snapshots 1+2 only
+    got2 = sorted(r["v"] for r in read_as_of(spark, store, 2).collect())
+    assert got2 == list(range(25))
+    got3 = read_as_of(spark, store, 3).count()
+    assert got3 == 27
+    # snapshot log cumulates
+    log = {r["snapshot_id"]: r for r in snapshot_log(spark, store).collect()}
+    assert log[1]["cum_rows"] == 10
+    assert log[2]["cum_rows"] == 25 and log[2]["parent"] == 1
+    assert log[3]["cum_rows"] == 27
+    # resume: re-appending an existing snapshot id is a no-op even with
+    # different data (the manifest short-circuits)
+    m2b = append_snapshot(a, store, 2, parent=1)
+    assert m2b["n_rows"] == 15
+    assert read_as_of(spark, store, 2).count() == 25
+    # crash safety: a data dir without its manifest is invisible
+    # (manifest-last commit order) and the retry completes it
+    os.remove(os.path.join(store, "_snapshots", "3.json"))
+    log2 = snapshot_log(spark, store)
+    assert log2.filter(F.col("snapshot_id") == 3).count() == 0
+    try:
+        read_as_of(spark, store, 3)
+        raise AssertionError("snapshot 3 should be unknown after crash")
+    except ValueError:
+        pass
+    append_snapshot(c, store, 3, parent=2)
+    assert read_as_of(spark, store, 3).count() == 27
