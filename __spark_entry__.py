@@ -1333,6 +1333,31 @@ def q_data_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological layering of each model's causal graph
+    (reports.dag_levels): level 0 = entry points, level k = longest-path
+    layer, -1 = on/behind a feedback cycle. Oracle = the same Kahn peel
+    unrolled to 8 rounds in SQL."""
+    return RP.dag_levels(_kg(spark)[0], max_levels=8)
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile of the orders table
+    (relational.profile_columns): exact NDV + null census + min/max per
+    column from a single Aggregate node."""
+    from pathways2go_spark.relational import profile_columns
+
+    return profile_columns(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), _PROFILE_COLS
+    )
+
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+    "o_orderpriority",
+]
+
+
 KG_SNAP_STORE = "/root/repo/.kg_snap_store"
 
 
@@ -1474,6 +1499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "data_epoch": q_data_epoch,
         "kg_time_travel": q_kg_time_travel,
+        "kg_dag_levels": q_kg_dag_levels,
+        "data_profile": q_data_profile,
     }
 
 
@@ -4042,6 +4069,69 @@ def oracle_sql() -> dict[str, str]:
                  AS global_pos
         FROM k
     """
+    # dag levels: the Kahn longest-path peel unrolled to 8 rounds (the
+    # pagerank-oracle technique) — each round settles nodes whose every
+    # in-edge source is already settled, at 1 + max(predecessor level);
+    # survivors after round 8 are cycle-locked -> -1
+    def _dag_levels_sql(tri_path: str, causal_in: str, rounds: int) -> str:
+        ctes = [
+            f"""edges AS MATERIALIZED (
+              SELECT model_id, subj AS src, obj AS dst FROM '{tri_path}'
+              WHERE pred IN ('{causal_in}') GROUP BY 1, 2, 3
+            )""",
+            """nodes AS MATERIALIZED (
+              SELECT model_id, src AS node FROM edges
+              UNION
+              SELECT model_id, dst FROM edges
+            )""",
+            """s0 AS MATERIALIZED (
+              SELECT n.model_id, n.node, 0 AS level FROM nodes n
+              WHERE NOT EXISTS (
+                SELECT 1 FROM edges e
+                WHERE e.model_id = n.model_id AND e.dst = n.node)
+            )""",
+        ]
+        for k in range(1, rounds + 1):
+            p = k - 1
+            ctes.append(f"""c{k} AS (
+              SELECT e.model_id, e.dst AS node, 1 + max(s.level) AS level
+              FROM edges e
+              LEFT JOIN s{p} s
+                ON e.model_id = s.model_id AND e.src = s.node
+              GROUP BY e.model_id, e.dst
+              HAVING count(*) = count(s.level)
+            )""")
+            ctes.append(f"""s{k} AS MATERIALIZED (
+              SELECT * FROM s{p}
+              UNION ALL
+              SELECT c.* FROM c{k} c WHERE NOT EXISTS (
+                SELECT 1 FROM s{p} s
+                WHERE s.model_id = c.model_id AND s.node = c.node)
+            )""")
+        return f"""
+            WITH {', '.join(ctes)}
+            SELECT n.model_id, n.node,
+                   CAST(coalesce(s.level, -1) AS INT) AS level
+            FROM nodes n
+            LEFT JOIN s{rounds} s
+              ON n.model_id = s.model_id AND n.node = s.node
+        """
+
+    sql["kg_dag_levels"] = _dag_levels_sql(tri, rp_causal, rounds=8)
+    # one-pass column profile: the oracle is the per-column UNION ALL the
+    # Spark stack pivot is equivalent to
+    sql["data_profile"] = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_val,
+               CAST(max({c}) AS VARCHAR) AS max_val
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    )
     # time travel AS OF snapshot 2 = the md5-nibble <= 10 subset of the
     # golden triples (snapshots 1+2 of the three-way split)
     sql["kg_time_travel"] = f"""

@@ -616,3 +616,36 @@ def ordered_funnel(
             "as (stage, step, users, conv)"
         )
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style column profile — the lakehouse statistics pass that
+    feeds NDV-based join planning and data-quality dashboards:
+    per column, (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)
+    with min/max rendered as strings so heterogeneous columns share one
+    schema.
+
+    Scale shape: ONE full scan computes every column's aggregates in a
+    single Aggregate node (count/count-distinct/min/max are all
+    map-side partial), then a `stack` pivots the single result row into
+    one row per column — the profile never re-scans per column, which
+    is the difference between O(cols) passes and one at 100 TB. Exact
+    NDV; swap count_distinct for hll_distinct (sketches.py) when the
+    approximate answer is acceptable."""
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn{i}"),
+            F.count_distinct(F.col(c)).alias(f"__nd{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx{i}"),
+        ]
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', __n, __nn{i}, __nd{i}, __mn{i}, __mx{i}"
+        for i, c in enumerate(cols)
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {parts}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )

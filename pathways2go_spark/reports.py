@@ -702,3 +702,77 @@ def kg_components(t: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_components"),
         F.max("sz").cast("long").alias("largest_component"),
     )
+
+
+def dag_levels(t: DataFrame, max_levels: int = 8) -> DataFrame:
+    """Topological layering of each model's causal graph — the
+    "execution order" view of a pathway: level 0 = nodes with no
+    incoming causal edge (the pathway's entry points), level k = nodes
+    whose every upstream regulator is already layered, placed one past
+    their deepest predecessor (longest-path layering, Kahn peeling).
+    Nodes on or downstream-locked-behind a causal CYCLE (feedback loops
+    are real GO-CAM biology) never settle and report level = -1 — the
+    analyst's signal that ordering is undefined there.
+
+    Returns (model_id, node, level), covering every causal endpoint.
+
+    Scale shape: each peel round is ONE join keyed by (model_id, dst)
+    against the settled set plus a groupBy on the same key — a node
+    settles exactly once, rounds are bounded by `max_levels`, and the
+    settled set is localCheckpointed per round (reliable checkpoint()
+    on a cluster) so round k's anti-join probes a materialized leaf.
+    All keys carry model_id: no cross-model hub. The early-exit probe
+    is a 1-row head — the only driver traffic."""
+    edges = (
+        t.filter(F.col("pred").isin(CAUSAL_FAMILY))
+        .select("model_id", F.col("subj").alias("src"),
+                F.col("obj").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select("model_id", F.col("src").alias("node"))
+        .unionByName(edges.select("model_id", F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    settled = (
+        nodes.join(
+            edges.select("model_id", F.col("dst").alias("node")).distinct(),
+            ["model_id", "node"],
+            "left_anti",
+        )
+        .withColumn("level", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(1, max_levels + 1):
+        # a node settles when ALL its in-edges originate from settled
+        # nodes; its level is 1 + the max of those predecessors
+        cand = (
+            edges.join(
+                settled.select("model_id", "node", "level").withColumnRenamed(
+                    "node", "src"
+                ).withColumnRenamed("level", "src_level"),
+                ["model_id", "src"],
+                "left",
+            )
+            .groupBy("model_id", F.col("dst").alias("node"))
+            .agg(
+                F.count("*").alias("n_in"),
+                F.count("src_level").alias("n_settled"),
+                F.max("src_level").alias("max_lvl"),
+            )
+            .filter(F.col("n_in") == F.col("n_settled"))
+            .join(settled.select("model_id", "node"),
+                  ["model_id", "node"], "left_anti")
+            .select("model_id", "node",
+                    (F.col("max_lvl") + 1).alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        if not cand.head(1):
+            break
+        settled = settled.unionByName(cand).localCheckpoint(eager=True)
+    return nodes.join(settled, ["model_id", "node"], "left").select(
+        "model_id", "node",
+        F.coalesce(F.col("level"), F.lit(-1)).cast("int").alias("level"),
+    )

@@ -662,3 +662,22 @@ def test_hll_distinct_accuracy_and_mergeability(spark):
     t = hll_distinct(tiny, "v").collect()[0]
     assert t["zeros"] > 0 and abs(t["hll_est"] - 40) <= 1, t
     assert t["n_regs"] <= HLL_M
+
+
+def test_profile_columns_single_pass_census(spark):
+    from pathways2go_spark.relational import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")],
+        "k long, s string",
+    )
+    out = {r["col_name"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 1
+    assert out["k"]["n_distinct"] == 2
+    assert out["k"]["min_val"] == "1" and out["k"]["max_val"] == "2"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_val"] == "a" and out["s"]["max_val"] == "b"
+    # one scan: exactly one Aggregate over the relation, no per-column
+    # re-scan (plan contains a single row of partial aggregates)
+    plan = profile_columns(df, ["k", "s"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1, plan

@@ -333,3 +333,38 @@ def test_kg_components_per_model_isolation(spark):
                          "n_components": 2, "largest_component": 3}
     assert out["m2"] == {"model_id": "m2", "n_nodes": 2,
                          "n_components": 1, "largest_component": 2}
+
+
+def test_dag_levels_layering_and_cycle_guard(spark):
+    from pyspark.sql import functions as F
+
+    from pathways2go_spark.reports import CAUSAL_FAMILY, dag_levels
+
+    pred = CAUSAL_FAMILY[0]
+    # m1: diamond a->b, a->c, b->d, c->d, plus long arm a->e->f->d
+    # (longest-path layering: d = 1 + max(b,c,f) = 3)
+    # m2: cycle x->y->z->x feeding w (w cycle-locked -> -1), root r->x
+    rows = [
+        ("m1", "a", pred, "b"), ("m1", "a", pred, "c"),
+        ("m1", "b", pred, "d"), ("m1", "c", pred, "d"),
+        ("m1", "a", pred, "e"), ("m1", "e", pred, "f"),
+        ("m1", "f", pred, "d"),
+        ("m2", "r", pred, "x"), ("m2", "x", pred, "y"),
+        ("m2", "y", pred, "z"), ("m2", "z", pred, "x"),
+        ("m2", "z", pred, "w"),
+    ]
+    t = spark.createDataFrame(
+        rows, "model_id string, subj string, pred string, obj string"
+    )
+    out = {(r["model_id"], r["node"]): r["level"]
+           for r in dag_levels(t, max_levels=8).collect()}
+    assert out[("m1", "a")] == 0
+    assert out[("m1", "b")] == 1 and out[("m1", "c")] == 1
+    assert out[("m1", "e")] == 1 and out[("m1", "f")] == 2
+    assert out[("m1", "d")] == 3  # longest path wins, not min-hop
+    assert out[("m2", "r")] == 0
+    for n in ("x", "y", "z", "w"):
+        assert out[("m2", n)] == -1, n
+    # non-causal predicates are ignored entirely
+    t2 = t.withColumn("pred", F.lit("https://example.org/not_causal"))
+    assert dag_levels(t2).count() == 0
