@@ -1341,6 +1341,19 @@ def q_kg_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RP.dag_levels(_kg(spark)[0], max_levels=8)
 
 
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of each model's undirected structural graph
+    (reports.kcore, every pred but 'type'): iterative degree peel,
+    bounded rounds; oracle = the peel unrolled in SQL."""
+    return RP.kcore(_kg(spark)[0], k=2, max_rounds=8)
+
+
+def q_kg_term_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-model term co-annotation pairs (reports.term_cooccurrence),
+    min_support=2: the 'terms that travel together' census."""
+    return RP.term_cooccurrence(_kg(spark)[0], min_support=2)
+
+
 def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style one-pass column profile of the orders table
     (relational.profile_columns): exact NDV + null census + min/max per
@@ -1501,6 +1514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_time_travel": q_kg_time_travel,
         "kg_dag_levels": q_kg_dag_levels,
         "data_profile": q_data_profile,
+        "kg_kcore": q_kg_kcore,
+        "kg_term_cooccur": q_kg_term_cooccur,
     }
 
 
@@ -4118,6 +4133,55 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["kg_dag_levels"] = _dag_levels_sql(tri, rp_causal, rounds=8)
+
+    # k-core: the degree peel unrolled (fixed point <= 8 rounds on this
+    # corpus; Spark early-exits at the fixed point, so extra unrolled
+    # rounds are identity)
+    def _kcore_sql(tri_path: str, k: int, rounds: int) -> str:
+        ctes = [
+            f"""e0 AS MATERIALIZED (
+              SELECT model_id, least(subj, obj) AS a,
+                     greatest(subj, obj) AS b
+              FROM '{tri_path}'
+              WHERE pred <> 'type' AND subj <> obj
+              GROUP BY 1, 2, 3
+            )"""
+        ]
+        for r in range(1, rounds + 1):
+            p = r - 1
+            ctes.append(f"""d{r} AS (
+              SELECT model_id, node, count(*) AS deg FROM (
+                SELECT model_id, a AS node FROM e{p}
+                UNION ALL SELECT model_id, b FROM e{p}
+              ) GROUP BY 1, 2
+            )""")
+            ctes.append(f"""e{r} AS MATERIALIZED (
+              SELECT e.* FROM e{p} e
+              JOIN d{r} da ON da.model_id = e.model_id AND da.node = e.a
+                          AND da.deg >= {k}
+              JOIN d{r} db ON db.model_id = e.model_id AND db.node = e.b
+                          AND db.deg >= {k}
+            )""")
+        return f"""
+            WITH {', '.join(ctes)}
+            SELECT model_id, node, count(*) AS core_degree FROM (
+              SELECT model_id, a AS node FROM e{rounds}
+              UNION ALL SELECT model_id, b FROM e{rounds}
+            ) GROUP BY 1, 2 HAVING count(*) >= {k}
+        """
+
+    sql["kg_kcore"] = _kcore_sql(tri, k=2, rounds=8)
+    sql["kg_term_cooccur"] = f"""
+        WITH terms AS (
+          SELECT model_id, obj AS term FROM '{tri}'
+          WHERE pred = 'type' GROUP BY 1, 2
+        )
+        SELECT x.term AS term_a, y.term AS term_b,
+               count(DISTINCT x.model_id) AS n_models
+        FROM terms x JOIN terms y
+          ON x.model_id = y.model_id AND x.term < y.term
+        GROUP BY 1, 2 HAVING count(DISTINCT x.model_id) >= 2
+    """
     # one-pass column profile: the oracle is the per-column UNION ALL the
     # Spark stack pivot is equivalent to
     sql["data_profile"] = " UNION ALL ".join(

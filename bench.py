@@ -173,6 +173,12 @@ def main() -> None:
         "kg_pagerank",
         # count-min heavy hitters over the token stream
         "sketch_cms",
+        # round-4 late additions: HLL registers (one bounded groupBy
+        # chain), cross-doc boilerplate census (two chunk-hash
+        # shuffles), epoch shuffle (bucket window + broadcast offsets),
+        # one-pass column profile, causal-DAG layering (iterative peel)
+        "sketch_hll", "text_boilerplate", "data_epoch", "data_profile",
+        "kg_dag_levels",
     ]
     qs = E.queries()
     for name in heads:

@@ -776,3 +776,116 @@ def dag_levels(t: DataFrame, max_levels: int = 8) -> DataFrame:
         "model_id", "node",
         F.coalesce(F.col("level"), F.lit(-1)).cast("int").alias("level"),
     )
+
+
+def kcore(
+    t: DataFrame,
+    k: int = 2,
+    max_rounds: int = 8,
+    preds: list[str] | None = None,
+) -> DataFrame:
+    """The k-core of each model's undirected STRUCTURAL graph — the
+    maximal subgraph where every node keeps >= k neighbors (Seidman
+    1983, public method): iteratively peel nodes of degree < k until a
+    fixed point. The 2-core is the pathway's feedback/redundancy
+    skeleton — everything outside it is tree-like periphery whose
+    causal order the dag-levels view already explains.
+
+    `preds` selects the edge family; default = every predicate except
+    'type' (class assertions are node attributes, not structure — a
+    popular GO term would otherwise weld unrelated reactions into one
+    fake core). Pass CAUSAL_FAMILY for the causal-only skeleton.
+
+    Returns (model_id, node, core_degree) for the surviving nodes,
+    core_degree = the node's degree inside the k-core.
+
+    Scale shape: each peel round is one (model_id, node)-keyed degree
+    groupBy + one semi-join of edges against surviving endpoints —
+    both partial-aggregated, no cross-model key. Rounds are bounded by
+    `max_rounds` with a 1-row early-exit probe; the surviving edge set
+    shrinks monotonically and is localCheckpointed per round (reliable
+    checkpoint() on a cluster)."""
+    cond = (
+        F.col("pred").isin(preds) if preds is not None
+        else (F.col("pred") != "type")
+    )
+    und = (
+        t.filter(cond)
+        .select("model_id", F.col("subj").alias("a"),
+                F.col("obj").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    edges = (
+        und.select("model_id", F.least("a", "b").alias("a"),
+                   F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = (
+            edges.select("model_id", F.col("a").alias("node"))
+            .unionByName(edges.select("model_id", F.col("b").alias("node")))
+            .groupBy("model_id", "node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("model_id", "node")
+        nxt = (
+            edges.join(
+                keep.withColumnRenamed("node", "a"), ["model_id", "a"],
+                "left_semi",
+            )
+            .join(
+                keep.withColumnRenamed("node", "b"), ["model_id", "b"],
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == edges.count():
+            edges = nxt
+            break
+        edges = nxt
+    return (
+        edges.select("model_id", F.col("a").alias("node"))
+        .unionByName(edges.select("model_id", F.col("b").alias("node")))
+        .groupBy("model_id", "node")
+        .agg(F.count("*").alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )
+
+
+def term_cooccurrence(t: DataFrame, min_support: int = 1) -> DataFrame:
+    """Ontology-term co-annotation affinity: for every unordered pair of
+    classes typed into the same model, in how many models they co-occur
+    — the cross-model "terms that travel together" census behind
+    term-similarity and module detection (the pairwise refinement of
+    Manuscript.buildVenn's per-dimension sets, Manuscript.java:365-436).
+
+    Returns (term_a, term_b, n_models), term_a < term_b,
+    n_models >= min_support.
+
+    Scale shape: one distinct projection to (model_id, term), then a
+    self-join keyed by model_id — bounded by the per-model term count
+    (tens), the same justification as the triangle census, never a
+    corpus-sized key — and one groupBy on the pair. min_support filters
+    AFTER the count (it must see all models), but the pair domain is
+    term-vocabulary-bounded, not corpus-bounded."""
+    terms = (
+        t.filter(F.col("pred") == "type")
+        .select("model_id", F.col("obj").alias("term"))
+        .distinct()
+    )
+    pairs = (
+        terms.alias("x")
+        .join(terms.alias("y"), "model_id")
+        .filter(F.col("x.term") < F.col("y.term"))
+        .select(
+            F.col("x.term").alias("term_a"),
+            F.col("y.term").alias("term_b"),
+            "model_id",
+        )
+    )
+    return (
+        pairs.groupBy("term_a", "term_b")
+        .agg(F.count_distinct("model_id").alias("n_models"))
+        .filter(F.col("n_models") >= min_support)
+    )

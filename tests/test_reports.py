@@ -368,3 +368,46 @@ def test_dag_levels_layering_and_cycle_guard(spark):
     # non-causal predicates are ignored entirely
     t2 = t.withColumn("pred", F.lit("https://example.org/not_causal"))
     assert dag_levels(t2).count() == 0
+
+
+def test_kcore_cascading_peel_and_cooccur(spark):
+    from pathways2go_spark.reports import CAUSAL_FAMILY, kcore, term_cooccurrence
+
+    pred = CAUSAL_FAMILY[0]
+    # triangle a-b-c (the 2-core) with a pendant chain c->d->e->f:
+    # peeling f exposes e, then d — the fixed point needs MULTIPLE
+    # rounds, which is what distinguishes k-core from a one-shot
+    # degree filter
+    rows = [
+        ("m", "a", pred, "b"), ("m", "b", pred, "c"),
+        ("m", "c", pred, "a"), ("m", "c", pred, "d"),
+        ("m", "d", pred, "e"), ("m", "e", pred, "f"),
+    ]
+    t = spark.createDataFrame(
+        rows, "model_id string, subj string, pred string, obj string"
+    )
+    core = {r["node"]: r["core_degree"] for r in kcore(t, k=2).collect()}
+    assert set(core) == {"a", "b", "c"}
+    assert all(v == 2 for v in core.values())
+    # one-shot degree filter would have kept d and e (degree 2 before
+    # the cascade) — assert the cascade actually removed them
+    assert "d" not in core and "e" not in core
+    # 3-core of a triangle is empty
+    assert kcore(t, k=3).count() == 0
+    # co-occurrence: terms typed into the same model pair up once,
+    # cross-model support counts models not occurrences
+    ty = spark.createDataFrame(
+        [
+            ("m1", "n1", "type", "GO_A"), ("m1", "n2", "type", "GO_B"),
+            ("m1", "n3", "type", "GO_B"),
+            ("m2", "n4", "type", "GO_A"), ("m2", "n5", "type", "GO_B"),
+            ("m3", "n6", "type", "GO_A"), ("m3", "n7", "type", "GO_C"),
+        ],
+        "model_id string, subj string, pred string, obj string",
+    )
+    co = {(r["term_a"], r["term_b"]): r["n_models"]
+          for r in term_cooccurrence(ty, min_support=1).collect()}
+    assert co[("GO_A", "GO_B")] == 2  # m1 (deduped) + m2
+    assert co[("GO_A", "GO_C")] == 1
+    assert ("GO_B", "GO_C") not in co
+    assert term_cooccurrence(ty, min_support=2).count() == 1
