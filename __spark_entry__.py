@@ -1238,6 +1238,79 @@ def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue per nation for one
+    region and year where the customer and supplier share the nation —
+    the classic six-table snowflake join.
+
+    Plan shape at scale: region -> nation is a 5x25-row broadcast chain;
+    customer and supplier each pre-join their (broadcast) nation slice
+    so only keys + nationkey ship; the two FACT-side joins key on
+    l_suppkey and (l_orderkey, nationkey) respectively — lineitem is
+    never shuffled on anything but its join keys, and the year filter
+    sits on the orders scan for parquet min/max pruning.
+
+    Float determinism: revenue terms are fixed-pointed PER ROW
+    (floor(price * (1-disc) * 1e4 + 0.5), one IEEE expression both
+    engines evaluate identically) and summed as int64 — an
+    order-independent exact sum, unlike a double sum over thousands of
+    rows — then divided once at the end."""
+    r = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    n = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    s = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey")
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    rev_i = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(1e4)
+        + F.lit(0.5)
+    ).cast("long")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", rev_i.alias("rev_i")
+    )
+    oc = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey", "n_name"
+    )
+    ls = li.join(s, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "l_orderkey", "s_nationkey", "rev_i"
+    )
+    return (
+        ls.join(
+            oc,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum("rev_i") / F.lit(1e4)).alias("revenue"),
+        )
+    )
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day x event_type count matrix via native pivot. The pivot
     value list is EXPLICIT — without it Spark runs an extra
@@ -1516,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_profile": q_data_profile,
         "kg_kcore": q_kg_kcore,
         "kg_term_cooccur": q_kg_term_cooccur,
+        "tpch_local_supplier": q_tpch_local_supplier,
     }
 
 
@@ -4171,6 +4245,24 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["kg_kcore"] = _kcore_sql(tri, k=2, rounds=8)
+    sql["tpch_local_supplier"] = """
+        WITH n AS (
+          SELECT n_nationkey, n_name FROM nation
+          JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        )
+        SELECT n.n_name, count(*) AS n_items,
+               sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e4
+                              + 0.5) AS BIGINT)) / 1e4 AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+                     AND o_orderdate >= '1996-01-01'
+                     AND o_orderdate < '1997-01-01'
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND s_nationkey = c_nationkey
+        JOIN n        ON c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """
     sql["kg_term_cooccur"] = f"""
         WITH terms AS (
           SELECT model_id, obj AS term FROM '{tri}'

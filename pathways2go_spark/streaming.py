@@ -290,3 +290,50 @@ def start_windowed_metrics_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_snapshot_stream(
+    spark: SparkSession,
+    docs_path: str,
+    dims: Dims,
+    store_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+):
+    """documents dir -> streaming KG construction -> the Iceberg-style
+    SNAPSHOT STORE (sinks.append_snapshot): micro-batch b commits as
+    snapshot b+1 with parent b, so the growing stream IS a version
+    history — `read_as_of(spark, store, n)` time-travels to the corpus
+    as of micro-batch n-1, and `snapshot_log` is the stream's audit
+    trail.
+
+    Exactly-once end to end from two independent idempotence layers:
+    Structured Streaming replays an uncommitted batch after a crash
+    (checkpointLocation), and append_snapshot's manifest-last commit
+    makes the replay a no-op when the snapshot already landed —
+    the same batch id can never produce two snapshots. Returns the
+    StreamingQuery."""
+    stream = read_document_stream(spark, docs_path, max_files_per_trigger)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from .sinks import append_snapshot
+
+        res = run_pipeline(spark, batch_df, dims)
+        triples = res.triples.select(
+            "model_id", "subj", "pred", "obj"
+        ).distinct()
+        append_snapshot(
+            triples,
+            store_path,
+            snapshot_id=batch_id + 1,
+            parent=batch_id if batch_id > 0 else None,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -258,3 +258,67 @@ def test_windowed_metrics_watermark_drops_late(spark, tmp_path_factory):
     rows = spark.read.parquet(out).collect()
     keys = [(r.window_start, r.event_type) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_snapshot_stream_versions_and_exactly_once(
+    spark, documents, fixture_paths, tmp_path_factory
+):
+    """Streaming into the snapshot store: each micro-batch commits one
+    snapshot; restart replays produce no duplicates; time travel to
+    snapshot 1 sees exactly the first wave's triples."""
+    from pathways2go_spark.sinks import read_as_of, snapshot_log
+    from pathways2go_spark.streaming import start_snapshot_stream
+
+    base = str(tmp_path_factory.mktemp("snap_stream"))
+    docs_dir = os.path.join(base, "docs")
+    store = os.path.join(base, "store")
+    ck = os.path.join(base, "ck")
+    os.makedirs(docs_dir)
+
+    ids = sorted(r.doc_id for r in documents.select("doc_id").collect())
+    half = ids[len(ids) // 2]
+    wave_a = documents.filter(documents.doc_id <= half)
+    wave_b = documents.filter(documents.doc_id > half)
+    wave_a.coalesce(1).write.parquet(os.path.join(docs_dir, "wave=a"))
+
+    dims = load_dims(spark, os.path.dirname(fixture_paths["documents"]))
+    q = start_snapshot_stream(
+        spark, f"{docs_dir}/wave=*", dims, store, ck, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    log1 = snapshot_log(spark, store).collect()
+    assert [r["snapshot_id"] for r in log1] == [1]
+
+    # second wave arrives; availableNow restart picks it up as batch 1
+    wave_b.coalesce(1).write.parquet(os.path.join(docs_dir, "wave=b"))
+    q = start_snapshot_stream(
+        spark, f"{docs_dir}/wave=*", dims, store, ck, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    log2 = {r["snapshot_id"]: r for r in snapshot_log(spark, store).collect()}
+    assert sorted(log2) == [1, 2] and log2[2]["parent"] == 1
+
+    # time travel: AS OF 1 == the batch pipeline over wave A alone
+    asof1 = read_as_of(spark, store, 1)
+    batch_a = (
+        run_pipeline(spark, wave_a, dims)
+        .triples.select("model_id", "subj", "pred", "obj").distinct()
+    )
+    pr = precision_recall(asof1, batch_a)
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
+    # full store == batch pipeline over the whole corpus
+    full = read_as_of(spark, store, 2)
+    batch_all = (
+        run_pipeline(spark, documents, dims)
+        .triples.select("model_id", "subj", "pred", "obj").distinct()
+    )
+    pr2 = precision_recall(full, batch_all)
+    assert pr2["precision"] == 1.0 and pr2["recall"] == 1.0, pr2
+    # restart with nothing new: no extra snapshots (exactly-once)
+    q = start_snapshot_stream(
+        spark, f"{docs_dir}/wave=*", dims, store, ck, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    assert sorted(
+        r["snapshot_id"] for r in snapshot_log(spark, store).collect()
+    ) == [1, 2]
