@@ -1414,6 +1414,78 @@ def q_kg_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RP.dag_levels(_kg(spark)[0], max_levels=8)
 
 
+def q_kg_snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot store's version-history metadata view
+    (sinks.snapshot_log) over the same deterministic three-way split as
+    kg_time_travel: (snapshot_id, parent, n_rows, cum_rows). Oracle =
+    the nibble-range census of the golden triples."""
+    import shutil
+
+    from pathways2go_spark.sinks import append_snapshot, snapshot_log
+
+    shutil.rmtree(KG_SNAP_STORE, ignore_errors=True)
+    tri = _kg(spark)[0]
+    nib = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "model_id", "subj", "pred", "obj")), 1, 1
+        ),
+        16,
+        10,
+    ).cast("int")
+    t = tri.withColumn("__n", nib)
+    append_snapshot(t.filter(F.col("__n") <= 5).drop("__n"),
+                    KG_SNAP_STORE, 1)
+    append_snapshot(
+        t.filter((F.col("__n") > 5) & (F.col("__n") <= 10)).drop("__n"),
+        KG_SNAP_STORE, 2, parent=1,
+    )
+    append_snapshot(t.filter(F.col("__n") > 10).drop("__n"),
+                    KG_SNAP_STORE, 3, parent=2)
+    # Re-emit the (3-row) log as plan literals: a driver-local relation
+    # with nullable ints round-trips to pandas as object/float dtype and
+    # breaks cross-engine value comparison; literals + casts keep every
+    # column firmly integral (null root parent -> -1)
+    rows = sorted(
+        (r["snapshot_id"], r["parent"], r["n_rows"], r["cum_rows"])
+        for r in snapshot_log(spark, KG_SNAP_STORE).collect()
+    )
+    parts = ", ".join(
+        f"{sid}, {par if par is not None else -1}, {nr}L, {cum}L"
+        for sid, par, nr, cum in rows
+    )
+    return spark.range(1).selectExpr(
+        f"stack({len(rows)}, {parts}) AS "
+        "(snapshot_id, parent, n_rows, cum_rows)"
+    )
+
+
+def q_kg_term_specificity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-used-term ontology specificity census: every class typed into
+    a model, its usage count (distinct typed nodes corpus-wide) and its
+    ancestor-set size from the subclass-closure dim — the 'how deep in
+    the ontology do annotations sit' quality view (specificity = bigger
+    closure = more specific term). Broadcast join against the bounded
+    ancestors dim; one groupBy on the term."""
+    dims = load_dims(spark, KG_FIXTURE_DIR)
+    usage = (
+        _kg(spark)[0]
+        .filter(F.col("pred") == "type")
+        .groupBy(F.col("obj").alias("term"))
+        .agg(
+            F.count_distinct("model_id", "subj").alias("n_nodes"),
+            F.count_distinct("model_id").alias("n_models"),
+        )
+    )
+    anc = dims.onto_ancestors.groupBy(
+        F.col("class_iri").alias("term")
+    ).agg(F.count("*").alias("n_ancestors"))
+    return usage.join(F.broadcast(anc), "term", "left").select(
+        "term", "n_nodes", "n_models",
+        F.coalesce(F.col("n_ancestors"), F.lit(0)).cast("long")
+        .alias("n_ancestors"),
+    )
+
+
 def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of each model's undirected structural graph
     (reports.kcore, every pred but 'type'): iterative degree peel,
@@ -1590,6 +1662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "kg_term_cooccur": q_kg_term_cooccur,
         "tpch_local_supplier": q_tpch_local_supplier,
+        "kg_snapshot_log": q_kg_snapshot_log,
+        "kg_term_specificity": q_kg_term_specificity,
     }
 
 
@@ -4245,6 +4319,40 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["kg_kcore"] = _kcore_sql(tri, k=2, rounds=8)
+    sql["kg_snapshot_log"] = f"""
+        WITH t AS (
+          SELECT ('0x' || substr(md5(model_id || '|' || subj || '|' ||
+                                     pred || '|' || obj), 1, 1))::BIGINT
+                   AS n
+          FROM '{tri}'
+        ), c AS (
+          SELECT CASE WHEN n <= 5 THEN 1 WHEN n <= 10 THEN 2 ELSE 3 END
+                   AS snapshot_id,
+                 count(*) AS n_rows
+          FROM t GROUP BY 1
+        )
+        SELECT CAST(snapshot_id AS INT) AS snapshot_id,
+               CAST(CASE WHEN snapshot_id > 1 THEN snapshot_id - 1
+                         ELSE -1 END AS INT) AS parent,
+               n_rows,
+               CAST(sum(n_rows) OVER (ORDER BY snapshot_id) AS BIGINT)
+                 AS cum_rows
+        FROM c
+    """
+    sql["kg_term_specificity"] = f"""
+        WITH usage AS (
+          SELECT obj AS term,
+                 count(DISTINCT model_id || chr(1) || subj) AS n_nodes,
+                 count(DISTINCT model_id) AS n_models
+          FROM '{tri}' WHERE pred = 'type' GROUP BY 1
+        ), anc AS (
+          SELECT class_iri AS term, count(*) AS n_ancestors
+          FROM '{anc}' GROUP BY 1
+        )
+        SELECT u.term, u.n_nodes, u.n_models,
+               CAST(coalesce(a.n_ancestors, 0) AS BIGINT) AS n_ancestors
+        FROM usage u LEFT JOIN anc a ON u.term = a.term
+    """
     sql["tpch_local_supplier"] = """
         WITH n AS (
           SELECT n_nationkey, n_name FROM nation
