@@ -1486,6 +1486,17 @@ def q_kg_term_specificity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic every-2nd frame selection over the fixture corpus's
+    media table (multimodal.sample_frames): windowed rank per doc — the
+    video frame-sampling plumbing, value-exact vs the SQL rank mirror."""
+    media = MM.media_table(_docs(spark))
+    return MM.sample_frames(media, every_n=2).select(
+        "doc_id", "media_ref", "caption", "media_kind",
+        F.length("payload").alias("n_bytes"),
+    )
+
+
 def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of each model's undirected structural graph
     (reports.kcore, every pred but 'type'): iterative degree peel,
@@ -1664,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_local_supplier": q_tpch_local_supplier,
         "kg_snapshot_log": q_kg_snapshot_log,
         "kg_term_specificity": q_kg_term_specificity,
+        "media_frame_sample": q_media_frame_sample,
     }
 
 
@@ -4352,6 +4364,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT u.term, u.n_nodes, u.n_models,
                CAST(coalesce(a.n_ancestors, 0) AS BIGINT) AS n_ancestors
         FROM usage u LEFT JOIN anc a ON u.term = a.term
+    """
+    sql["media_frame_sample"] = f"""
+        WITH m AS (
+          SELECT doc_id, s.media_ref AS media_ref, s.text AS caption,
+                 split_part(s.media_ref, '://', 1) AS media_kind,
+                 length(s.media_ref) AS n_bytes
+          FROM (SELECT doc_id, unnest(spans) AS s FROM '{docs}')
+          WHERE s.media_ref <> ''
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY media_ref) AS rank
+          FROM m
+        )
+        SELECT doc_id, media_ref, caption, media_kind,
+               CAST(n_bytes AS INT) AS n_bytes
+        FROM r WHERE (rank - 1) % 2 = 0
     """
     sql["tpch_local_supplier"] = """
         WITH n AS (

@@ -379,3 +379,64 @@ def read_as_of(spark: SparkSession, path: str, snapshot_id: int) -> DataFrame:
         chain.append(m["data_dir"])
         cur = m["parent"]
     return spark.read.parquet(*sorted(chain))
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    target_rows: int,
+    max_snapshot: int | None = None,
+) -> dict:
+    """Iceberg-style `rewrite_data_files`: physically merge the ancestor
+    chain's many small snapshot directories into one size-balanced data
+    layout WITHOUT changing logical content — the small-files compaction
+    every streaming-ingest table eventually needs (start_snapshot_stream
+    commits one snapshot per micro-batch; a month of 1-minute batches is
+    43k tiny directories and a split-planning tax on every read).
+
+    Writes the union of snapshots <= `max_snapshot` (default: the chain
+    head) as data dirs `data/compact=<head>/` repartitioned to
+    ceil(total_rows / target_rows) files, then commits a manifest for
+    snapshot id `head` with `"compacted": true` and `"replaces": [ids]`.
+    read_as_of resolves a compacted manifest to its single data dir —
+    the ancestor chain is cut there, so time travel to ids <= head keeps
+    working only through their own (still present) manifests; nothing is
+    deleted (Iceberg's expire_snapshots is a separate, destructive
+    decision).
+
+    Crash-safe like append_snapshot: data first, manifest last; a re-run
+    with the same head is a no-op. Returns the new manifest."""
+    ms = _read_manifests(spark, path)
+    if not ms:
+        raise ValueError(f"no snapshots under {path}")
+    chain = [m for m in ms
+             if max_snapshot is None or m["snapshot_id"] <= max_snapshot]
+    head = chain[-1]["snapshot_id"]
+    mp = _manifest_path(path, head)
+    old = json.loads(_fs_read_text(spark, mp))
+    if old.get("compacted"):
+        return old
+    df = spark.read.parquet(*sorted(m["data_dir"] for m in chain))
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // int(target_rows)))
+    dd = f"{path.rstrip('/')}/data/compact={head}"
+    df.repartition(n_files).write.mode("overwrite").parquet(dd)
+    manifest = {
+        "snapshot_id": int(head),
+        "parent": None,
+        "n_rows": int(n_rows),
+        "data_dir": dd,
+        "compacted": True,
+        "replaces": [int(m["snapshot_id"]) for m in chain],
+    }
+    _fs_write_text(spark, mp, json.dumps(manifest, sort_keys=True))
+    return manifest
+
+
+def _fs_read_text(spark: SparkSession, path_str: str) -> str:
+    fs, p = _hadoop_fs(spark, path_str)
+    inp = fs.open(p)
+    try:
+        return bytes(inp.readAllBytes()).decode("utf-8")
+    finally:
+        inp.close()

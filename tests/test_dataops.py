@@ -348,3 +348,29 @@ def test_epoch_order_is_bucket_major_and_epoch_distinct(spark):
     # partition-count invariance (failure determinism)
     out4 = epoch_order(docs.repartition(7), epochs=2)
     assert sorted(map(tuple, out4.collect())) == sorted(map(tuple, rows))
+
+
+def test_bench_heads_are_registered_queries():
+    """bench.py's head list must stay a subset of queries() — a renamed
+    or dropped query would otherwise break the driver's BENCH run."""
+    import ast
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    src = open(os.path.join("/root/repo", "bench.py")).read()
+    tree = ast.parse(src)
+    heads = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if getattr(t, "id", None) == "heads":
+                    heads = [
+                        c.value for c in node.value.elts
+                        if isinstance(c, ast.Constant)
+                    ]
+    assert heads, "bench.py heads list not found"
+    missing = [h for h in heads if h not in E.queries()]
+    assert not missing, missing

@@ -209,3 +209,38 @@ def test_snapshot_log_time_travel_and_resume(spark, tmp_path):
         pass
     append_snapshot(c, store, 3, parent=2)
     assert read_as_of(spark, store, 3).count() == 27
+
+
+def test_compact_store_preserves_content_and_resumes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pathways2go_spark.sinks import (
+        append_snapshot,
+        compact_store,
+        read_as_of,
+    )
+
+    store = str(tmp_path / "c")
+    for i in range(1, 5):
+        append_snapshot(
+            spark.range((i - 1) * 10, i * 10).select(F.col("id").alias("v")),
+            store, i, parent=None if i == 1 else i - 1,
+        )
+    before = sorted(r["v"] for r in read_as_of(spark, store, 4).collect())
+    m = compact_store(spark, store, target_rows=15)
+    assert m["compacted"] and m["replaces"] == [1, 2, 3, 4]
+    assert m["n_rows"] == 40
+    after = sorted(r["v"] for r in read_as_of(spark, store, 4).collect())
+    assert after == before == list(range(40))
+    # the compacted read resolves to ONE data dir (chain cut), and the
+    # file count matches the target sizing (ceil(40/15) = 3)
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(store, "data", "compact=4", "*.parquet"))
+    assert len(files) == 3
+    # earlier snapshots still time-travel through their own manifests
+    assert sorted(r["v"] for r in read_as_of(spark, store, 2).collect()) == list(range(20))
+    # idempotent re-run
+    m2 = compact_store(spark, store, target_rows=15)
+    assert m2 == m
