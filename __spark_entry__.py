@@ -1497,6 +1497,95 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_term_semsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closure-Jaccard semantic similarity for co-annotated term pairs
+    (reports.term_semsim): the corpus contributes one distinct
+    (model_id, term) shuffle; the pair/closure math is ontology-bounded
+    and broadcast. Fixed-point jaccard, bit-identical to the oracle."""
+    dims = load_dims(spark, KG_FIXTURE_DIR)
+    return RP.term_semsim(_kg(spark)[0], dims.onto_ancestors, min_support=2)
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the events stream
+    (relational.cohort_retention): first-active-day cohorts x day
+    offset, distinct-user counts."""
+    from pathways2go_spark.relational import cohort_retention
+
+    return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG sliding-window chunking (textops.chunk_documents, size=120
+    stride=80): shuffle-free posexplode + substring, one md5-top-32
+    fingerprint per chunk so the oracle compares content, not just
+    counts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ch = TX.chunk_documents(docs, "text", size=120, stride=80)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_ix").cast("int").alias("chunk_ix"),
+        F.length("chunk").cast("int").alias("n_chars"),
+        F.conv(F.substring(F.md5("chunk"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("chunk_hash"),
+    )
+
+
+def q_tpch_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item revenue: top 20 customers by
+    revenue lost to returns in one quarter.
+
+    Plan shape at scale: lineitem is filtered on l_returnflag at the
+    scan; the fact-fact join keys on l_orderkey (lineitem's natural
+    key), THEN aggregates to custkey before the (much smaller) customer
+    dim join; nation broadcasts. Revenue is fixed-pointed per
+    row and summed as int64 (order-independent exact sum), divided once
+    at the end. Ties broken on c_custkey so LIMIT 20 is deterministic."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    rev_i = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4 + 0.5
+    ).cast("long")
+    l = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", rev_i.alias("rev_i"))
+    )
+    per_cust = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_i").alias("rev_sum"))
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_sum") / F.lit(1e4)).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of each model's undirected structural graph
     (reports.kcore, every pred but 'type'): iterative degree peel,
@@ -1676,6 +1765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_log": q_kg_snapshot_log,
         "kg_term_specificity": q_kg_term_specificity,
         "media_frame_sample": q_media_frame_sample,
+        "kg_term_semsim": q_kg_term_semsim,
+        "events_retention": q_events_retention,
+        "text_chunks": q_text_chunks,
+        "tpch_returned_revenue": q_tpch_returned_revenue,
     }
 
 
@@ -4380,6 +4473,93 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, media_ref, caption, media_kind,
                CAST(n_bytes AS INT) AS n_bytes
         FROM r WHERE (rank - 1) % 2 = 0
+    """
+    sql["kg_term_semsim"] = f"""
+        WITH terms AS (
+          SELECT DISTINCT model_id, obj AS term FROM '{tri}'
+          WHERE pred = 'type'
+        ), pairs AS (
+          SELECT x.term AS term_a, y.term AS term_b,
+                 count(DISTINCT x.model_id) AS n_models
+          FROM terms x JOIN terms y
+            ON x.model_id = y.model_id AND x.term < y.term
+          GROUP BY 1, 2 HAVING count(DISTINCT x.model_id) >= 2
+        ), a AS (
+          SELECT class_iri AS term, ancestor_iri AS anc FROM '{anc}'
+        ), sizes AS (
+          SELECT term, count(*) AS n FROM a GROUP BY 1
+        ), common AS (
+          SELECT p.term_a, p.term_b, count(*) AS n_common
+          FROM pairs p
+          JOIN a xa ON xa.term = p.term_a
+          JOIN a xb ON xb.term = p.term_b AND xb.anc = xa.anc
+          GROUP BY 1, 2
+        )
+        SELECT p.term_a, p.term_b, p.n_models,
+               CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+               CAST(coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                    - coalesce(c.n_common, 0) AS BIGINT) AS n_union,
+               CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                         - coalesce(c.n_common, 0) > 0
+                    THEN floor(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+                               / (coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                                  - coalesce(c.n_common, 0))
+                               * 1e6 + 0.5) / 1e6
+                    ELSE 0.0 END AS jaccard
+        FROM pairs p
+        LEFT JOIN common c ON c.term_a = p.term_a AND c.term_b = p.term_b
+        LEFT JOIN sizes sa ON sa.term = p.term_a
+        LEFT JOIN sizes sb ON sb.term = p.term_b
+    """
+    sql["events_retention"] = """
+        WITH days AS (
+          SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
+          FROM events
+        ), first AS (
+          SELECT u, min(day) AS cohort FROM days GROUP BY 1
+        )
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+               CAST(date_diff('day', f.cohort, d.day) AS INT) AS day_offset,
+               count(*) AS n_users
+        FROM days d JOIN first f ON d.u = f.u
+        GROUP BY 1, 2
+    """
+    sql["text_chunks"] = """
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_ix,
+               CAST(length(substr(text, CAST(i AS INT) * 80 + 1, 120))
+                    AS INT) AS n_chars,
+               CAST(('0x' || substr(
+                 md5(substr(text, CAST(i AS INT) * 80 + 1, 120)), 1, 8
+               )) AS BIGINT) AS chunk_hash
+        FROM documents,
+             unnest(generate_series(
+               0, CAST(floor((length(text) - 1) / 80) AS BIGINT)
+             )) AS t(i)
+        WHERE length(text) > 0
+    """
+    sql["tpch_returned_revenue"] = """
+        WITH l AS (
+          SELECT l_orderkey,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 1e4
+                            + 0.5) AS BIGINT) AS rev_i
+          FROM lineitem WHERE l_returnflag = 'R'
+        ), o AS (
+          SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        ), pc AS (
+          SELECT o.o_custkey, sum(l.rev_i) AS rev_sum
+          FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1
+        )
+        SELECT c.c_custkey, c.c_name,
+               CAST(pc.rev_sum AS DOUBLE) / 1e4 AS revenue,
+               c.c_acctbal, n.n_name
+        FROM pc
+        JOIN customer c ON pc.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
     """
     sql["tpch_local_supplier"] = """
         WITH n AS (

@@ -649,3 +649,39 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {parts}) AS "
         "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+def cohort_retention(
+    events: DataFrame, ts: str = "ts", user: str = "user_id"
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-active day
+    (the cohort), counted on each later day they return — the product-
+    analytics complement of ordered_funnel (which orders steps WITHIN a
+    user; this tracks users ACROSS days).
+
+    Returns (cohort_day:string yyyy-MM-dd, day_offset:int, n_users);
+    day_offset 0 row is the cohort's size.
+
+    Scale shape: the raw event stream first collapses to distinct
+    (user, day) pairs — one map-side-combinable shuffle that removes the
+    per-user event fan (a user with 1e6 events contributes <= days
+    rows). The min-day cohort agg and the back-join are both keyed on
+    user (no new shuffle after the distinct re-keys), and the final agg
+    is on the bounded (cohort_day, offset) grid. count(*) not
+    count_distinct in the final agg: (user, day) pairs are already
+    unique, so the expensive distinct aggregation buffer is avoided."""
+    days = (
+        events.select(
+            F.col(user).alias("u"), F.to_date(F.col(ts)).alias("day")
+        )
+        .distinct()
+    )
+    first = days.groupBy("u").agg(F.min("day").alias("cohort"))
+    return (
+        days.join(first, "u")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort").cast("int").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

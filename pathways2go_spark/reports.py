@@ -889,3 +889,91 @@ def term_cooccurrence(t: DataFrame, min_support: int = 1) -> DataFrame:
         .agg(F.count_distinct("model_id").alias("n_models"))
         .filter(F.col("n_models") >= min_support)
     )
+
+
+def term_semsim(
+    t: DataFrame, ancestors: DataFrame, min_support: int = 1
+) -> DataFrame:
+    """Ontology-graph semantic similarity for co-annotated class pairs:
+    for every unordered pair of classes typed into the same model
+    (term_cooccurrence), the Jaccard similarity of their subclass
+    ancestor closures — the standard graph-based GO term-similarity
+    measure (Pesquita et al. 2009) over the same closure dim the typing
+    ladder consumes (reference consumes these closures via OWL
+    reasoning, GoCAM.java subclass queries).
+
+    Returns (term_a, term_b, n_models, n_common, n_union, jaccard);
+    closure sets include the class itself (the dim materializes
+    reflexive rows), so n_union >= 1 for any ontology term; terms
+    absent from the dim get empty sets and jaccard 0.
+
+    Scale shape: the corpus contributes ONLY the distinct
+    (model_id, term) projection (one shuffle, map-side combinable);
+    everything after — the pair domain, both closure joins, the size
+    dim — is bounded by the ontology vocabulary, not the corpus, and
+    the closure table broadcasts (GO+RO closures are ~1e6 rows). The
+    intersection count is two broadcast hash joins + one pair-keyed
+    groupBy, never an ancestor-keyed shuffle, so the ontology roots
+    (ancestors of everything) never become hub keys.
+
+    jaccard is fixed-pointed (floor(x*1e6+0.5)/1e6) so the one float
+    division is bit-identical across engines."""
+    pairs = term_cooccurrence(t, min_support)
+    anc = ancestors.select(
+        F.col("class_iri").alias("term"), F.col("ancestor_iri").alias("anc")
+    )
+    sizes = anc.groupBy("term").agg(F.count("*").alias("n_closure"))
+    common = (
+        pairs.select("term_a", "term_b")
+        .join(
+            F.broadcast(anc.select(F.col("term").alias("term_a"), "anc")),
+            "term_a",
+        )
+        .join(
+            F.broadcast(anc.select(F.col("term").alias("term_b"), "anc")),
+            ["term_b", "anc"],
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0)).cast("long")
+    n_union = (
+        F.coalesce(F.col("n_a"), F.lit(0))
+        + F.coalesce(F.col("n_b"), F.lit(0))
+        - n_common
+    ).cast("long")
+    jac = F.when(
+        n_union > 0,
+        F.floor(n_common.cast("double") / n_union * 1e6 + 0.5) / 1e6,
+    ).otherwise(F.lit(0.0))
+    return (
+        pairs.join(common, ["term_a", "term_b"], "left")
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("term").alias("term_a"),
+                    F.col("n_closure").alias("n_a"),
+                )
+            ),
+            "term_a",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("term").alias("term_b"),
+                    F.col("n_closure").alias("n_b"),
+                )
+            ),
+            "term_b",
+            "left",
+        )
+        .select(
+            "term_a",
+            "term_b",
+            "n_models",
+            n_common.alias("n_common"),
+            n_union.alias("n_union"),
+            jac.alias("jaccard"),
+        )
+    )

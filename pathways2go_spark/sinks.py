@@ -440,3 +440,78 @@ def _fs_read_text(spark: SparkSession, path_str: str) -> str:
         return bytes(inp.readAllBytes()).decode("utf-8")
     finally:
         inp.close()
+
+
+def expire_snapshots(spark: SparkSession, path: str, keep_from: int) -> dict:
+    """Iceberg's `expire_snapshots`: DESTRUCTIVELY drop snapshot history
+    older than `keep_from` — manifests AND their data directories — then
+    sweep data dirs no remaining manifest references (Iceberg's
+    remove_orphan_files; compaction leaves the head's pre-compact data
+    dir orphaned because compact_store rewrites the head manifest in
+    place).
+
+    Safety contract: refuses unless snapshot `keep_from` still resolves
+    AFTER expiry, i.e. its ancestor chain has been cut at or above
+    `keep_from` by a compaction — expiring history that a surviving
+    manifest still reads through would corrupt the store, so that is an
+    error, not a partial delete. Time travel to ids < keep_from raises
+    `unknown snapshot` afterwards, by design.
+
+    Returns {"removed_manifests": [...], "removed_dirs": [...]}. All FS
+    traffic goes through the Hadoop FileSystem API (local/HDFS/S3
+    alike); driver-side, O(snapshots) operations."""
+    ms = _read_manifests(spark, path)
+    by_id = {m["snapshot_id"]: m for m in ms}
+    if keep_from not in by_id:
+        raise ValueError(f"unknown snapshot {keep_from} under {path}")
+    # every surviving snapshot's chain must stay resolvable
+    needed: set[int] = set()
+    for m in ms:
+        if m["snapshot_id"] < keep_from:
+            continue
+        cur: int | None = m["snapshot_id"]
+        while cur is not None:
+            if cur < keep_from:
+                raise ValueError(
+                    f"snapshot {m['snapshot_id']} still reads through "
+                    f"{cur} < keep_from={keep_from}; compact first "
+                    "(compact_store) so the chain is cut"
+                )
+            needed.add(cur)
+            cur = by_id[cur]["parent"]
+    removed_manifests, removed_dirs = [], []
+    for m in ms:
+        if m["snapshot_id"] >= keep_from:
+            continue
+        fs, dp = _hadoop_fs(spark, m["data_dir"])
+        if fs.exists(dp):
+            fs.delete(dp, True)
+            removed_dirs.append(
+                m["data_dir"].rstrip("/").rsplit("/", 1)[-1]
+            )
+        mp = _manifest_path(path, m["snapshot_id"])
+        fs, pp = _hadoop_fs(spark, mp)
+        if fs.exists(pp):
+            fs.delete(pp, False)
+            removed_manifests.append(m["snapshot_id"])
+    # orphan sweep: data dirs no surviving manifest references (every
+    # data dir — snapshot or compaction — is a direct child of
+    # {path}/data, so the basename identifies it)
+    referenced = {
+        by_id[i]["data_dir"].rstrip("/").rsplit("/", 1)[-1]
+        for i in needed
+    }
+    dd_root = f"{path.rstrip('/')}/data"
+    fs, root = _hadoop_fs(spark, dd_root)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name not in referenced:
+                fs.delete(st.getPath(), True)
+                removed_dirs.append(name)
+    return {
+        "removed_manifests": sorted(removed_manifests),
+        "removed_dirs": sorted(removed_dirs),
+    }

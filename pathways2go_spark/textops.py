@@ -470,3 +470,34 @@ def boilerplate_census(
             )
         ).alias("clean_md5"),
     )
+
+
+def chunk_documents(
+    df: DataFrame, col: str = "text", size: int = 120, stride: int = 80
+) -> DataFrame:
+    """RAG-style sliding-window chunking: overlapping fixed-size
+    character windows at `stride` spacing, chunk starts 0, stride,
+    2*stride, ... while start < length (the last window may be short).
+    Returns the input columns minus `col` plus (chunk_ix:int,
+    chunk:string).
+
+    Scale shape: pure native Column program — one posexplode over an
+    in-row `sequence`, no shuffle at all (chunking is embarrassingly
+    row-local); the substring runs inside whole-stage codegen. Chunk
+    count per row is ceil(len/stride), so output size is predictable
+    from the corpus byte count: ~len/stride rows of `size` chars each
+    (expansion factor size/stride)."""
+    n = F.length(F.col(col))
+    starts = F.sequence(
+        F.lit(0), F.floor((n - F.lit(1)) / F.lit(stride)).cast("int")
+    )
+    keep = [c for c in df.columns if c != col]
+    ex = df.filter(n > 0).select(
+        *keep,
+        F.col(col).alias("__t"),
+        F.posexplode(starts).alias("chunk_ix", "__i"),
+    )
+    chunk = F.col("__t").substr(
+        F.col("__i") * stride + F.lit(1), F.lit(size)
+    )
+    return ex.select(*keep, "chunk_ix", chunk.alias("chunk"))

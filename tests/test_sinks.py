@@ -244,3 +244,42 @@ def test_compact_store_preserves_content_and_resumes(spark, tmp_path):
     # idempotent re-run
     m2 = compact_store(spark, store, target_rows=15)
     assert m2 == m
+
+
+def test_expire_snapshots_semantics(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pathways2go_spark.sinks import (
+        append_snapshot,
+        compact_store,
+        expire_snapshots,
+        read_as_of,
+    )
+
+    store = str(tmp_path / "e")
+    for i in range(1, 5):
+        append_snapshot(
+            spark.range((i - 1) * 10, i * 10).select(F.col("id").alias("v")),
+            store, i, parent=None if i == 1 else i - 1,
+        )
+    # refuses while surviving snapshots still read through old history
+    with pytest.raises(ValueError, match="compact first"):
+        expire_snapshots(spark, store, keep_from=3)
+    compact_store(spark, store, target_rows=100)
+    res = expire_snapshots(spark, store, keep_from=4)
+    # manifests 1-3 gone; their data dirs AND the head's orphaned
+    # pre-compact dir swept
+    assert res["removed_manifests"] == [1, 2, 3]
+    assert len(res["removed_dirs"]) == 4
+    assert sorted(r["v"] for r in read_as_of(spark, store, 4).collect()) \
+        == list(range(40))
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        read_as_of(spark, store, 2)
+    # only the compacted data dir remains on disk
+    import os
+
+    assert os.listdir(os.path.join(store, "data")) == ["compact=4"]
+    # idempotent: nothing further to remove
+    res2 = expire_snapshots(spark, store, keep_from=4)
+    assert res2 == {"removed_manifests": [], "removed_dirs": []}
