@@ -1497,6 +1497,26 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dup pairs (dedup.editdist_pairs) over
+    a corpus where each doc gets a tail-mutated twin (' xx' appended,
+    distance 3): prefix-hash blocking proposes, exact Levenshtein
+    confirms. Spark's levenshtein and DuckDB's agree exactly (both
+    classic unit-cost edit distance)."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + DOC_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" xx")).alias("text"),
+        )
+    )
+    return D.editdist_pairs(corpus, prefix_len=40, max_dist=4)
+
+
 def q_kg_term_semsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closure-Jaccard semantic similarity for co-annotated term pairs
     (reports.term_semsim): the corpus contributes one distinct
@@ -1765,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_log": q_kg_snapshot_log,
         "kg_term_specificity": q_kg_term_specificity,
         "media_frame_sample": q_media_frame_sample,
+        "dedup_editdist": q_dedup_editdist,
         "kg_term_semsim": q_kg_term_semsim,
         "events_retention": q_events_retention,
         "text_chunks": q_text_chunks,
@@ -4473,6 +4494,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, media_ref, caption, media_kind,
                CAST(n_bytes AS INT) AS n_bytes
         FROM r WHERE (rank - 1) % 2 = 0
+    """
+    sql["dedup_editdist"] = f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 50
+          UNION ALL
+          SELECT doc_id + {DOC_OFFSET} AS doc_id, text || ' xx' AS text
+          FROM documents WHERE doc_id < 50
+        ), b AS (
+          SELECT doc_id, text, md5(substr(text, 1, 40)) AS bk FROM corpus
+        ), small AS (
+          SELECT bk FROM b GROUP BY bk HAVING count(*) <= 64
+        ), bb AS (
+          SELECT b.* FROM b JOIN small USING (bk)
+        )
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(levenshtein(x.text, y.text) AS INT) AS dist
+        FROM bb x JOIN bb y ON x.bk = y.bk AND x.doc_id < y.doc_id
+        WHERE levenshtein(x.text, y.text) <= 4
     """
     sql["kg_term_semsim"] = f"""
         WITH terms AS (

@@ -179,6 +179,11 @@ def main() -> None:
         # one-pass column profile, causal-DAG layering (iterative peel)
         "sketch_hll", "text_boilerplate", "data_epoch", "data_profile",
         "kg_dag_levels",
+        # final round-4 additions: corpus-proportional chunk explode,
+        # Q10 fact-fact join + deterministic top-k, closure-Jaccard
+        # semsim (ontology-bounded), cohort retention (distinct-first)
+        "text_chunks", "tpch_returned_revenue", "kg_term_semsim",
+        "events_retention",
     ]
     qs = E.queries()
     for name in heads:

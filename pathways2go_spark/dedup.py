@@ -519,3 +519,51 @@ def semantic_dedup(
         .join(dropped, id_col, "left")
         .withColumn("kept", F.coalesce(F.col("kept"), F.lit(True)))
     )
+
+
+def editdist_pairs(
+    docs: DataFrame,
+    prefix_len: int = 40,
+    max_dist: int = 4,
+    max_block: int = 64,
+) -> DataFrame:
+    """Edit-distance-VERIFIED near-duplicate pairs: prefix-hash blocking
+    proposes candidates, exact Levenshtein confirms them — the verify
+    stage the signature-only detectors (MinHash/SimHash) skip. Catches
+    the append/truncate mutation class (shared prefix, edited tail)
+    that shingle-Jaccard scores poorly on short docs.
+
+    Returns (doc_a, doc_b, dist), doc_a < doc_b, dist <= max_dist.
+
+    Scale shape: the block key is md5(prefix), so candidate generation
+    is ONE equi-join keyed on the hash — never all-pairs. Blocks larger
+    than max_block are dropped before the self-join (the same df-cap
+    hub guard as ngram_jaccard_pairs: a boilerplate prefix shared by
+    1e6 docs must not become a 1e12-pair block; such docs are
+    boilerplate-dedup territory, not edit-distance territory).
+    Levenshtein runs only on surviving in-block pairs — it is O(len^2)
+    per pair, which is exactly why it must sit BEHIND blocking, never
+    on the cross product."""
+    b = docs.select(
+        "doc_id",
+        "text",
+        F.md5(F.substring("text", 1, prefix_len)).alias("bk"),
+    )
+    small = (
+        b.groupBy("bk")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_block)
+        .select("bk")
+    )
+    b = b.join(small, "bk")
+    return (
+        b.alias("x")
+        .join(b.alias("y"), "bk")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("x.text"), F.col("y.text")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

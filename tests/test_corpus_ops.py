@@ -718,3 +718,27 @@ def test_boilerplate_census_semantics(spark):
     empty = hashlib.md5(b"").hexdigest()
     assert all(r["clean_md5"] == empty and r["boiler_ratio"] == 1.0
                for r in o2)
+
+
+def test_editdist_pairs_blocking_and_hub_cap(spark):
+    from pathways2go_spark.dedup import editdist_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, base),
+        (2, base + " xx"),          # distance 3 from doc 1 (same prefix)
+        (3, base + " zz yy"),       # distance 6 from doc 1 -> above cap
+        (4, "completely different text that shares no forty-char prefix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in editdist_pairs(df, prefix_len=40, max_dist=4).collect()
+    }
+    # only the tail-mutated twin survives the distance cap
+    assert out == {(1, 2): 3}
+    # hub guard: a block bigger than max_block emits NO pairs at all
+    hub = spark.createDataFrame(
+        [(i, base + f" {i}") for i in range(10)], "doc_id long, text string"
+    )
+    assert editdist_pairs(hub, prefix_len=40, max_dist=4, max_block=3).count() == 0
