@@ -1311,6 +1311,86 @@ def q_tpch_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders placed in one
+    quarter counted per priority class, keeping only orders where at
+    least one line item shipped AFTER the order date (the EXISTS
+    correlated subquery; the canonical Q4 predicate l_commitdate <
+    l_receiptdate uses columns this lineitem lacks, so the late-ship
+    predicate stands in — same correlated-existence shape).
+
+    Plan shape at scale: the date filter cuts orders AT THE SCAN
+    (PushedFilters), then ONE left-semi join carries the equi key
+    (l_orderkey = o_orderkey) plus the correlated inequality as the
+    join condition — existence semantics without materializing the
+    match multiset, so a 7-line order contributes once and nothing
+    needs a distinct. The final groupBy runs on the already-tiny
+    semi-join output."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: the top 100 orders whose
+    total line-item quantity exceeds a threshold, with the customer who
+    placed them.
+
+    Plan shape at scale: lineitem aggregates to (l_orderkey,
+    sum_qty) FIRST — one map-side-combinable groupBy on the natural
+    key — and that single aggregate serves as BOTH the HAVING
+    semi-filter and the reported sum (the classic Q18 trap is running
+    the subquery and the outer sum as two scans of lineitem). Orders
+    joins the already-collapsed aggregate (one row per order, no
+    fan-out), customer is a dim join afterward. l_quantity is
+    integer-valued, so the double sum is order-independent and
+    engine-exact. LIMIT 100 tie-broken on o_orderkey."""
+    qty = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        qty.join(o, qty.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day x event_type count matrix via native pivot. The pivot
     value list is EXPLICIT — without it Spark runs an extra
@@ -1790,6 +1870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "text_chunks": q_text_chunks,
         "tpch_returned_revenue": q_tpch_returned_revenue,
+        "tpch_order_priority": q_tpch_order_priority,
+        "tpch_large_orders": q_tpch_large_orders,
     }
 
 
@@ -4599,6 +4681,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         ORDER BY revenue DESC, c.c_custkey
         LIMIT 20
+    """
+    sql["tpch_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """
+    sql["tpch_large_orders"] = """
+        WITH q AS (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               sum_qty
+        FROM q
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
     """
     sql["tpch_local_supplier"] = """
         WITH n AS (
