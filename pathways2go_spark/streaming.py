@@ -292,6 +292,80 @@ def start_windowed_metrics_stream(
     )
 
 
+def start_stream_stream_join(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    watermark: str = "20 minutes",
+    max_lag: str = "10 minutes",
+):
+    """Watermarked stream-stream inner join (the attribution join:
+    every right event matched to the left events of the same user_id
+    that it follows within `max_lag`). Both sides are live streams, so
+    each must buffer rows the other side may still match — the join is
+    only bounded because BOTH a watermark and an event-time RANGE
+    condition are declared:
+
+    - left rows are evictable once the watermark passes l_ts + max_lag
+      (no future right row can land in their window);
+    - right rows are evictable once the watermark passes r_ts.
+
+    Without the range condition Spark must keep EVERY past row on both
+    sides forever (it warns, then state grows without bound) — the
+    range predicate is load-bearing for state size, not a filter
+    nicety. State is therefore O(rows inside the watermark+lag
+    horizon), independent of stream length.
+
+    Emits (user_id, l_id, r_id, l_ts, r_ts) append-mode to parquet,
+    exactly-once via checkpointLocation; inputs are parquet file
+    streams with the events schema. Returns the StreamingQuery.
+    A joined pair is emitted only after the watermark passes the point
+    where no further match could change it (append-mode semantics), so
+    re-running with availableNow never duplicates pairs."""
+    from pyspark.sql import functions as F
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    left = (
+        spark.readStream.schema(schema)
+        .parquet(left_path)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_ts"),
+            "user_id",
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .parquet(right_path)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("user_id").alias("r_user"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}")),
+    ).select("user_id", "l_id", "r_id", "l_ts", "r_ts")
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_snapshot_stream(
     spark: SparkSession,
     docs_path: str,

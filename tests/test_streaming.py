@@ -322,3 +322,120 @@ def test_snapshot_stream_versions_and_exactly_once(
     assert sorted(
         r["snapshot_id"] for r in snapshot_log(spark, store).collect()
     ) == [1, 2]
+
+
+def test_stream_stream_join_matches_batch_and_exactly_once(
+    spark, tmp_path_factory
+):
+    """The attribution join: stream==batch equivalence on the emitted
+    pairs, plus exactly-once across an availableNow restart. The range
+    condition (r_ts within [l_ts, l_ts+10m]) is what bounds both
+    sides' state; the test's no-match row proves it filters too."""
+    import datetime as dt
+    import os
+
+    from pathways2go_spark.streaming import start_stream_stream_join
+
+    base = str(tmp_path_factory.mktemp("ssjoin"))
+    ldir, rdir, out, ckpt = (
+        os.path.join(base, d) for d in ("l", "r", "out", "ck")
+    )
+    os.makedirs(ldir)
+    os.makedirs(rdir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def ts(h, m):
+        return dt.datetime(2026, 1, 1, h, m, 0)
+
+    def write(dirname, name, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema([
+            ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+            ("value", pa.float64()), ("props", pa.string()),
+        ])
+        pq.write_table(
+            pa.Table.from_pylist(
+                [dict(zip(schema.names, r)) for r in rows], schema=schema
+            ),
+            os.path.join(dirname, name),
+        )
+
+    def run():
+        q = start_stream_stream_join(
+            spark, ldir, rdir, out, ckpt,
+            watermark="20 minutes", max_lag="10 minutes",
+        )
+        q.awaitTermination(120)
+
+    def emitted():
+        try:
+            return {
+                (r.user_id, r.l_id, r.r_id)
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:  # noqa: BLE001 — no output yet
+            return set()
+
+    # clock rows use disjoint user ids (8 left / 9 right) so they only
+    # advance the watermark, never join
+    write(ldir, "a.parquet", [
+        (1, ts(12, 0), 1, "view", 0.0, "{}"),
+        (2, ts(12, 30), 1, "view", 0.0, "{}"),
+        (3, ts(12, 5), 2, "view", 0.0, "{}"),
+        (90, ts(13, 30), 8, "clk", 0.0, "{}"),
+    ])
+    write(rdir, "a.parquet", [
+        (101, ts(12, 5), 1, "click", 0.0, "{}"),   # matches view 1
+        (102, ts(12, 36), 1, "click", 0.0, "{}"),  # matches view 2
+        (103, ts(12, 20), 2, "click", 0.0, "{}"),  # 15m after view 3: no
+        (91, ts(13, 30), 9, "clk", 0.0, "{}"),
+    ])
+    want1 = {(1, 1, 101), (1, 2, 102)}
+    for _ in range(4):  # extra runs flush watermark state, never re-emit
+        run()
+        if emitted() >= want1:
+            break
+    assert emitted() == want1
+
+    # second wave + clock advance; restart picks it up from checkpoint
+    write(ldir, "b.parquet", [
+        (4, ts(14, 0), 3, "view", 0.0, "{}"),
+        (92, ts(15, 30), 8, "clk", 0.0, "{}"),
+    ])
+    write(rdir, "b.parquet", [
+        (104, ts(14, 8), 3, "click", 0.0, "{}"),
+        (93, ts(15, 30), 9, "clk", 0.0, "{}"),
+    ])
+    want2 = want1 | {(3, 4, 104)}
+    for _ in range(4):
+        run()
+        if emitted() >= want2:
+            break
+    assert emitted() == want2
+    # exactly-once: parquet append across restarts shows no duplicates
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == len({(r.user_id, r.l_id, r.r_id) for r in rows})
+
+    # stream == batch: the same join over the files read as batch tables
+    from pyspark.sql import functions as F
+
+    bl = spark.read.parquet(ldir).select(
+        F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts"),
+        "user_id",
+    )
+    br = spark.read.parquet(rdir).select(
+        F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts"),
+        F.col("user_id").alias("r_user"),
+    )
+    batch = bl.join(
+        br,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 minutes")),
+    )
+    assert {
+        (r.user_id, r.l_id, r.r_id) for r in batch.collect()
+    } == emitted()
