@@ -1597,6 +1597,37 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.editdist_pairs(corpus, prefix_len=40, max_dist=4)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against the materialized bucketed MinHash
+    signature store (dedup.write_minhash_index + dedup_against_index):
+    corpus = docs 0..49 signed and bucketed once; batch = exact twins
+    of docs 0..24 (offset ids) plus genuinely-new docs 50..74. Twins
+    share every minhash, so every band collides and the signature
+    agreement is 32/32 — est_jaccard exactly 1.0; the fresh docs find
+    no 0.99-agreement match. Oracle is the closed-form twin map."""
+    import os
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 50)
+    idx_path = (
+        f"/tmp/p2g_mh_idx/{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    D.write_minhash_index(
+        spark, corpus, idx_path, "p2g_minhash_store", n=3, k=32, bands=8
+    )
+    batch = corpus.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + DOC_OFFSET).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 75))
+    )
+    return D.dedup_against_index(
+        spark, batch, "p2g_minhash_store", n=3, k=32, bands=8,
+        threshold=0.99,
+    )
+
+
 def q_kg_term_semsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closure-Jaccard semantic similarity for co-annotated term pairs
     (reports.term_semsim): the corpus contributes one distinct
@@ -1866,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_term_specificity": q_kg_term_specificity,
         "media_frame_sample": q_media_frame_sample,
         "dedup_editdist": q_dedup_editdist,
+        "dedup_incremental": q_dedup_incremental,
         "kg_term_semsim": q_kg_term_semsim,
         "events_retention": q_events_retention,
         "text_chunks": q_text_chunks,
@@ -4576,6 +4608,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, media_ref, caption, media_kind,
                CAST(n_bytes AS INT) AS n_bytes
         FROM r WHERE (rank - 1) % 2 = 0
+    """
+    sql["dedup_incremental"] = f"""
+        SELECT doc_id + {DOC_OFFSET} AS batch_id, doc_id AS corpus_id,
+               1.0 AS est_jaccard
+        FROM documents WHERE doc_id < 25
     """
     sql["dedup_editdist"] = f"""
         WITH corpus AS (

@@ -567,3 +567,115 @@ def editdist_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def _banded_signatures(
+    docs: DataFrame, col: str, n: int, k: int, bands: int
+) -> DataFrame:
+    """(doc_id, bi, bh, sig): one long-format row per (document, band),
+    carrying the full k-minhash signature as an array so the verify
+    stage never re-reads the text."""
+    rows = k // bands
+    sig = minhash_signatures(docs, col, n, k)
+    band_cols = [
+        F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"),
+        F.posexplode(F.array(*band_cols)).alias("bi", "bh"),
+    ).select("doc_id", "bi", "bh", "sig")
+
+
+def write_minhash_index(
+    spark,
+    docs: DataFrame,
+    path: str,
+    table: str,
+    col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    buckets: int = 32,
+) -> None:
+    """Materialize the corpus's banded MinHash signature store as a
+    BUCKETED table on the probe key (bi, bh).
+
+    This is the incremental-dedup layout for a living corpus: the
+    signatures are ~0.3% the bytes of the raw text (k ints per doc vs
+    KBs of prose), and bucketing means tomorrow's batch probe pays NO
+    shuffle on the corpus side — the store's band-hash partitioning was
+    bought once, at write time, exactly like the ANN index's
+    partition-pruned probe (similarity.py) and the bucketed-join proof
+    (tests/test_bucketing.py). Re-signing the corpus per batch would
+    re-read 100 TB of text; re-shuffling even the signatures is
+    O(corpus) network per batch — this pays O(batch) instead."""
+    (
+        _banded_signatures(docs, col, n, k, bands)
+        .write.bucketBy(buckets, "bi", "bh")
+        .sortBy("bi", "bh")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def dedup_against_index(
+    spark,
+    batch: DataFrame,
+    table: str,
+    col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental dedup: match a NEW batch of documents against the
+    materialized corpus signature store (write_minhash_index) without
+    touching corpus text. Returns (batch_id, corpus_id, est_jaccard)
+    for every batch document whose estimated Jaccard against a corpus
+    document clears the threshold — the daily new-crawl-vs-corpus job.
+
+    Plan shape: the batch (small) is signed and banded with the same
+    (n, k, bands) parameters, then equi-joined to the store on
+    (bi, bh). Because the store is bucketed on that key, only the
+    batch side shuffles — one Exchange total, asserted in
+    tests/test_corpus_ops.py. Band collisions produce up to `bands`
+    candidate rows per pair; the verify groupBy collapses them and
+    compares the two full signatures it carried along — no second
+    probe of the store, no text reads."""
+    probe = _banded_signatures(batch, col, n, k, bands).select(
+        F.col("doc_id").alias("batch_id"),
+        "bi",
+        "bh",
+        F.col("sig").alias("batch_sig"),
+    )
+    store = spark.table(table).select(
+        F.col("doc_id").alias("corpus_id"),
+        "bi",
+        "bh",
+        F.col("sig").alias("corpus_sig"),
+    )
+    cand = probe.join(store, ["bi", "bh"]).groupBy(
+        "batch_id", "corpus_id"
+    ).agg(
+        F.first("batch_sig").alias("batch_sig"),
+        F.first("corpus_sig").alias("corpus_sig"),
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("batch_sig"),
+            F.col("corpus_sig"),
+            lambda a, b: (a == b).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(agree / F.lit(k), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "est_jaccard")
+    )

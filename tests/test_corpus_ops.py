@@ -742,3 +742,61 @@ def test_editdist_pairs_blocking_and_hub_cap(spark):
         [(i, base + f" {i}") for i in range(10)], "doc_id long, text string"
     )
     assert editdist_pairs(hub, prefix_len=40, max_dist=4, max_block=3).count() == 0
+
+
+def test_incremental_dedup_one_sided_exchange(spark, tmp_path):
+    """The daily new-crawl-vs-corpus probe: the bucketed signature store
+    contributes NO Exchange to the probe join — only the (small) batch
+    side shuffles. Also checks match semantics: exact twins hit at
+    est_jaccard 1.0, fresh docs find nothing."""
+    from pathways2go_spark.dedup import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    write_minhash_index(
+        spark, corpus, str(tmp_path / "mhidx"), "mh_test_store",
+        n=3, k=32, bands=8, buckets=8,
+    )
+    batch = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta eta theta doc 3"),
+         (1001, "totally unrelated words nowhere near the corpus rows")],
+        "doc_id long, text string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup_against_index(
+            spark, batch, "mh_test_store", n=3, k=32, bands=8,
+            threshold=0.99,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # all three exchanges are O(batch): the batch's own signing
+        # aggregate, the probe-side repartition into the store's bucket
+        # layout, and the verify groupBy. The store scan itself is
+        # bucketed — no O(corpus) exchange anywhere.
+        n_exch = plan.count("Exchange hashpartitioning")
+        assert n_exch == 3, plan
+        assert "Bucketed: true" in plan, plan
+        rows = {(r.batch_id, r.corpus_id): r.est_jaccard
+                for r in out.collect()}
+        assert rows == {(1000, 3): 1.0}
+        # contrast: the same probe against the store read as PLAIN
+        # parquet adds a fourth, O(corpus) exchange — the one the
+        # bucket layout removed
+        plain = spark.read.parquet(str(tmp_path / "mhidx"))
+        plain.createOrReplaceTempView("mh_plain_store")
+        out2 = dedup_against_index(
+            spark, batch, "mh_plain_store", n=3, k=32, bands=8,
+            threshold=0.99,
+        )
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        assert plan2.count("Exchange hashpartitioning") == 4, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS mh_test_store")
