@@ -699,6 +699,25 @@ def q_sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                               round_to=6)
 
 
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN JOIN (similarity.knn_join): top-5 corpus neighbors for
+    every one of the first 8 embeddings at once — the many-to-many
+    retrieval shape, vs the single-query top-k above. Multi-probe
+    sign-LSH (own bucket + 8 hamming-1 flips) meets the corpus in one
+    bucket equi-join; per-query top-k is a q_id-keyed window. Self
+    matches excluded. Oracle replays the same hyperplane bucketing,
+    probes, round-6 cosine, and tie-break in SQL."""
+    emb = _emb(spark, sf_dir)
+    return SIM.knn_join(
+        emb.filter(F.col("vec_id") < 8),
+        emb,
+        k=5,
+        planes=LSH_PLANES,
+        dim=EMB_DIM,
+        exclude_self=True,
+    )
+
+
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the LSH and IVF ANN paths against exact cosine
     (similarity.ann_recall): the quality harness — ANN queries above
@@ -1091,6 +1110,18 @@ def q_data_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source"
     )
     return cap_per_key(d, cap=10, key_col="source", id_col="doc_id")
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for the query {hash, merge, vector}
+    (textops.bm25_topk): the lexical retrieval scorer. Per-(doc, term)
+    partials are fixed-pointed to micro-units and int64-summed, so the
+    document score is order-independent; the oracle replays the exact
+    operation order, ln round-6 idf, and tie-break."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return TX.bm25_topk(docs, ["hash", "merge", "vector"], k=10)
 
 
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1848,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_knn_join": q_sim_knn_join,
         "sim_ann_lsh_topk": q_sim_ann_lsh_topk,
         "sim_ann_lsh_indexed": q_sim_ann_lsh_indexed,
         "sim_ann_ivf_topk": q_sim_ann_ivf_topk,
@@ -1868,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_bloom_prune": q_join_bloom_prune,
         "doc_length_pcts": q_doc_length_pcts,
         "data_domain_cap": q_data_domain_cap,
+        "text_bm25": q_text_bm25,
         "text_inverted_index": q_text_inverted_index,
         "text_tfidf": q_text_tfidf,
         "events_zorder": q_events_zorder,
@@ -3989,6 +4022,43 @@ def oracle_sql() -> dict[str, str]:
                      AS content_md5
             FROM idx GROUP BY df
         """,
+        "text_bm25": """
+            WITH tok AS (
+              SELECT doc_id AS doc, term
+              FROM documents,
+                   unnest(string_split_regex(trim(text), '\\s+'))
+                     AS t(term)
+              WHERE term != ''
+            ), dl AS (
+              SELECT doc, count(*) AS dl FROM tok GROUP BY 1
+            ), st AS (
+              SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     count(*) AS n
+              FROM dl
+            ), tf AS (
+              SELECT doc, term, count(*) AS tf FROM tok
+              WHERE term IN ('hash', 'merge', 'vector') GROUP BY 1, 2
+            ), dfc AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), parts AS (
+              SELECT tf.doc,
+                     CAST(floor(
+                       round(ln(1 + (st.n - dfc.df + 0.5)
+                                    / (dfc.df + 0.5)), 6)
+                       * ((tf.tf * 2.2)
+                          / (tf.tf + 1.2 * (0.25 + 0.75
+                               * (dl.dl / st.avgdl))))
+                       * 1e6 + 0.5) AS BIGINT) AS part_i
+              FROM tf
+              JOIN dfc USING (term)
+              JOIN dl USING (doc)
+              CROSS JOIN st
+            )
+            SELECT doc, sum(part_i) / 1e6 AS score
+            FROM parts GROUP BY doc
+            ORDER BY score DESC, doc
+            LIMIT 10
+        """,
         "text_tfidf": """
             WITH tok AS (
               SELECT doc_id AS doc, term
@@ -4213,6 +4283,39 @@ def oracle_sql() -> dict[str, str]:
     """
     # recall@10 harness: composed from the three proven top-k bodies
     # above (DuckDB allows WITH inside a FROM subquery), joined on vec_id
+    probe_flips = ", ".join(
+        f"xor(bkt0, {1 << i})" for i in range(LSH_PLANES)
+    )
+    sql["sim_knn_join"] = f"""
+        WITH c AS (
+          SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS nvec,
+                 {_BKT("embedding")} AS bkt
+          FROM embeddings
+        ), q0 AS (
+          SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qvec,
+                 {_BKT("embedding")} AS bkt0
+          FROM embeddings WHERE vec_id < 8
+        ), probes AS (
+          SELECT q_id, qvec,
+                 unnest([bkt0, {probe_flips}]) AS bkt
+          FROM q0
+        ), cand AS (
+          SELECT q_id, nbr_id,
+                 round(list_dot_product(qvec, nvec)
+                       / (sqrt(list_dot_product(qvec, qvec))
+                          * sqrt(list_dot_product(nvec, nvec))), 6)
+                   AS cosine
+          FROM probes JOIN c USING (bkt)
+          WHERE q_id != nbr_id
+        ), r AS (
+          SELECT q_id, nbr_id, cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, nbr_id
+                 ) AS INT) AS rank
+          FROM cand
+        )
+        SELECT q_id, nbr_id, cosine, rank FROM r WHERE rank <= 5
+    """
     sql["sim_ann_recall"] = f"""
         SELECT * FROM (
           SELECT 'lsh' AS method, CAST(10 AS BIGINT) AS k,

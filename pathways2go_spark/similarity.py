@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _dot_with_query(vec_col: Column, query: list[float]) -> Column:
@@ -520,3 +521,75 @@ def ann_topk_ivf_indexed(
     cells = sorted(range(len(centroids)), key=key)[:probe]
     idx = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     return cosine_topk(idx, query, k, vec_col)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    dim: int | None = None,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch kNN JOIN: top-k corpus neighbors for EVERY query vector —
+    the many-to-many shape real pipelines run (embed-dedup a crawl
+    batch, retrieval eval, hard-negative mining), where the
+    single-query cosine_topk would mean one driver round-trip per row.
+
+    Multi-probe sign-LSH: each side buckets once with the seeded
+    hyperplanes; every query additionally probes its bucket's `planes`
+    hamming-1 neighbors (one posexplode, no extra scan), so a near
+    neighbor that disagrees on a single plane bit is still found.
+    Candidates meet in ONE (bucket) equi-join — per-query work is
+    O((planes+1) * corpus/2^planes), never O(corpus) — and the
+    per-query top-k is a row_number window keyed on q_id (k bounded,
+    no skew). Cosine is quantized to `round_to` decimals with nbr_id
+    tie-break, the same cross-engine contract as the ANN oracles.
+
+    Returns (q_id, nbr_id, cosine, rank), rank 1..k per query."""
+    v = F.col(vec_col)
+    cb = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        v.alias("nvec"),
+        _norm(v).alias("nnorm"),
+        sign_bucket(v, planes, dim, seed).alias("bkt"),
+    )
+    qb0 = sign_bucket(v, planes, dim, seed)
+    probes = F.array(
+        qb0, *[qb0.bitwiseXOR(F.lit(1 << i)) for i in range(planes)]
+    )
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        v.alias("qvec"),
+        _norm(v).alias("qnorm"),
+        F.explode(probes).alias("bkt"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("nvec"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = qb.join(cb, "bkt").select(
+        "q_id",
+        "nbr_id",
+        F.round(dot / (F.col("qnorm") * F.col("nnorm")), round_to).alias(
+            "cosine"
+        ),
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("q_id") != F.col("nbr_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -501,3 +501,76 @@ def chunk_documents(
         F.col("__i") * stride + F.lit(1), F.lit(size)
     )
     return ex.select(*keep, "chunk_ix", chunk.alias("chunk"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval: rank documents for a bag of query terms —
+    the lexical half of a retrieval stack (tfidf_top_terms extracts
+    keywords; this SCORES documents against a query; knn_join is the
+    dense half).
+
+    Determinism contract (cross-engine, same as tfidf_top_terms):
+    idf = round6(ln(1 + (N - df + 0.5)/(df + 0.5))) per term; the
+    per-(doc, term) partial
+        idf6 * ((tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl))))
+    is evaluated in exactly this operation order, fixed-pointed to
+    integer micro-units per row, and the per-document score is the
+    INT64 sum of those units divided once at the end — so the sum is
+    order-independent and bit-identical in any engine (the same trick
+    as the TPC-H revenue queries). Ties break on doc id.
+
+    Scale shape: tokens explode once; doc lengths and the corpus-size
+    scalar come from one aggregate (N and avgdl are O(1) driver
+    traffic); tf is computed only for the query's terms (scan-filtered
+    before the groupBy); the df census covers only those terms too, so
+    the join back is a handful of rows broadcast. One window bounded
+    at k rows per partition via the final TakeOrdered."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(col)).alias("term")
+    ).filter(F.col("term") != "")
+    dl = tok.groupBy("doc").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("total"), F.count("*").alias("n")
+    ).head()
+    n_docs, avgdl = stats["n"], float(stats["total"]) / float(stats["n"])
+    qtok = tok.filter(F.col("term").isin(list(query_terms)))
+    tf = qtok.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf6 = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    partial = idf6 * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfc), "term")
+        .join(dl, "doc")
+        .withColumn(
+            "part_i",
+            F.floor(partial * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("doc")
+        .agg((F.sum("part_i") / F.lit(1e6)).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(k)
+    )

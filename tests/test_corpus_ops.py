@@ -800,3 +800,40 @@ def test_incremental_dedup_one_sided_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS mh_test_store")
+
+
+def test_knn_join_multiprobe_and_self_exclusion(spark):
+    """knn_join finds every hamming-<=1-bucket neighbor for EVERY query
+    in one join, ranks by round-6 cosine with nbr_id tie-break, and
+    drops self matches. Raw-dim sign buckets (dim=None, planes=2) make
+    the bucket arithmetic checkable by hand: query [1,1,0,0] sits in
+    bucket 3; ids 1-2 share it, id 4 (bucket 1) is one flip away and
+    reachable, id 3 (bucket 0) is two flips away and invisible even
+    though its cosine (-1) would rank last anyway."""
+    from pathways2go_spark.similarity import knn_join
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 1.0, 0.2, 0.0]),
+            (3, [-1.0, -1.0, 0.0, 0.0]),
+            (4, [1.0, -1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = knn_join(
+        queries, corpus, k=3, planes=2, dim=None, exclude_self=True
+    ).collect()
+    got = [(r.rank, r.nbr_id, r.cosine) for r in sorted(out, key=lambda r: r.rank)]
+    # self (id 1) excluded; id 2 nearly parallel; id 4 orthogonal;
+    # id 3 unreachable (bucket hamming 2)
+    assert [g[1] for g in got] == [2, 4]
+    assert got[0][2] > 0.99 and abs(got[1][2]) < 1e-9
+    # without exclude_self the query's own twin ranks first at 1.0
+    out2 = knn_join(queries, corpus, k=3, planes=2, dim=None).collect()
+    first = min(out2, key=lambda r: r.rank)
+    assert (first.nbr_id, first.cosine) == (1, 1.0)
