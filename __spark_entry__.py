@@ -1124,6 +1124,33 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bm25_topk(docs, ["hash", "merge", "vector"], k=10)
 
 
+def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (similarity.rrf_fuse)
+    of the BM25 top-20 for {hash, merge, vector} with the kNN top-20
+    for query vector 0 — ranks cross systems, scores never do. Both
+    input lists are the proven query bodies above; the fusion is a
+    union + groupBy over 40 rows. Fixed-point 1/(60+rank) micro-units,
+    int64-summed, so the fused score is engine-exact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bm = TX.bm25_topk(docs, ["hash", "merge", "vector"], k=20)
+    wb = Window.orderBy(F.desc("score"), F.asc("doc"))
+    bm_ranked = bm.select(
+        "doc", F.row_number().over(wb).alias("rank")
+    )
+    emb = _emb(spark, sf_dir)
+    kn = SIM.knn_join(
+        emb.filter(F.col("vec_id") == 0),
+        emb,
+        k=20,
+        planes=LSH_PLANES,
+        dim=EMB_DIM,
+        exclude_self=True,
+    ).select(F.col("nbr_id").alias("doc"), "rank")
+    return SIM.rrf_fuse([bm_ranked, kn], k0=60, topk=10)
+
+
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index (textops.inverted_index): token -> (df, sorted
     posting string) with a max_df hub cap, aggregated down to per-df
@@ -1901,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_pcts": q_doc_length_pcts,
         "data_domain_cap": q_data_domain_cap,
         "text_bm25": q_text_bm25,
+        "search_hybrid": q_search_hybrid,
         "text_inverted_index": q_text_inverted_index,
         "text_tfidf": q_text_tfidf,
         "events_zorder": q_events_zorder,
@@ -4286,6 +4314,77 @@ def oracle_sql() -> dict[str, str]:
     probe_flips = ", ".join(
         f"xor(bkt0, {1 << i})" for i in range(LSH_PLANES)
     )
+    sql["search_hybrid"] = f"""
+        WITH tok AS (
+          SELECT doc_id AS doc, term
+          FROM documents,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+          WHERE term != ''
+        ), dl AS (
+          SELECT doc, count(*) AS dl FROM tok GROUP BY 1
+        ), st AS (
+          SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                 count(*) AS n
+          FROM dl
+        ), tf AS (
+          SELECT doc, term, count(*) AS tf FROM tok
+          WHERE term IN ('hash', 'merge', 'vector') GROUP BY 1, 2
+        ), dfc AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), bparts AS (
+          SELECT tf.doc,
+                 CAST(floor(
+                   round(ln(1 + (st.n - dfc.df + 0.5)
+                                / (dfc.df + 0.5)), 6)
+                   * ((tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (0.25 + 0.75
+                           * (dl.dl / st.avgdl))))
+                   * 1e6 + 0.5) AS BIGINT) AS part_i
+          FROM tf JOIN dfc USING (term) JOIN dl USING (doc)
+          CROSS JOIN st
+        ), bm AS (
+          SELECT doc, sum(part_i) / 1e6 AS score
+          FROM bparts GROUP BY doc ORDER BY score DESC, doc LIMIT 20
+        ), bm_ranked AS (
+          SELECT doc, CAST(row_number() OVER (
+            ORDER BY score DESC, doc) AS INT) AS rank
+          FROM bm
+        ), c AS (
+          SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS nvec,
+                 {_BKT("embedding")} AS bkt
+          FROM embeddings
+        ), q0 AS (
+          SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qvec,
+                 {_BKT("embedding")} AS bkt0
+          FROM embeddings WHERE vec_id = 0
+        ), probes AS (
+          SELECT q_id, qvec,
+                 unnest([bkt0, {", ".join(f"xor(bkt0, {1 << i})" for i in range(LSH_PLANES))}]) AS bkt
+          FROM q0
+        ), cand AS (
+          SELECT q_id, nbr_id,
+                 round(list_dot_product(qvec, nvec)
+                       / (sqrt(list_dot_product(qvec, qvec))
+                          * sqrt(list_dot_product(nvec, nvec))), 6)
+                   AS cosine
+          FROM probes JOIN c USING (bkt)
+          WHERE q_id != nbr_id
+        ), kn AS (
+          SELECT nbr_id AS doc, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine DESC, nbr_id) AS INT)
+            AS rank
+          FROM cand QUALIFY rank <= 20
+        ), fused AS (
+          SELECT doc,
+                 CAST(floor(1e6 / (60.0 + rank) + 0.5) AS BIGINT)
+                   AS rrf_i
+          FROM (SELECT * FROM bm_ranked UNION ALL SELECT * FROM kn)
+        )
+        SELECT doc, sum(rrf_i) / 1e6 AS rrf, count(*) AS n_systems
+        FROM fused GROUP BY doc
+        ORDER BY rrf DESC, doc
+        LIMIT 10
+    """
     sql["sim_knn_join"] = f"""
         WITH c AS (
           SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS nvec,

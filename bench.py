@@ -184,6 +184,10 @@ def main() -> None:
         # semsim (ontology-bounded), cohort retention (distinct-first)
         "text_chunks", "tpch_returned_revenue", "kg_term_semsim",
         "events_retention",
+        # retrieval stack + incremental dedup (store build included in
+        # the timed body — the write is the operator), TPC-H semi-joins
+        "dedup_incremental", "sim_knn_join", "text_bm25",
+        "search_hybrid", "tpch_large_orders",
     ]
     qs = E.queries()
     for name in heads:

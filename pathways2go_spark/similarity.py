@@ -593,3 +593,45 @@ def knn_join(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k0: int = 60,
+    id_col: str = "doc",
+    rank_col: str = "rank",
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked result lists (hybrid search:
+    fuse a lexical BM25 list with a dense kNN list without comparing
+    their incommensurable scores — only RANKS cross systems).
+
+    Each list contributes 1/(k0 + rank) per document; the contribution
+    is fixed-pointed to integer micro-units per row and int64-summed,
+    so the fused score is order-independent and engine-exact (the same
+    contract as bm25_topk). Returns (doc, rrf, n_systems) — top `topk`
+    by fused score, doc-id tie-break.
+
+    Scale shape: the inputs are already tiny (top-k lists); the fuse is
+    one union + one groupBy — nothing here touches the corpus."""
+    parts = None
+    for df in ranked:
+        p = df.select(
+            F.col(id_col).alias("doc"),
+            F.floor(
+                F.lit(1e6) / (F.lit(float(k0)) + F.col(rank_col))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rrf_i"),
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    return (
+        parts.groupBy("doc")
+        .agg(
+            (F.sum("rrf_i") / F.lit(1e6)).alias("rrf"),
+            F.count("*").alias("n_systems"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc"))
+        .limit(topk)
+    )
