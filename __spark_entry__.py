@@ -409,6 +409,23 @@ def q_data_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_data_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor (dataops.distribution_drift): per-source
+    smoothed-share KL and total-variation terms between the first and
+    second halves of the documents table standing in for two snapshot
+    epochs. All three normalizing scalars come from unpartitioned
+    window aggregates over the K-row census — no collects."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    half = 250
+    return DO.distribution_drift(
+        docs.filter(F.col("doc_id") < half),
+        docs.filter(F.col("doc_id") >= half),
+        key_col="source",
+    )
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture census + downsampling rates (dataops.mixture_weights)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1884,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_shards": q_data_shards,
         "data_sample": q_data_sample,
         "data_mixture": q_data_mixture,
+        "data_drift": q_data_drift,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4810,6 +4828,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, media_ref, caption, media_kind,
                CAST(n_bytes AS INT) AS n_bytes
         FROM r WHERE (rank - 1) % 2 = 0
+    """
+    sql["data_drift"] = """
+        WITH co AS (
+          SELECT source AS key, count(*) AS n_old FROM documents
+          WHERE doc_id < 250 GROUP BY 1
+        ), cn AS (
+          SELECT source AS key, count(*) AS n_new FROM documents
+          WHERE doc_id >= 250 GROUP BY 1
+        ), j AS (
+          SELECT key, coalesce(n_old, 0) AS n_old,
+                 coalesce(n_new, 0) AS n_new
+          FROM co FULL OUTER JOIN cn USING (key)
+        ), t AS (
+          -- every operand cast to DOUBLE up front: a bare 0.5 literal
+          -- is DECIMAL in DuckDB and silently drags the shares into
+          -- decimal arithmetic, diverging from Spark's doubles
+          -- totals named tot_*/n_keys, NOT "N_old": DuckDB resolves
+          -- column names case-insensitively just like Spark, and the
+          -- collision silently rebinds to the per-key count
+          SELECT key, n_old, n_new,
+                 CAST(n_old AS DOUBLE) AS no_d,
+                 CAST(n_new AS DOUBLE) AS nn_d,
+                 CAST(sum(n_old) OVER () AS DOUBLE) AS tot_old,
+                 CAST(sum(n_new) OVER () AS DOUBLE) AS tot_new,
+                 CAST(count(*) OVER () AS DOUBLE) AS n_keys
+          FROM j
+        ), s AS (
+          SELECT key, n_old, n_new,
+                 (no_d + CAST(0.5 AS DOUBLE))
+                   / (tot_old + CAST(0.5 AS DOUBLE) * n_keys) AS p,
+                 (nn_d + CAST(0.5 AS DOUBLE))
+                   / (tot_new + CAST(0.5 AS DOUBLE) * n_keys) AS q
+          FROM t
+        )
+        SELECT key, n_old, n_new,
+               round(p * ln(p / q), 6) AS kl_term,
+               round(abs(p - q) / CAST(2.0 AS DOUBLE), 6) AS tv_term
+        FROM s
     """
     sql["dedup_incremental"] = f"""
         SELECT doc_id + {DOC_OFFSET} AS batch_id, doc_id AS corpus_id,

@@ -592,3 +592,61 @@ def epoch_order(
             (F.col("offset") + F.col("pos")).alias("global_pos"),
         )
     )
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "source",
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus drift monitor: per-key distribution shift between two
+    corpus snapshots — the check a training-data pipeline runs before
+    blending a new crawl (did the domain mixture move? by how much,
+    where?).
+
+    For each key k: smoothed shares p = (n_old+0.5)/(N_old + 0.5*K),
+    q = (n_new+0.5)/(N_new + 0.5*K) over the UNION key set (additive
+    smoothing keeps vanished/appeared keys finite), the per-key KL
+    contribution p*ln(p/q) and total-variation contribution |p-q|/2,
+    both rounded to `round_to`. Emitting per-key terms (not one global
+    sum) keeps every row order-independent AND tells the operator
+    WHICH domains moved — the actionable output.
+
+    Fully relational: one census groupBy per side, a full outer join
+    on the key, and the three scalars (N_old, N_new, K) as unpartitioned
+    window aggregates over the K-row joined census — no driver
+    collects, no second scan of either corpus."""
+    co = old.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_old")
+    )
+    cn = new.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_new")
+    )
+    j = (
+        co.join(cn, "key", "full_outer")
+        .withColumn("n_old", F.coalesce("n_old", F.lit(0)))
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+    )
+    # NB: totals must NOT be named "N_old"/"N_new" — Spark column names
+    # are case-insensitive by default, so withColumn("N_old") would
+    # silently REPLACE the per-key "n_old"
+    w = Window.partitionBy()
+    j = (
+        j.withColumn("tot_old", F.sum("n_old").over(w))
+        .withColumn("tot_new", F.sum("n_new").over(w))
+        .withColumn("n_keys", F.count("*").over(w))
+    )
+    p = (F.col("n_old") + F.lit(0.5)) / (
+        F.col("tot_old") + F.lit(0.5) * F.col("n_keys")
+    )
+    q = (F.col("n_new") + F.lit(0.5)) / (
+        F.col("tot_new") + F.lit(0.5) * F.col("n_keys")
+    )
+    return j.select(
+        "key",
+        "n_old",
+        "n_new",
+        F.round(p * F.log(p / q), round_to).alias("kl_term"),
+        F.round(F.abs(p - q) / F.lit(2.0), round_to).alias("tv_term"),
+    )
