@@ -497,6 +497,29 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_documents(docs, pairs)
 
 
+def q_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection (dedup.dedupe_documents_by_
+    quality): same closed-form chain clusters as dedup_corpus, but each
+    chain keeps its LONGEST member (n_chars, doc-id tie-break) instead
+    of its smallest id — the production dedup policy. Oracle derives
+    the survivor per 9-chain with one window."""
+    from pathways2go_spark.dedup import dedupe_documents_by_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 90)
+    pairs = (
+        ids.filter((F.col("doc_id") % 9) != 8)
+        .select(F.col("doc_id").alias("a"),
+                (F.col("doc_id") + 1).alias("b"))
+        .join(ids.withColumnRenamed("doc_id", "b"), "b")
+    )
+    return dedupe_documents_by_quality(docs, pairs, "n_chars").select(
+        "doc_id"
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dupes(_doubled_emb(spark, sf_dir), threshold=0.95)
 
@@ -1386,6 +1409,44 @@ def q_tpch_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: the share of one month's
+    revenue from PROMO-type parts. One scan-filtered month of lineitem
+    joins the part dim on partkey (dim broadcasts), with the promo
+    split as a conditional aggregate — never two scans or a self-join.
+    Revenue fixed-pointed per row, int64 sums; the ratio is one double
+    division at the end, emitted round-6 alongside both exact sums."""
+    rev_i = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4 + 0.5
+    ).cast("long")
+    l = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= "1996-03-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .select("l_partkey", rev_i.alias("rev_i"))
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("rev_i")).otherwise(
+                F.lit(0)
+            )
+        ).alias("promo_i"),
+        F.sum("rev_i").alias("total_i"),
+    ).select(
+        "promo_i",
+        "total_i",
+        F.round(
+            F.lit(100.0) * F.col("promo_i") / F.col("total_i"), 6
+        ).alias("promo_pct"),
+    )
+
+
 def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-shaped order-priority check: orders placed in one
     quarter counted per priority class, keeping only orders where at
@@ -1908,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_quality": q_dedup_quality,
         "dedup_embedding": q_dedup_embedding,
         "dedup_semantic": q_dedup_semantic,
         "text_quality": q_text_quality,
@@ -1982,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "tpch_returned_revenue": q_tpch_returned_revenue,
         "tpch_order_priority": q_tpch_order_priority,
+        "tpch_promo_revenue": q_tpch_promo_revenue,
         "tpch_large_orders": q_tpch_large_orders,
     }
 
@@ -3375,6 +3438,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_corpus": """
             SELECT doc_id FROM documents
             WHERE doc_id >= 90 OR doc_id % 9 = 0
+        """,
+        "dedup_quality": """
+            WITH ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       PARTITION BY doc_id - (doc_id % 9)
+                       ORDER BY n_chars DESC, doc_id
+                     ) AS rk
+              FROM documents WHERE doc_id < 90
+            )
+            SELECT doc_id FROM documents WHERE doc_id >= 90
+            UNION ALL
+            SELECT doc_id FROM ranked WHERE rk = 1
         """,
         "dedup_simhash": f"""
             WITH {_CORPUS50_CTE},
@@ -4976,6 +5052,24 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         ORDER BY revenue DESC, c.c_custkey
         LIMIT 20
+    """
+    sql["tpch_promo_revenue"] = """
+        WITH l AS (
+          SELECT l_partkey,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 1e4
+                            + 0.5) AS BIGINT) AS rev_i
+          FROM lineitem
+          WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+        ), agg AS (
+          SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_i
+                              ELSE 0 END) AS BIGINT) AS promo_i,
+                 CAST(sum(rev_i) AS BIGINT) AS total_i
+          FROM l JOIN part ON l_partkey = p_partkey
+        )
+        SELECT promo_i, total_i,
+               round(CAST(100.0 AS DOUBLE) * promo_i / total_i, 6)
+                 AS promo_pct
+        FROM agg
     """
     sql["tpch_order_priority"] = """
         SELECT o_orderpriority, count(*) AS order_count

@@ -679,3 +679,41 @@ def dedup_against_index(
         .filter(F.col("est_jaccard") >= threshold)
         .select("batch_id", "corpus_id", "est_jaccard")
     )
+
+
+def dedupe_documents_by_quality(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Corpus minus duplicates, keeping the HIGHEST-`quality_col` member
+    of each duplicate cluster (doc-id tie-break) — the production
+    survivor policy: dedup should keep the best copy (longest, cleanest,
+    highest classifier score), not the first-crawled one that min-id
+    canonicalization (dedupe_documents) keeps.
+
+    Scale shape matches dedupe_documents: cluster the pair list, join
+    the quality column for CLUSTERED docs only (the drop-set side — a
+    duplicate-sized table, never the corpus), rank inside each cluster
+    with one window (clusters are small; a mega-cluster is bounded by
+    the pair generator's hub caps upstream), and left-anti join the
+    losers — AQE picks broadcast vs shuffle."""
+    from pyspark.sql.window import Window
+
+    clusters = duplicate_clusters(pairs, a=a, b=b)
+    scored = clusters.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(quality_col)),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.asc("doc_id")
+    )
+    drop = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 1)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")
