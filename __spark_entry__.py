@@ -305,6 +305,43 @@ def q_kg_xref_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-model entity resolution — the connected-components ID
+    canonicalization of KG construction: two nodes (in any models)
+    sharing a skos:exactMatch external reference are the same
+    real-world entity. Edges are BIPARTITE (node -> xref pseudo-node),
+    so a popular xref is a star hub, never a quadratic pairwise
+    clique; the general min-label propagation (dedup.duplicate_
+    clusters) closes chains through multi-xref bridge nodes too.
+    Output: (node, canonical, n_members) with canonical = min real
+    node per component. The fixture corpus has no multi-xref bridge
+    nodes (one exactMatch per node), so the oracle's one-window
+    closed form over xref groups is the exact component structure —
+    while the Spark side still runs the unrestricted algorithm."""
+    from pathways2go_spark.dedup import duplicate_clusters
+
+    t = _kg(spark)[0]
+    ex = (
+        t.filter(F.col("pred") == V.EXACT)
+        .select(
+            F.concat(
+                F.lit("n:"), F.col("model_id"), F.lit("|"), F.col("subj")
+            ).alias("a"),
+            F.concat(F.lit("x:"), F.col("obj")).alias("b"),
+        )
+        .distinct()
+    )
+    cc = duplicate_clusters(ex)
+    nodes = cc.filter(F.col("doc_id").startswith("n:"))
+    canon = nodes.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("canonical"),
+        F.count("*").alias("n_members"),
+    )
+    return nodes.join(canon, "cluster_id").select(
+        F.col("doc_id").alias("node"), "canonical", "n_members"
+    )
+
+
 def _anc(spark: SparkSession) -> DataFrame:
     return load_dims(spark, KG_FIXTURE_DIR).onto_ancestors
 
@@ -1948,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_component_locations": q_kg_component_locations,
         "kg_untyped_reactions": q_kg_untyped_reactions,
         "kg_xref_map": q_kg_xref_map,
+        "kg_canonical_entities": q_kg_canonical_entities,
         "kg_model_report": q_kg_model_report,
         "kg_entity_mapping": q_kg_entity_mapping,
         "kg_reaction_venn": q_kg_reaction_venn,
@@ -5112,6 +5150,16 @@ def oracle_sql() -> dict[str, str]:
                      AND s_nationkey = c_nationkey
         JOIN n        ON c_nationkey = n.n_nationkey
         GROUP BY n.n_name
+    """
+    sql["kg_canonical_entities"] = f"""
+        WITH e AS (
+          SELECT DISTINCT 'n:' || model_id || '|' || subj AS node, obj
+          FROM '{tri}' WHERE pred = 'exactMatch'
+        )
+        SELECT node,
+               min(node) OVER (PARTITION BY obj) AS canonical,
+               count(*) OVER (PARTITION BY obj) AS n_members
+        FROM e
     """
     sql["kg_term_cooccur"] = f"""
         WITH terms AS (
