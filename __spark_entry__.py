@@ -1446,6 +1446,54 @@ def q_tpch_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecasting revenue change: one scan, three
+    pushed predicates (date range, discount band, quantity cap), one
+    fixed-point sum — the pure filter-aggregate baseline every engine
+    should run at scan speed. No joins, no shuffle beyond the final
+    single-row combine."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev_i = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 1e4 + 0.5
+    ).cast("long")
+    return l.agg(F.sum(rev_i).alias("rev_i")).select(
+        "rev_i", (F.col("rev_i") / F.lit(1e4)).alias("revenue")
+    )
+
+
+def q_tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue: line items whose
+    quantity is below 20% of their part's average quantity.
+
+    Plan shape: the per-part average is a window over l_partkey — ONE
+    shuffle of lineitem, no second scan and no correlated-subquery
+    rejoin (the classic Q17 trap is scanning lineitem twice). The
+    average is sum/count per part (one double division, both operands
+    integer-exact), the 0.2 threshold comparison happens row-side, and
+    the surviving revenue is fixed-point summed."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = F.sum("l_quantity").over(w) / F.count("*").over(w)
+    kept = l.withColumn("avg_qty", avg_qty).filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
+    )
+    price_i = F.floor(F.col("l_extendedprice") * 1e4 + 0.5).cast("long")
+    return kept.agg(F.sum(price_i).alias("price_i")).select(
+        "price_i",
+        F.round(F.col("price_i") / F.lit(1e4) / F.lit(7.0), 6).alias(
+            "avg_yearly"
+        ),
+    )
+
+
 def q_tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped promotion effect: the share of one month's
     revenue from PROMO-type parts. One scan-filtered month of lineitem
@@ -2083,6 +2131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_returned_revenue": q_tpch_returned_revenue,
         "tpch_order_priority": q_tpch_order_priority,
         "tpch_promo_revenue": q_tpch_promo_revenue,
+        "tpch_forecast_revenue": q_tpch_forecast_revenue,
+        "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_large_orders": q_tpch_large_orders,
     }
 
@@ -5090,6 +5140,33 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         ORDER BY revenue DESC, c.c_custkey
         LIMIT 20
+    """
+    sql["tpch_forecast_revenue"] = """
+        SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 1e4
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                 AS rev_i,
+               CAST(sum(CAST(floor(l_extendedprice * l_discount * 1e4
+                                   + 0.5) AS BIGINT)) AS BIGINT) / 1e4
+                 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+    sql["tpch_small_qty_revenue"] = """
+        WITH t AS (
+          SELECT l_quantity, l_extendedprice,
+                 sum(l_quantity) OVER (PARTITION BY l_partkey)
+                   / count(*) OVER (PARTITION BY l_partkey) AS avg_qty
+          FROM lineitem
+        )
+        SELECT CAST(sum(CAST(floor(l_extendedprice * 1e4 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS price_i,
+               round(CAST(sum(CAST(floor(l_extendedprice * 1e4 + 0.5)
+                                   AS BIGINT)) AS BIGINT) / 1e4 / 7.0, 6)
+                 AS avg_yearly
+        FROM t
+        WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty
     """
     sql["tpch_promo_revenue"] = """
         WITH l AS (
