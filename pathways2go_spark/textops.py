@@ -540,7 +540,10 @@ def bm25_topk(
     stats = dl.agg(
         F.sum("dl").alias("total"), F.count("*").alias("n")
     ).head()
-    n_docs, avgdl = stats["n"], float(stats["total"]) / float(stats["n"])
+    # empty corpus: no tokens -> no tf rows either, so any positive
+    # avgdl placeholder yields the same (empty) result without a 0/0
+    n_docs = stats["n"]
+    avgdl = float(stats["total"] or 1) / float(n_docs or 1)
     qtok = tok.filter(F.col("term").isin(list(query_terms)))
     tf = qtok.groupBy("doc", "term").agg(F.count("*").alias("tf"))
     dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
