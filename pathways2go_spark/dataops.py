@@ -198,19 +198,24 @@ def corpus_funnel(
     from pyspark.sql import Window
 
     from .dedup import decontaminate
-    from .textops import quality_features, repetition_signals
+    from .textops import quality_columns, repetition_signals
 
+    # the quality gate is a pure per-row expression, so it fuses into
+    # the base scan (one corpus shuffle-join fewer than computing it as
+    # a separate projection and re-attaching on doc_id). The repetition
+    # gate stays on its aggregation path: its codegen'd hash aggregates
+    # beat the shuffle-free interpreted-lambda variant 2.7x on a
+    # CPU-bound host (see repetition_signals(narrow=...))
+    qc = quality_columns(text_col)["quality_ok"]
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         token_count(text_col).alias("n_tokens"),
+        qc.alias("quality_ok"),
     )
-    q = quality_features(df, text_col).select("doc_id", "quality_ok")
     r = repetition_signals(df, text_col).select("doc_id", "repetition_ok")
-    flags = (
-        base.join(q, "doc_id")
-        .join(r, "doc_id")
-        .withColumn("pass2", F.col("quality_ok") & F.col("repetition_ok"))
+    flags = base.join(r, "doc_id").withColumn(
+        "pass2", F.col("quality_ok") & F.col("repetition_ok")
     )
     # dedup keeper ranked among pass2 survivors ONLY — the filter lands
     # before the md5 shuffle, so the funnel ordering shrinks the wide op
