@@ -1818,6 +1818,31 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.editdist_pairs(corpus, prefix_len=40, max_dist=4)
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional excerpt detection (dedup.containment_pairs): each of
+    docs 0..24 gets a 20-token-prefix excerpt twin; every excerpt's
+    3-gram shingles are a subset of its source's, so C(excerpt ->
+    source) = 1.0 while the reverse direction scores low — the
+    asymmetry symmetric Jaccard misses. Oracle is the full relational
+    mirror (distinct shingles, df cap, intersect count, uncapped
+    denominator), so incidental cross-doc matches are covered too."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 25)
+    )
+    excerpt = F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 20), " "
+    )
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + DOC_OFFSET).alias("doc_id"),
+            excerpt.alias("text"),
+        )
+    )
+    return D.containment_pairs(corpus, n=3, threshold=0.9)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against the materialized bucketed MinHash
     signature store (dedup.write_minhash_index + dedup_against_index):
@@ -2125,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "dedup_editdist": q_dedup_editdist,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_containment": q_dedup_containment,
         "kg_term_semsim": q_kg_term_semsim,
         "events_retention": q_events_retention,
         "text_chunks": q_text_chunks,
@@ -3518,6 +3544,32 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             SELECT doc_id AS a, doc_id + {DOC_OFFSET} AS b, 1.0 AS est_jaccard
             FROM documents WHERE doc_id < 50
+        """,
+        "dedup_containment": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 25
+              UNION ALL
+              SELECT doc_id + {DOC_OFFSET} AS doc_id,
+                     array_to_string(list_slice(
+                       string_split_regex(trim(text), '\\s+'), 1, 20), ' ')
+                       AS text
+              FROM documents WHERE doc_id < 25
+            ), {_SHINGLE_CTE},
+            ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            sizes AS (SELECT doc_id AS a, len(s) AS n_a FROM sh),
+            keep AS (
+              SELECT shingle FROM ex GROUP BY 1 HAVING count(*) <= 256
+            ), e2 AS (
+              SELECT ex.* FROM ex JOIN keep USING (shingle)
+            ), inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+              FROM e2 x JOIN e2 y USING (shingle)
+              WHERE x.doc_id != y.doc_id GROUP BY 1, 2
+            )
+            SELECT a, b, n_inter, CAST(n_a AS BIGINT) AS n_a,
+                   round(n_inter / CAST(n_a AS DOUBLE), 6) AS containment
+            FROM inter JOIN sizes USING (a)
+            WHERE round(n_inter / CAST(n_a AS DOUBLE), 6) >= 0.9
         """,
         "dedup_clusters": """
             SELECT doc_id, doc_id - (doc_id % 9) AS cluster_id

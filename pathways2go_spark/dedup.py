@@ -717,3 +717,51 @@ def dedupe_documents_by_quality(
         .select(F.col("doc_id").alias(id_col))
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 256,
+) -> DataFrame:
+    """DIRECTIONAL near-dup detection by shingle containment
+    C(A->B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — catches the
+    excerpt/quotation class symmetric Jaccard scores poorly: a 20-token
+    excerpt of a 2000-token page has Jaccard ~0.01 but containment 1.0.
+
+    Same scale shape as ngram_jaccard_pairs: one distinct-shingle pass,
+    a df-capped shingle equi-join (a boilerplate shingle shared by 1e6
+    docs must not fan out 1e12 candidate rows — such shingles carry no
+    containment signal anyway), one (a, b) groupBy. The denominator is
+    A's FULL shingle count (computed before the cap), so the score's
+    meaning doesn't depend on the cap. Returns (a, b, n_inter, n_a,
+    containment) with containment = C(a->b) >= threshold; directional,
+    so an excerpt scores high toward its source but not back."""
+    sh = _shingles(docs, "text", n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh2 = sh.join(keep, "shingle")
+    inter = (
+        sh2.alias("x")
+        .join(sh2.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a"), "a")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter") / F.col("n_a").cast("double"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "n_inter", "n_a", "containment")
+    )
