@@ -305,6 +305,13 @@ def q_kg_xref_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop edge-motif census (reports.motif_census): (pred_a, pred_b)
+    chain counts within models — the structural fingerprint of the
+    rule engine's output and a cross-release regression signal."""
+    return RP.motif_census(_kg(spark)[0])
+
+
 def q_kg_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-model entity resolution — the connected-components ID
     canonicalization of KG construction: two nodes (in any models)
@@ -2059,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_untyped_reactions": q_kg_untyped_reactions,
         "kg_xref_map": q_kg_xref_map,
         "kg_canonical_entities": q_kg_canonical_entities,
+        "kg_motif_census": q_kg_motif_census,
         "kg_model_report": q_kg_model_report,
         "kg_entity_mapping": q_kg_entity_mapping,
         "kg_reaction_venn": q_kg_reaction_venn,
@@ -5279,6 +5287,19 @@ def oracle_sql() -> dict[str, str]:
                      AND s_nationkey = c_nationkey
         JOIN n        ON c_nationkey = n.n_nationkey
         GROUP BY n.n_name
+    """
+    motif_edges = "', '".join(V.EDGE_PREDS)
+    sql["kg_motif_census"] = f"""
+        WITH e AS (
+          SELECT model_id, subj, pred, obj FROM '{tri}'
+          WHERE pred IN ('{motif_edges}')
+        )
+        SELECT x.pred AS pred_a, y.pred AS pred_b,
+               count(*) AS n_paths,
+               count(DISTINCT x.model_id) AS n_models
+        FROM e x JOIN e y
+          ON x.model_id = y.model_id AND x.obj = y.subj
+        GROUP BY 1, 2
     """
     sql["kg_canonical_entities"] = f"""
         WITH e AS (

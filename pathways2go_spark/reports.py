@@ -977,3 +977,37 @@ def term_semsim(
             jac.alias("jaccard"),
         )
     )
+
+
+def motif_census(t: DataFrame) -> DataFrame:
+    """2-hop edge-motif census: how often does an edge of pred_a feed an
+    edge of pred_b (subj -a-> mid -b-> obj) within a model, across the
+    corpus — the structural fingerprint of the rule engine's output
+    (e.g. enabled_by feeding causally-upstream = the canonical GO-CAM
+    activity chain), and the quickest cross-release regression signal
+    for rule changes.
+
+    One self-join keyed on (model_id, mid): fan-out at a mid node is
+    in-degree x out-degree WITHIN its model, bounded by model size —
+    no corpus-wide hub key. Output (pred_a, pred_b, n_paths, n_models)."""
+    e = t.filter(F.col("pred").isin(V.EDGE_PREDS)).select(
+        "model_id", "subj", "pred", "obj"
+    )
+    a = e.select(
+        "model_id",
+        F.col("pred").alias("pred_a"),
+        F.col("obj").alias("mid"),
+    )
+    b = e.select(
+        "model_id",
+        F.col("subj").alias("mid"),
+        F.col("pred").alias("pred_b"),
+    )
+    return (
+        a.join(b, ["model_id", "mid"])
+        .groupBy("pred_a", "pred_b")
+        .agg(
+            F.count("*").alias("n_paths"),
+            F.countDistinct("model_id").alias("n_models"),
+        )
+    )
