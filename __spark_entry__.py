@@ -453,6 +453,58 @@ def q_data_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_data_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum difficulty buckets: per-SOURCE token-length quartiles
+    via ntile(4) partitioned by source (a GLOBAL ntile would be a
+    single-task window — the partitioned form is the scale-safe
+    curriculum split, and per-domain quartiles are what mixture
+    schedules actually consume). Deterministic tie-break (n_tokens,
+    doc_id); emits per (source, bucket) the doc count and token
+    min/max/sum."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", TX.token_count("text").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    return (
+        docs.withColumn("bucket", F.ntile(4).over(w))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window event metrics (batch): 10-minute windows sliding
+    every 5 — each event lands in exactly two windows, so hourly spikes
+    are visible at half-window resolution without a second scan.
+    Native F.window(slideDuration=...); the oracle replays the
+    epoch-aligned window arithmetic (two UNION'd bucket starts)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_type"
+    )
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_end"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def q_data_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus drift monitor (dataops.distribution_drift): per-source
     smoothed-share KL and total-variation terms between the first and
@@ -2082,6 +2134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_sample": q_data_sample,
         "data_mixture": q_data_mixture,
         "data_drift": q_data_drift,
+        "data_curriculum": q_data_curriculum,
+        "events_sliding": q_events_sliding,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5052,6 +5106,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, media_ref, caption, media_kind,
                CAST(n_bytes AS INT) AS n_bytes
         FROM r WHERE (rank - 1) % 2 = 0
+    """
+    sql["data_curriculum"] = """
+        WITH d AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+          FROM documents
+        ), b AS (
+          SELECT *, ntile(4) OVER (
+            PARTITION BY source ORDER BY n_tokens, doc_id) AS bucket
+          FROM d
+        )
+        SELECT source, CAST(bucket AS INT) AS bucket,
+               count(*) AS n_docs,
+               min(n_tokens) AS min_tokens,
+               max(n_tokens) AS max_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM b GROUP BY 1, 2
+    """
+    sql["events_sliding"] = """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS s0
+          FROM events
+        ), w AS (
+          SELECT event_type, s0 AS ws FROM e
+          UNION ALL
+          SELECT event_type, s0 - 300 AS ws FROM e
+        )
+        SELECT strftime(CAST(to_timestamp(ws) AS TIMESTAMP),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(CAST(to_timestamp(ws + 600) AS TIMESTAMP),
+                        '%Y-%m-%d %H:%M:%S') AS window_end,
+               event_type, count(*) AS n
+        FROM w GROUP BY 1, 2, 3
     """
     sql["data_drift"] = """
         WITH co AS (
