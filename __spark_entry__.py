@@ -477,6 +477,41 @@ def q_data_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (densify): per event_type, the FULL
+    hourly grid between its first and last event with zero-filled
+    counts — the resample step every downstream charting/anomaly job
+    needs and vanilla Spark lacks. The grid generates from each type's
+    (min, max) range — one tiny per-type sequence explode, NOT a
+    calendar cross-join — and left-joins the real counts back.
+    Grid size is bounded by (types x hours of history), independent of
+    event volume."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_type"
+    )
+    h = F.date_trunc("hour", F.col("ts"))
+    counts = ev.groupBy("event_type", h.alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    rng = counts.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = rng.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    return (
+        grid.join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window event metrics (batch): 10-minute windows sliding
     every 5 — each event lands in exactly two windows, so hourly spikes
@@ -2136,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_drift": q_data_drift,
         "data_curriculum": q_data_curriculum,
         "events_sliding": q_events_sliding,
+        "events_resample": q_events_resample,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5123,6 +5159,24 @@ def oracle_sql() -> dict[str, str]:
                max(n_tokens) AS max_tokens,
                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         FROM b GROUP BY 1, 2
+    """
+    sql["events_resample"] = """
+        WITH c AS (
+          SELECT event_type, date_trunc('hour', ts) AS h,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ), r AS (
+          SELECT event_type, min(h) AS h0, max(h) AS h1 FROM c
+          GROUP BY 1
+        ), g AS (
+          SELECT event_type,
+                 unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM r
+        )
+        SELECT g.event_type,
+               strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+               coalesce(c.n, 0) AS n
+        FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
     """
     sql["events_sliding"] = """
         WITH e AS (
