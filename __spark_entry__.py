@@ -477,6 +477,32 @@ def q_data_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, type) debounce: drop an event arriving within 60s of
+    the PREVIOUS event of the same key (lag semantics — each event
+    compares to its predecessor, the standard duplicate-click /
+    retry-storm throttle). One keyed window, event_id tie-break for
+    simultaneous rows; emits the kept events with their gap."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    ep = F.unix_timestamp(F.col("ts"))
+    gap = ep - F.lag(ep).over(w)
+    return (
+        ev.withColumn("gap_s", gap)
+        .filter(F.col("gap_s").isNull() | (F.col("gap_s") > 60))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.coalesce("gap_s", F.lit(-1)).alias("gap_s"),
+        )
+    )
+
+
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling (densify): per event_type, the FULL
     hourly grid between its first and last event with zero-filled
@@ -2172,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_curriculum": q_data_curriculum,
         "events_sliding": q_events_sliding,
         "events_resample": q_events_resample,
+        "events_debounce": q_events_debounce,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5159,6 +5186,19 @@ def oracle_sql() -> dict[str, str]:
                max(n_tokens) AS max_tokens,
                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         FROM b GROUP BY 1, 2
+    """
+    sql["events_debounce"] = """
+        WITH g AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap_s
+          FROM events
+        )
+        SELECT event_id, user_id, event_type,
+               coalesce(gap_s, -1) AS gap_s
+        FROM g WHERE gap_s IS NULL OR gap_s > 60
     """
     sql["events_resample"] = """
         WITH c AS (
