@@ -188,6 +188,8 @@ def main() -> None:
         # the timed body — the write is the operator), TPC-H semi-joins
         "dedup_incremental", "sim_knn_join", "text_bm25",
         "search_hybrid", "tpch_large_orders",
+        # directional containment (shingle join) + hourly densify
+        "dedup_containment", "events_resample",
     ]
     qs = E.queries()
     for name in heads:
