@@ -1732,6 +1732,177 @@ def q_tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly k (non-urgent) orders, INCLUDING the
+    zero-order customers — the left-outer-join + double-aggregation
+    shape.
+
+    Plan shape at scale: orders pre-aggregates to (o_custkey, cnt)
+    first — one map-side-combinable groupBy on the fact — so the outer
+    join against customer moves one row per customer, not one per
+    order. The second groupBy is over at most max-order-count distinct
+    keys (tiny). All counts are integers — engine-exact."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    per_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-delay report: per order priority, how
+    many 1997 line items shipped late (>60 days after the order date)
+    vs on time — the fact-fact join + conditional-aggregation shape
+    (our schema has no l_shipmode/commitdate, so priority is the
+    grouping axis and order-to-ship latency the lateness predicate).
+
+    Plan shape at scale: lineitem is filtered on l_shipdate at the scan
+    (pushed to parquet row-group stats), joins orders on l_orderkey,
+    and the CASE counts fold in one map-side-combinable groupBy over
+    five keys. Integer counts — engine-exact."""
+    l = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.datediff(
+        F.to_date("l_shipdate"), F.to_date("o_orderdate")
+    ) > 60
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_count"),
+            F.sum(F.when(late, 0).otherwise(1)).alias("ontime_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral shipping volume: yearly revenue flowing
+    between NATION_1 and NATION_2 (both directions) over 1996-1997 —
+    the two-dimension-role join shape where nation binds once through
+    the supplier and once through the customer.
+
+    Plan shape at scale: supplier and customer are dims (broadcast);
+    the only fact-fact shuffle is lineitem x orders on l_orderkey.
+    The nation-pair filter applies at each dim join so the fact-fact
+    join moves only qualifying rows. Revenue fixed-pointed per row and
+    summed as int64 — order-independent, engine-exact."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    s = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_nationkey").isin(1, 2))
+        .select("s_suppkey", F.col("s_nationkey").alias("supp_nk"))
+    )
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_nationkey").isin(1, 2))
+        .select("c_custkey", F.col("c_nationkey").alias("cust_nk"))
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    rev_i = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4 + 0.5
+    ).cast("long")
+    l = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            rev_i.alias("rev_i"),
+        )
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nk") != F.col("cust_nk"))
+        .join(
+            F.broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+            F.col("supp_nk") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(n.withColumnRenamed("n_name", "cust_nation")),
+            F.col("cust_nk") == F.col("n_nationkey"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("rev_i") / F.lit(1e4)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: the supplier(s) with the maximum
+    revenue over 1996Q1 — the aggregate-then-join-on-global-max shape
+    (the reference view + scalar subquery, expressed as a 1-row
+    broadcast join so no second scan of lineitem).
+
+    Plan shape at scale: one map-side-combinable groupBy of the
+    filtered fact to (l_suppkey, rev_sum); the global max is an
+    aggregate OF THAT aggregate (bounded rows), broadcast back as one
+    row. The per-supplier aggregate is persisted (dim-sized — one row
+    per supplier): the broadcast-side max job populates the cache, so
+    the outer join reads the cache instead of re-scanning lineitem —
+    without it the plan provably scans the fact twice. Ties (exact
+    int64 compare) all surface, deterministically ordered. Supplier
+    dim joins after the max filter — it moves only the winners."""
+    rev_i = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4 + 0.5
+    ).cast("long")
+    per_supp = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .select("l_suppkey", rev_i.alias("rev_i"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_i").alias("rev_sum"))
+        .persist()
+    )
+    mx = per_supp.agg(F.max("rev_sum").alias("mx"))
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_supp.join(F.broadcast(mx), per_supp.rev_sum == mx.mx)
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_sum") / F.lit(1e4)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day x event_type count matrix via native pivot. The pivot
     value list is EXPLICIT — without it Spark runs an extra
@@ -2285,6 +2456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_forecast_revenue": q_tpch_forecast_revenue,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_large_orders": q_tpch_large_orders,
+        "tpch_order_count_dist": q_tpch_order_count_dist,
+        "tpch_late_lines": q_tpch_late_lines,
+        "tpch_volume_shipping": q_tpch_volume_shipping,
+        "tpch_top_supplier": q_tpch_top_supplier,
     }
 
 
@@ -5451,6 +5626,67 @@ def oracle_sql() -> dict[str, str]:
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100
+    """
+    sql["tpch_order_count_dist"] = """
+        WITH pc AS (
+          SELECT o_custkey, count(*) AS cnt FROM orders
+          WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
+        ), per AS (
+          SELECT coalesce(pc.cnt, 0) AS c_count
+          FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC
+    """
+    sql["tpch_late_lines"] = """
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                                      CAST(l_shipdate AS DATE)) > 60
+                        THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+               CAST(sum(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                                      CAST(l_shipdate AS DATE)) > 60
+                        THEN 0 ELSE 1 END) AS BIGINT) AS ontime_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        GROUP BY 1 ORDER BY 1
+    """
+    sql["tpch_volume_shipping"] = """
+        WITH l AS (
+          SELECT l_orderkey, l_suppkey,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 1e4
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rev_i
+          FROM lineitem
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+        )
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               l_year,
+               CAST(sum(rev_i) AS DOUBLE) / 1e4 AS revenue
+        FROM l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders   o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE s.s_nationkey IN (1, 2) AND c.c_nationkey IN (1, 2)
+          AND s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+    sql["tpch_top_supplier"] = """
+        WITH ps AS (
+          SELECT l_suppkey, sum(CAST(floor(l_extendedprice
+                     * (1 - l_discount) * 1e4
+                     + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS rev_sum
+          FROM lineitem
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+          GROUP BY 1
+        )
+        SELECT s_suppkey, s_name,
+               CAST(rev_sum AS DOUBLE) / 1e4 AS total_revenue
+        FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_sum = (SELECT max(rev_sum) FROM ps)
+        ORDER BY s_suppkey
     """
     sql["tpch_local_supplier"] = """
         WITH n AS (
