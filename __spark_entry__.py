@@ -1903,6 +1903,213 @@ def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: one revenue total
+    over an OR of three (brand, size-range, quantity-range) clauses —
+    the shape that tests whether superset predicates are factored OUT
+    of the OR and pushed to both scans.
+
+    Plan shape at scale: the brand IN-list and the size/quantity hull
+    (size<=15, 1<=qty<=30) are applied as standalone conjuncts so both
+    parquet scans prune on them (PushedFilters), and only the residual
+    OR runs post-join. Part is a dim — broadcast. Revenue fixed-pointed
+    per row, summed int64."""
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#14")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    rev_i = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4 + 0.5
+    ).cast("long")
+    l = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        .select("l_partkey", "l_quantity", rev_i.alias("rev_i"))
+    )
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size") <= 5)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & (F.col("l_quantity") >= 20)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg((F.sum("rev_i") / F.lit(1e4)).alias("revenue"))
+    )
+
+
+def q_tpch_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped dormant high-balance customers: per nation (of a
+    7-nation watch set), how many customers hold an above-average
+    positive balance yet placed no RECENT orders (none since
+    2000-01-01; this datagen gives every customer at least one
+    lifetime order, so lifetime-dormancy is vacuous) — the
+    scalar-subquery + anti-join shape.
+
+    Plan shape at scale: the positive-balance average over the watch
+    set is ONE tiny aggregate (sum, count as int64 cents) broadcast as
+    a single row; the above-average test is integer cross-multiplied
+    (cents*n > sum_cents — no float division, engine-exact); the
+    recency test is a left-anti join against date-filtered orders
+    (filter pushed to the scan) projected to o_custkey. Customer is
+    scanned once with the nation filter pushed."""
+    nations = [3, 5, 7, 9, 11, 13, 17]
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_nationkey").isin(nations))
+        .select("c_custkey", "c_nationkey", cents.alias("bal_i"))
+    )
+    stats = c.filter(F.col("bal_i") > 0).agg(
+        F.sum("bal_i").alias("sum_i"), F.count("*").alias("n_pos")
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(stats))
+        .filter(F.col("bal_i") * F.col("n_pos") > F.col("sum_i"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_i") / F.lit(100.0)).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: NATION_7 suppliers' share of PROMO
+    part revenue sold to ASIA-region customers, per order year — the
+    conditional-share shape where nation binds through BOTH dim roles
+    and the share is a ratio of two sums over the same rows.
+
+    Plan shape at scale: part (type filter), supplier, customer
+    (region filter via broadcast nation) are dim joins; the one
+    fact-fact shuffle is lineitem x orders on the order key. Numerator
+    and denominator accumulate as int64 in the SAME groupBy (no second
+    pass); the final ratio is fixed-point-rounded to 6dp identically
+    in both engines."""
+    asia = [2, 7, 12, 17, 22]
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_nationkey").isin(asia))
+        .select("c_custkey")
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+    )
+    rev_i = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4 + 0.5
+    ).cast("long")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", rev_i.alias("rev_i")
+    )
+    num = F.sum(
+        F.when(F.col("s_nationkey") == 7, F.col("rev_i")).otherwise(
+            F.lit(0)
+        )
+    )
+    share = F.floor(num / F.sum("rev_i") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_year")
+        .agg(share.alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-line profit: per (supplier nation, order
+    year), profit on 'red' parts where profit = revenue minus a cost
+    proxy (p_retailprice x quantity — the schema has no partsupp) —
+    the widest join tree in the suite (fact x 3 dims x fact).
+
+    Plan shape at scale: part (name filter), supplier, nation broadcast;
+    the single fact-fact shuffle is lineitem x orders on the order key,
+    AFTER the dim joins have cut lineitem to matching parts. Both
+    profit terms are fixed-pointed PER ROW before the subtraction so
+    the int64 sum is order-independent and engine-exact."""
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    amount_i = (
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4
+            + 0.5
+        ).cast("long")
+        - F.floor(
+            F.col("p_retailprice") * F.col("l_quantity") * 1e4 + 0.5
+        ).cast("long")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_orderkey", "n_name", amount_i.alias("amount_i"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg((F.sum("amount_i") / F.lit(1e4)).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day x event_type count matrix via native pivot. The pivot
     value list is EXPLICIT — without it Spark runs an extra
@@ -2460,6 +2667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_late_lines": q_tpch_late_lines,
         "tpch_volume_shipping": q_tpch_volume_shipping,
         "tpch_top_supplier": q_tpch_top_supplier,
+        "tpch_disjunctive_revenue": q_tpch_disjunctive_revenue,
+        "tpch_dormant_customers": q_tpch_dormant_customers,
+        "tpch_market_share": q_tpch_market_share,
+        "tpch_profit": q_tpch_profit,
     }
 
 
@@ -5687,6 +5898,80 @@ def oracle_sql() -> dict[str, str]:
         FROM ps JOIN supplier ON l_suppkey = s_suppkey
         WHERE rev_sum = (SELECT max(rev_sum) FROM ps)
         ORDER BY s_suppkey
+    """
+    sql["tpch_disjunctive_revenue"] = """
+        SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                     * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                    AS DOUBLE) / 1e4 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity BETWEEN 1 AND 30
+          AND p_size BETWEEN 1 AND 15
+          AND (
+            (p_brand = 'Brand#12' AND p_size <= 5 AND l_quantity <= 11)
+            OR (p_brand = 'Brand#23' AND p_size <= 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#14' AND l_quantity >= 20)
+          )
+    """
+    sql["tpch_dormant_customers"] = """
+        WITH c AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE))
+                      AS BIGINT) AS bal_i
+          FROM customer
+          WHERE c_nationkey IN (3, 5, 7, 9, 11, 13, 17)
+        ), st AS (
+          SELECT sum(bal_i) AS sum_i, count(*) AS n_pos
+          FROM c WHERE bal_i > 0
+        )
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(bal_i) AS DOUBLE) / 100.0 AS totacctbal
+        FROM c, st
+        WHERE bal_i * n_pos > sum_i
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= '2000-01-01')
+        GROUP BY 1 ORDER BY 1
+    """
+    sql["tpch_market_share"] = """
+        WITH rows_ AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 s.s_nationkey,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 1e4
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rev_i
+          FROM lineitem
+          JOIN part p     ON l_partkey = p.p_partkey
+          JOIN supplier s ON l_suppkey = s.s_suppkey
+          JOIN orders o   ON l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE p.p_type = 'PROMO'
+            AND c.c_nationkey IN (2, 7, 12, 17, 22)
+            AND o.o_orderdate >= '1996-01-01'
+            AND o.o_orderdate <  '1998-01-01'
+        )
+        SELECT o_year,
+               floor(CAST(sum(CASE WHEN s_nationkey = 7 THEN rev_i
+                                   ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(rev_i) AS DOUBLE) * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS mkt_share
+        FROM rows_ GROUP BY 1 ORDER BY 1
+    """
+    sql["tpch_profit"] = """
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 1e4
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                 - CAST(floor(p.p_retailprice * l_quantity * 1e4
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               ) AS DOUBLE) / 1e4 AS sum_profit
+        FROM lineitem
+        JOIN part p     ON l_partkey = p.p_partkey
+        JOIN supplier s ON l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN orders o   ON l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC
     """
     sql["tpch_local_supplier"] = """
         WITH n AS (
