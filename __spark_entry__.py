@@ -2110,6 +2110,128 @@ def q_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly anomaly detection: per event_type, flag hours whose count
+    deviates >=2 sigma from the TRAILING 24-hour mean — the rolling
+    z-score monitor every ops/data-quality pipeline runs. Built on the
+    densified hourly grid (events_resample) so 'trailing 24 rows' is
+    trailing 24 HOURS even across silent gaps.
+
+    Plan shape at scale: one map-side-combinable hourly groupBy of the
+    fact, a bounded grid explode (types x hours of history), then one
+    keyed window pass. Mean/variance come from integer sum and
+    sum-of-squares over the window — order-independent, engine-exact —
+    and the z-score is fixed-point-rounded to 6dp before the threshold
+    compare so both engines flag identical hours."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_type"
+    )
+    h = F.date_trunc("hour", F.col("ts"))
+    counts = ev.groupBy("event_type", h.alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    rng = counts.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = rng.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    dense = grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    dense = dense.select(
+        "event_type",
+        "h",
+        "n",
+        F.sum("n").over(w).alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sumsq"),
+        F.count("n").over(w).alias("cnt"),
+    )
+    mean = F.col("sum_n") / F.lit(24.0)
+    var = (
+        F.col("sumsq")
+        - F.col("sum_n") * F.col("sum_n") / F.lit(24.0)
+    ) / F.lit(23.0)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    zr = F.floor(z * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    return (
+        dense.filter((F.col("cnt") == 24))
+        .withColumn("var", var)
+        .filter(F.col("var") > 0)
+        .withColumn("z", zr)
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            "z",
+        )
+    )
+
+
+def q_sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier filter: the 5 vectors farthest (squared
+    euclidean) from their label's centroid — the distance-to-centroid
+    quality gate embedding pipelines run before training.
+
+    Plan shape at scale: posexplode to (vec_id, label, dim, value) —
+    a x64 row explosion of a narrow projection, NOT of the corpus
+    bytes; centroids are one groupBy over (label, dim) — bounded keys
+    (labels x dims) — broadcast back; per-vector distances are one more
+    map-side-combinable groupBy. The top-5 window partitions by label
+    only, so its parallelism is the label count — fine here; at true
+    100 TB you'd pre-prune with a per-partition top-k before the
+    window. Exactness: components fixed-pointed to 1e-6 ints, centroid
+    rounded to the same grid, distances summed as int64 — fully
+    order-independent, no float accumulation anywhere."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "e")
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.floor(F.col("e").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("sv"),
+    )
+    cent = ex.groupBy("label", "i").agg(
+        F.floor(
+            F.sum("sv").cast("double") / F.count("*") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("c6")
+    )
+    diff = F.col("sv") - F.col("c6")
+    per_vec = (
+        ex.join(F.broadcast(cent), ["label", "i"])
+        .select("vec_id", "label", (diff * diff).alias("d2"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("d2").alias("dist_i"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist_i").desc(), "vec_id"
+    )
+    return (
+        per_vec.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "label",
+            "vec_id",
+            (F.col("dist_i") / F.lit(1e12)).alias("dist"),
+        )
+        .orderBy("label", "vec_id")
+    )
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day x event_type count matrix via native pivot. The pivot
     value list is EXPLICIT — without it Spark runs an extra
@@ -2671,6 +2793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_dormant_customers": q_tpch_dormant_customers,
         "tpch_market_share": q_tpch_market_share,
         "tpch_profit": q_tpch_profit,
+        "events_anomaly": q_events_anomaly,
+        "sim_centroid_outliers": q_sim_centroid_outliers,
     }
 
 
@@ -5972,6 +6096,74 @@ def oracle_sql() -> dict[str, str]:
         JOIN orders o   ON l_orderkey = o.o_orderkey
         WHERE p.p_name LIKE '%red%'
         GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """
+    sql["events_anomaly"] = """
+        WITH c AS (
+          SELECT event_type, date_trunc('hour', ts) AS h,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ), r AS (
+          SELECT event_type, min(h) AS h0, max(h) AS h1 FROM c
+          GROUP BY 1
+        ), g AS (
+          SELECT event_type,
+                 unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM r
+        ), d AS (
+          SELECT g.event_type, g.h, coalesce(c.n, 0) AS n
+          FROM g LEFT JOIN c ON g.event_type = c.event_type
+                            AND g.h = c.h
+        ), w AS (
+          SELECT event_type, h, n,
+                 CAST(sum(n) OVER win AS BIGINT) AS sum_n,
+                 CAST(sum(n * n) OVER win AS BIGINT) AS sumsq,
+                 count(*) OVER win AS cnt
+          FROM d
+          WINDOW win AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        ), v AS (
+          SELECT event_type, h, n, sum_n,
+                 (CAST(sumsq AS DOUBLE)
+                  - CAST(sum_n AS DOUBLE) * CAST(sum_n AS DOUBLE)
+                    / CAST(24 AS DOUBLE)) / CAST(23 AS DOUBLE) AS var
+          FROM w WHERE cnt = 24
+        )
+        SELECT event_type,
+               strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n,
+               floor((CAST(n AS DOUBLE)
+                      - CAST(sum_n AS DOUBLE) / CAST(24 AS DOUBLE))
+                     / sqrt(var) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS z
+        FROM v
+        WHERE var > 0
+          AND abs(floor((CAST(n AS DOUBLE)
+                         - CAST(sum_n AS DOUBLE) / CAST(24 AS DOUBLE))
+                        / sqrt(var) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6)
+              >= CAST(2 AS DOUBLE)
+    """
+    sql["sim_centroid_outliers"] = """
+        WITH ex AS (
+          SELECT vec_id, label,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS sv,
+                 unnest(generate_series(0, len(embedding) - 1)) AS i
+          FROM embeddings
+        ), cent AS (
+          SELECT label, i,
+                 CAST(floor(CAST(sum(sv) AS DOUBLE) / count(*)
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c6
+          FROM ex GROUP BY 1, 2
+        ), d AS (
+          SELECT ex.vec_id, ex.label,
+                 CAST(sum((sv - c6) * (sv - c6)) AS BIGINT) AS dist_i
+          FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+          GROUP BY 1, 2
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY label
+                        ORDER BY dist_i DESC, vec_id) AS rk
+          FROM d
+        )
+        SELECT label, vec_id, CAST(dist_i AS DOUBLE) / 1e12 AS dist
+        FROM r WHERE rk <= 5 ORDER BY label, vec_id
     """
     sql["tpch_local_supplier"] = """
         WITH n AS (
