@@ -2110,6 +2110,237 @@ def q_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped cheapest supplier per part: for every size-15
+    part, the supplier(s) offering the minimum observed unit price —
+    the per-key argmin shape (Q2's correlated MIN subquery). The
+    schema has no partsupp, so the part-supplier relation and the
+    price come from lineitem (observed sales).
+
+    Plan shape at scale: lineitem collapses to (partkey, suppkey,
+    min unit price) in one map-side-combinable groupBy; the argmin is
+    a per-part window over THAT aggregate (bounded: suppliers per
+    part), not over the fact. Part filter broadcasts; ties all
+    surface via exact int64 price compare, deterministically ordered.
+    Unit price is fixed-pointed per row BEFORE the min."""
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey")
+    )
+    unit_i = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 1e4 + 0.5
+    ).cast("long")
+    offers = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey", unit_i.alias("unit_i"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_i").alias("min_i"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("min_i", "l_suppkey")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return (
+        offers.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            (F.col("min_i") / F.lit(1e4)).alias("min_unit_price"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+def q_tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock: parts whose sales value from
+    NATION_9 suppliers exceeds 1/1000 of that nation's total — the
+    group-HAVING-above-global-fraction shape.
+
+    Plan shape at scale: one groupBy of the nation-filtered fact to
+    (partkey, value); the global total is an aggregate OF the
+    pre-aggregate, broadcast as one row; the threshold test is integer
+    cross-multiplied (value*1000 > total — no float division). The
+    pre-aggregate is persisted (part-dim-sized) so the broadcast-total
+    job populates the cache and the threshold join reuses it — one
+    fact scan, plan-verified. The nation filter rides the broadcast
+    supplier dim into the scan-side join, so unrelated suppliers' rows
+    never shuffle."""
+    s = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_nationkey") == 9)
+        .select("s_suppkey")
+    )
+    rev_i = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4 + 0.5
+    ).cast("long")
+    per_part = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey", rev_i.alias("rev_i"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("rev_i").alias("value_i"))
+        .persist()
+    )
+    total = per_part.agg(F.sum("value_i").alias("total_i"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_i") * 1000 > F.col("total_i"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_i") / F.lit(1e4)).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+def q_tpch_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier census: per (brand, size) of a size
+    watch-list, how many DISTINCT suppliers sold the part — excluding
+    negative-balance suppliers (the complaints blacklist stand-in) —
+    the anti-join + count-distinct shape.
+
+    Plan shape at scale: the blacklist is a broadcast left-anti join
+    applied to the (partkey, suppkey) DISTINCT pairs, which collapse
+    from the fact in one map-side-combinable distinct BEFORE the dim
+    join — the count-distinct shuffle moves pair keys, never raw
+    lineitem rows. Integer counts, engine-exact."""
+    sizes = [1, 5, 10, 15, 20, 25, 30, 35]
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(
+            F.col("p_size").isin(sizes)
+            & (F.col("p_brand") != "Brand#5")
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == bad.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    )
+    return (
+        pairs.groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_size"
+        )
+    )
+
+
+def q_tpch_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped sole-late-supplier census: per supplier, the
+    number of multi-supplier orders where THAT supplier was the only
+    one to ship late (>90 days after the order date) — Q21's
+    exists + not-exists pair, re-expressed as ONE per-order aggregate:
+    distinct suppliers, distinct LATE suppliers, and (via max over the
+    late supplier ids) the sole offender when exactly one exists.
+
+    Plan shape at scale: lineitem joins date-carrying orders once on
+    the order key, then a single groupBy on that key computes all
+    three per-order facts — when n_late = 1 the max IS the offender,
+    so no join back to the fact, no self-join, ONE fact scan
+    (plan-verified). The final census groups bounded per-order rows
+    by supplier. Integer counts — engine-exact."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.datediff(
+        F.to_date("l_shipdate"), F.to_date("o_orderdate")
+    ) > 90
+    lines = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_supp).alias("n_late"),
+        F.max(late_supp).alias("offender"),
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_order.filter(
+            (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .groupBy("offender")
+        .agg(F.count("*").alias("numwait"))
+        .join(s, F.col("offender") == F.col("s_suppkey"))
+        .select("s_name", "s_suppkey", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(100)
+    )
+
+
+def q_tpch_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped dominant suppliers: suppliers who shipped more
+    than half of a red part's total 1997 volume — Q20's correlated
+    half-of-aggregate threshold, re-expressed as a per-key aggregate
+    pair (per part-supplier qty vs per-part total) with an integer
+    2x cross-multiplication instead of the correlated 0.5* subquery.
+
+    Plan shape at scale: ONE groupBy to (part, supplier, qty); the
+    per-part total is a WINDOW over that aggregate partitioned by
+    part — it rides the same (part, supplier) shuffle, so the fact is
+    scanned once (plan-verified) and no broadcast materializes.
+    Quantities are integer-valued doubles, cast to int64 for the
+    exact comparison. Suppliers surface distinct, ordered."""
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    l = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_quantity").cast("long").alias("qty_i"),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    )
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty_i").alias("supp_qty")
+    )
+    tot_w = F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        ps.withColumn("tot_qty", tot_w)
+        .filter(F.col("supp_qty") * 2 > F.col("tot_qty"))
+        .select("l_suppkey")
+        .distinct()
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly anomaly detection: per event_type, flag hours whose count
     deviates >=2 sigma from the TRAILING 24-hour mean — the rolling
@@ -2794,6 +3025,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_market_share": q_tpch_market_share,
         "tpch_profit": q_tpch_profit,
         "events_anomaly": q_events_anomaly,
+        "tpch_min_cost_supplier": q_tpch_min_cost_supplier,
+        "tpch_important_parts": q_tpch_important_parts,
+        "tpch_supplier_cnt": q_tpch_supplier_cnt,
+        "tpch_waiting_orders": q_tpch_waiting_orders,
+        "tpch_dominant_supplier": q_tpch_dominant_supplier,
         "sim_centroid_outliers": q_sim_centroid_outliers,
     }
 
@@ -6096,6 +6332,103 @@ def oracle_sql() -> dict[str, str]:
         JOIN orders o   ON l_orderkey = o.o_orderkey
         WHERE p.p_name LIKE '%red%'
         GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """
+    sql["tpch_min_cost_supplier"] = """
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey,
+                 min(CAST(floor(l_extendedprice / l_quantity * 1e4
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                   AS min_i
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_size = 15
+          GROUP BY 1, 2
+        ), rk AS (
+          SELECT *, rank() OVER (PARTITION BY l_partkey
+                                 ORDER BY min_i, l_suppkey) AS r
+          FROM offers
+        )
+        SELECT l_partkey AS p_partkey, s_suppkey, s_name, s_acctbal,
+               CAST(min_i AS DOUBLE) / 1e4 AS min_unit_price
+        FROM rk JOIN supplier ON l_suppkey = s_suppkey
+        WHERE r = 1
+        ORDER BY p_partkey, s_suppkey
+    """
+    sql["tpch_important_parts"] = """
+        WITH pp AS (
+          SELECT l_partkey,
+                 sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 1e4 + CAST(0.5 AS DOUBLE))
+                          AS BIGINT)) AS value_i
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          WHERE s_nationkey = 9
+          GROUP BY 1
+        )
+        SELECT l_partkey AS p_partkey,
+               CAST(value_i AS DOUBLE) / 1e4 AS value
+        FROM pp
+        WHERE value_i * 1000 > (SELECT sum(value_i) FROM pp)
+        ORDER BY value DESC, p_partkey
+    """
+    sql["tpch_supplier_cnt"] = """
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p_brand, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                 AS supplier_cnt
+        FROM pairs
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND p_brand <> 'Brand#5'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY 1, 2
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+    """
+    sql["tpch_waiting_orders"] = """
+        WITH lines AS (
+          SELECT l_orderkey, l_suppkey,
+                 datediff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE)) > 90 AS is_late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), per_order AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN is_late THEN l_suppkey
+                                END) AS n_late
+          FROM lines GROUP BY 1
+        ), late_pairs AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lines
+          WHERE is_late
+        )
+        SELECT s_name, s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        FROM late_pairs
+        JOIN per_order USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE n_supp > 1 AND n_late = 1
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 100
+    """
+    sql["tpch_dominant_supplier"] = """
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(l_quantity AS BIGINT)) AS supp_qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE '%red%'
+            AND l_shipdate >= '1997-01-01'
+            AND l_shipdate < '1998-01-01'
+          GROUP BY 1, 2
+        ), tot AS (
+          SELECT l_partkey, sum(supp_qty) AS tot_qty FROM ps
+          GROUP BY 1
+        )
+        SELECT DISTINCT s_suppkey, s_name
+        FROM ps
+        JOIN tot USING (l_partkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE supp_qty * 2 > tot_qty
+        ORDER BY s_suppkey
     """
     sql["events_anomaly"] = """
         WITH c AS (
