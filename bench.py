@@ -190,6 +190,11 @@ def main() -> None:
         "search_hybrid", "tpch_large_orders",
         # directional containment (shingle join) + hourly densify
         "dedup_containment", "events_resample",
+        # TPC-H suite close-out: Q9 (widest join tree), Q21 (per-order
+        # double-distinct aggregate); rolling z-score anomaly window;
+        # embedding centroid-outlier gate (posexplode + bounded groupBy)
+        "tpch_profit", "tpch_waiting_orders", "events_anomaly",
+        "sim_centroid_outliers",
     ]
     qs = E.queries()
     for name in heads:
