@@ -2694,6 +2694,35 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(corpus, n=3, threshold=0.9)
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding quality harness (dedup.lsh_recall): precision/recall of
+    the md5-MinHash-LSH candidate set (k=16, bands=4) against
+    ground-truth 3-gram Jaccard >= 0.5 pairs. Corpus = docs 0..49 plus
+    an 80%-token-prefix twin for each, so true pair similarity hovers
+    near j ~ 0.8 where 4-row banding (hit prob 1-(1-j^4)^4 ~ 0.88) is
+    genuinely lossy — the recall number is the one a 100 TB user tunes
+    (k, bands) by before a full dedup run. Companion of
+    sim_ann_recall. Every hash is md5-top-32, so the DuckDB oracle
+    replays candidates bit-for-bit (no closed form assumed)."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ln = F.greatest(
+        F.floor(F.size(toks) * 4 / 5).cast("int"), F.lit(1)
+    )
+    trunc = F.array_join(F.slice(toks, F.lit(1), ln), " ")
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + DOC_OFFSET).alias("doc_id"),
+            trunc.alias("text"),
+        )
+    )
+    return D.lsh_recall(corpus, n=3, k=16, bands=4, threshold=0.5)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against the materialized bucketed MinHash
     signature store (dedup.write_minhash_index + dedup_against_index):
@@ -3007,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist": q_dedup_editdist,
         "dedup_incremental": q_dedup_incremental,
         "dedup_containment": q_dedup_containment,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
         "kg_term_semsim": q_kg_term_semsim,
         "events_retention": q_events_retention,
         "text_chunks": q_text_chunks,
@@ -4441,6 +4471,68 @@ def oracle_sql() -> dict[str, str]:
                    round(n_inter / CAST(n_a AS DOUBLE), 6) AS containment
             FROM inter JOIN sizes USING (a)
             WHERE round(n_inter / CAST(n_a AS DOUBLE), 6) >= 0.9
+        """,
+        "dedup_lsh_recall": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id + {DOC_OFFSET} AS doc_id,
+                     array_to_string(list_slice(
+                       string_split_regex(trim(text), '\\s+'), 1,
+                       greatest((len(string_split_regex(trim(text),
+                                 '\\s+')) * 4) // 5, 1)), ' ') AS text
+              FROM documents WHERE doc_id < 50
+            ), {_SHINGLE_CTE},
+            ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+            keep AS (
+              SELECT shingle FROM ex GROUP BY 1 HAVING count(*) <= 256
+            ), e2 AS (
+              SELECT ex.* FROM ex JOIN keep USING (shingle)
+            ), inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+              FROM e2 x JOIN e2 y USING (shingle)
+              WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+            ), truth AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON inter.a = sa.doc_id
+              JOIN sizes sb ON inter.b = sb.doc_id
+              WHERE CAST(n_inter AS DOUBLE)
+                    / (sa.sz + sb.sz - n_inter)
+                    >= CAST(0.5 AS DOUBLE)
+            ), hs AS (
+              SELECT doc_id, i,
+                     min(CAST(('0x' || substr(md5(
+                       CAST(i AS VARCHAR) || '|' || shingle), 1, 8))
+                       AS BIGINT)) AS h
+              FROM ex, unnest(generate_series(0, 15)) AS t(i)
+              GROUP BY 1, 2
+            ), bnd AS (
+              SELECT doc_id, i // 4 AS bi,
+                     CAST(('0x' || substr(md5(array_to_string(
+                       list(h ORDER BY i), '|')), 1, 8)) AS BIGINT)
+                       AS bh
+              FROM hs GROUP BY doc_id, i // 4
+            ), cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bnd x JOIN bnd y
+                ON x.bi = y.bi AND x.bh = y.bh
+               AND x.doc_id < y.doc_id
+            ), m AS (
+              SELECT (SELECT count(*) FROM truth) AS n_truth,
+                     (SELECT count(*) FROM cand) AS n_cand,
+                     (SELECT count(*) FROM truth t JOIN cand c
+                        ON t.a = c.a AND t.b = c.b) AS n_hits
+            )
+            SELECT n_truth, n_cand, n_hits,
+                   CASE WHEN n_cand > 0 THEN
+                     floor(CAST(n_hits AS DOUBLE) / n_cand * 1e6
+                           + CAST(0.5 AS DOUBLE)) / 1e6 END
+                     AS "precision",
+                   CASE WHEN n_truth > 0 THEN
+                     floor(CAST(n_hits AS DOUBLE) / n_truth * 1e6
+                           + CAST(0.5 AS DOUBLE)) / 1e6 END AS recall
+            FROM m
         """,
         "dedup_clusters": """
             SELECT doc_id, doc_id - (doc_id % 9) AS cluster_id

@@ -765,3 +765,127 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("a", "b", "n_inter", "n_a", "containment")
     )
+
+
+def md5_minhash_lsh_candidates(
+    df: DataFrame,
+    col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Engine-portable MinHash-LSH candidate pairs: every hash is
+    md5-top-32 (minhash_i = min over shingles of md5(i|shingle)), so an
+    external engine can replay the candidate set bit-for-bit — unlike
+    minhash_lsh_pairs, whose murmur3 signatures are Spark-internal.
+
+    Same scale shape as the murmur3 path: one narrow shingle pass, k
+    minhash aggregates in ONE groupBy, a single (band_idx, band_hash)
+    self-join — candidates are bucket-local, never all-pairs. Returns
+    distinct (a, b) with a < b; NO estimated-similarity filter, because
+    the point of the raw candidate set is to measure the banding's own
+    recall (lsh_recall) before trusting it at corpus scale."""
+    rows = k // bands
+    sh = _shingles(df, col, n)
+
+    def _h(i: int):
+        return F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{i}")
+
+    sig = sh.groupBy("doc_id").agg(*[_h(i) for i in range(k)])
+    band_cols = [
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"h{b * rows + r}") for r in range(rows)],
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("bi", "bh")
+    )
+    lhs = banded.select(F.col("doc_id").alias("a"), "bi", "bh")
+    rhs = banded.select(F.col("doc_id").alias("b"), "bi", "bh")
+    return (
+        lhs.join(rhs, ["bi", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def lsh_recall(
+    df: DataFrame,
+    col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_df: int | None = 256,
+) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate set against
+    ground-truth n-gram Jaccard >= threshold pairs — the number a
+    100 TB user tunes (k, bands) by BEFORE committing to a full corpus
+    dedup (LSH can be value-exact on its chosen candidates yet
+    recall-poor on the corpus; this measures the banding itself).
+    Companion to similarity.ann_recall, which does the same for ANN.
+
+    Fully relational: truth and candidates are two bounded pair sets;
+    one full-outer join on (a, b) feeds a single aggregate computing
+    |truth|, |candidates| and |intersection| in one pass — no collect,
+    no second scan of either side. Ratios are fixed-point-rounded to
+    6dp so external engines agree. Returns one row
+    (n_truth, n_cand, n_hits, precision, recall)."""
+    truth = (
+        ngram_jaccard_pairs(df, col, n, threshold, max_df)
+        .select("a", "b")
+        .withColumn("t", F.lit(1))
+    )
+    cand = md5_minhash_lsh_candidates(df, col, n, k, bands).withColumn(
+        "c", F.lit(1)
+    )
+    j = truth.join(cand, ["a", "b"], "full_outer").select(
+        F.coalesce("t", F.lit(0)).alias("t"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    fp6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    return (
+        j.agg(
+            F.sum("t").cast("long").alias("n_truth"),
+            F.sum("c").cast("long").alias("n_cand"),
+            F.sum(F.col("t") * F.col("c")).cast("long").alias("n_hits"),
+        )
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            F.when(
+                F.col("n_cand") > 0,
+                fp6(F.col("n_hits") / F.col("n_cand")),
+            ).alias("precision"),
+            F.when(
+                F.col("n_truth") > 0,
+                fp6(F.col("n_hits") / F.col("n_truth")),
+            ).alias("recall"),
+        )
+    )

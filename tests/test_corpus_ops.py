@@ -837,3 +837,38 @@ def test_knn_join_multiprobe_and_self_exclusion(spark):
     out2 = knn_join(queries, corpus, k=3, planes=2, dim=None).collect()
     first = min(out2, key=lambda r: r.rank)
     assert (first.nbr_id, first.cosine) == (1, 1.0)
+
+
+def test_lsh_recall_semantics(spark):
+    # three exact twins (always bucket together => hits), one unrelated
+    # doc, and one low-overlap pair that must NOT enter the truth set
+    rows = []
+    for i, base in enumerate(
+        ["alpha beta gamma delta epsilon zeta eta theta",
+         "one two three four five six seven eight nine ten",
+         "red green blue yellow purple orange pink brown"]
+    ):
+        rows.append((i * 2, base))
+        rows.append((i * 2 + 1, base))  # exact twin: jaccard 1.0
+    rows.append((100, "totally unrelated words nothing shared here at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.lsh_recall(df, n=3, k=16, bands=4, threshold=0.5).first()
+    # identical signatures always collide in every band
+    assert out["n_truth"] == 3
+    assert out["n_hits"] == 3
+    assert out["recall"] == 1.0
+    # candidates may contain extra (non-truth) pairs but never miss twins
+    assert out["n_cand"] >= 3
+    assert out["precision"] <= 1.0
+
+
+def test_lsh_candidates_no_all_pairs(spark):
+    # disjoint-vocabulary docs share no shingles, hence no minhash
+    # collisions are guaranteed; the pair set must stay far below the
+    # all-pairs count and contain no self-pairs
+    rows = [(i, " ".join(f"tok{i}_{j}" for j in range(12))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.md5_minhash_lsh_candidates(df, n=3, k=16, bands=4)
+    got = pairs.collect()
+    assert all(r["a"] < r["b"] for r in got)
+    assert len(got) < 190  # 20*19/2 = all-pairs; LSH must not explode
