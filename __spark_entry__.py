@@ -44,6 +44,7 @@ from pathways2go_spark import dataops as DO
 from pathways2go_spark import multimodal as MM
 from pathways2go_spark import reports as RP
 from pathways2go_spark import similarity as SIM
+from pathways2go_spark import sketches as SK
 from pathways2go_spark import textops as TX
 from pathways2go_spark import vocab as V
 from pathways2go_spark.layout import layout as LAYOUT
@@ -2463,6 +2464,51 @@ def q_sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust clipping summary (sketches.winsorize): clamp
+    event values to the exact per-type [p1, p99] band and report the
+    band, the clip counts, and the winsorized mean — the outlier
+    treatment that keeps one fat-finger purchase from owning the mean.
+    Percentiles are exact (value-domain compression, no global sort);
+    every comparison is integer cents; the mean is rounded to the cent
+    identically in both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
+    wz = SK.winsorize(ev, "value", keys=["event_type"])
+    return (
+        wz.groupBy("event_type")
+        .agg(
+            (F.min("__lo") / F.lit(100.0)).alias("p01"),
+            (F.min("__hi") / F.lit(100.0)).alias("p99"),
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("__vi") < F.col("__lo")).cast("long")
+            ).alias("n_clipped_low"),
+            F.sum(
+                (F.col("__vi") > F.col("__hi")).cast("long")
+            ).alias("n_clipped_high"),
+            (
+                F.floor(
+                    F.sum("__clipped") / F.count("*") + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("mean_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty (textops.ngram_novelty): fraction of
+    a doc's distinct trigrams first seen (min doc_id) in that doc —
+    the freshness/memorization signal curriculum jobs rank by."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return TX.ngram_novelty(docs, n=3)
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day x event_type count matrix via native pivot. The pivot
     value list is EXPLICIT — without it Spark runs an extra
@@ -3061,6 +3107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_waiting_orders": q_tpch_waiting_orders,
         "tpch_dominant_supplier": q_tpch_dominant_supplier,
         "sim_centroid_outliers": q_sim_centroid_outliers,
+        "events_winsorize": q_events_winsorize,
+        "text_novelty": q_text_novelty,
     }
 
 
@@ -6589,6 +6637,65 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT label, vec_id, CAST(dist_i AS DOUBLE) / 1e12 AS dist
         FROM r WHERE rk <= 5 ORDER BY label, vec_id
+    """
+    sql["events_winsorize"] = """
+        WITH v AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + CAST(0.5 AS DOUBLE))
+                      AS BIGINT) AS vi
+          FROM events
+        ), hist AS (
+          SELECT event_type, vi, count(*) AS c FROM v GROUP BY 1, 2
+        ), cum AS (
+          SELECT event_type, vi, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY vi)
+                   AS cm,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM hist
+        ), pr AS (
+          SELECT event_type, pct, vi AS pv
+          FROM cum, (VALUES (1), (99)) p(pct)
+          WHERE cm >= greatest(1, (n * pct + 99) // 100)
+            AND cm - c < greatest(1, (n * pct + 99) // 100)
+        ), b AS (
+          SELECT event_type,
+                 min(CASE WHEN pct = 1 THEN pv END) AS lo,
+                 min(CASE WHEN pct = 99 THEN pv END) AS hi
+          FROM pr GROUP BY 1
+        )
+        SELECT v.event_type,
+               CAST(lo AS DOUBLE) / 100.0 AS p01,
+               CAST(hi AS DOUBLE) / 100.0 AS p99,
+               count(*) AS n,
+               CAST(sum(CASE WHEN vi < lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_low,
+               CAST(sum(CASE WHEN vi > hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_high,
+               floor(CAST(sum(least(greatest(vi, lo), hi)) AS DOUBLE)
+                     / count(*) + CAST(0.5 AS DOUBLE)) / 100.0
+                 AS mean_clipped
+        FROM v JOIN b USING (event_type)
+        GROUP BY 1, lo, hi
+        ORDER BY 1
+    """
+    sql["text_novelty"] = f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+        ), {_SHINGLE_CTE},
+        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        first_ AS (
+          SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY 1
+        )
+        SELECT ex.doc_id,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN ex.doc_id = first_doc THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_novel,
+               floor(CAST(sum(CASE WHEN ex.doc_id = first_doc THEN 1
+                                   ELSE 0 END) AS DOUBLE)
+                     / count(*) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6
+                 AS novelty
+        FROM ex JOIN first_ USING (shingle)
+        GROUP BY 1
     """
     sql["tpch_local_supplier"] = """
         WITH n AS (

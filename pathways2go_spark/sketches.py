@@ -521,3 +521,40 @@ def hll_distinct(
         per_key.select(*keys, "n_regs", zeros.alias("zeros"), s_scaled)
         .withColumn("hll_est", est6)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    keys: list[str],
+    lo_pct: int = 1,
+    hi_pct: int = 99,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key winsorization (robust clipping): clamp `col` to its
+    exact per-key [lo_pct, hi_pct] percentile band — the outlier
+    treatment metric pipelines apply before averaging anything (one
+    fat-finger value otherwise owns the mean).
+
+    Values are fixed-pointed by `scale` (default cents) so the
+    percentile probe and every comparison are integer-exact. Bounds
+    come from exact_quantiles (value-domain compression — no global
+    sort); they are key-bounded (two rows per key), so the join back
+    onto the fact broadcasts. Returns the input rows plus
+    (__vi, __lo, __hi, __clipped): the raw fixed-point value, both
+    bounds, and the clamped value — callers aggregate what they need."""
+    vi = F.floor(F.col(col) * scale + F.lit(0.5)).cast("long")
+    base = df.withColumn("__vi", vi)
+    q = exact_quantiles(base, "__vi", [lo_pct, hi_pct], keys=keys)
+    bounds = q.groupBy(*keys).agg(
+        F.min(F.when(F.col("pct") == lo_pct, F.col("value"))).alias(
+            "__lo"
+        ),
+        F.min(F.when(F.col("pct") == hi_pct, F.col("value"))).alias(
+            "__hi"
+        ),
+    )
+    return base.join(F.broadcast(bounds), keys).withColumn(
+        "__clipped",
+        F.least(F.greatest(F.col("__vi"), F.col("__lo")), F.col("__hi")),
+    )

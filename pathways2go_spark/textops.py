@@ -670,3 +670,44 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc"))
         .limit(k)
     )
+
+
+def ngram_novelty(df: DataFrame, col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct n-grams whose FIRST corpus occurrence (minimum doc_id) is
+    this document — the memorization/freshness signal curriculum and
+    crawl-prioritization jobs rank by (a doc of all-novel n-grams adds
+    new text; a doc of zero-novelty n-grams is assembled from seen
+    material).
+
+    Scale shape: two shingle-keyed shuffles (first-occurrence min, join
+    back) and one doc-keyed groupBy — every key is value-bounded, no
+    all-pairs, no collects; hub shingles cost a min() aggregate, not a
+    bucket explosion. Novelty is fixed-point-rounded to 6dp. Returns
+    (doc_id, n_grams, n_novel, novelty)."""
+    from pathways2go_spark.dedup import _shingles
+
+    sh = _shingles(df, col, n)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (
+                F.floor(
+                    F.col("n_novel") / F.col("n_grams") * 1e6
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("novelty"),
+        )
+    )

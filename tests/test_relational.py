@@ -681,3 +681,21 @@ def test_profile_columns_single_pass_census(spark):
     # re-scan (plan contains a single row of partial aggregates)
     plan = profile_columns(df, ["k", "s"])._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") == 1, plan
+
+
+def test_winsorize_bounds_and_clipping(spark):
+    from pathways2go_spark import sketches as SK
+
+    # key "a": values 1..100 (dollars); p1 = rank ceil(100*1/100)=1 -> 1.00
+    # p99 = rank 99 -> 99.00, so exactly one row clips on each side of
+    # the wider spread key; key "b" constant -> nothing clips
+    rows = [("a", float(i)) for i in range(1, 101)] + [("b", 5.0)] * 10
+    df = spark.createDataFrame(rows, "k string, v double")
+    wz = SK.winsorize(df, "v", keys=["k"])
+    a = wz.filter("k = 'a'")
+    assert a.filter("__vi < __lo").count() == 0  # p1 is the min here
+    assert a.filter("__vi > __hi").count() == 1  # only 100.0 > p99=99.0
+    got = a.agg(F.min("__lo"), F.min("__hi")).first()
+    assert (got[0], got[1]) == (100, 9900)  # cents
+    b = wz.filter("k = 'b'")
+    assert b.filter("__clipped <> __vi").count() == 0
