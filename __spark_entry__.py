@@ -2509,6 +2509,18 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.ngram_novelty(docs, n=3)
 
 
+def q_data_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation (dataops.budget_allocation)
+    at budget = half the corpus: small sources keep everything, big
+    sources clip to one shared integer cap — the fair-allocation rule
+    a mixture scheduler applies before downsampling dominant domains.
+    Oracle replays the exact integer water-fill."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", TX.token_count("text").alias("n_tokens")
+    )
+    return DO.budget_allocation(docs, 1, 2)
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day x event_type count matrix via native pivot. The pivot
     value list is EXPLICIT — without it Spark runs an extra
@@ -3109,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_centroid_outliers": q_sim_centroid_outliers,
         "events_winsorize": q_events_winsorize,
         "text_novelty": q_text_novelty,
+        "data_budget_alloc": q_data_budget_alloc,
     }
 
 
@@ -6696,6 +6709,37 @@ def oracle_sql() -> dict[str, str]:
                  AS novelty
         FROM ex JOIN first_ USING (shingle)
         GROUP BY 1
+    """
+    sql["data_budget_alloc"] = """
+        WITH t AS (
+          SELECT source,
+                 CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                      AS BIGINT) AS tokens
+          FROM documents GROUP BY 1
+        ), r AS (
+          SELECT source, tokens,
+                 (CAST(sum(tokens) OVER () AS BIGINT) * 1) // 2
+                   AS budget,
+                 row_number() OVER (ORDER BY tokens, source) AS i,
+                 count(*) OVER () AS m,
+                 CAST(coalesce(sum(tokens) OVER (
+                   ORDER BY tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS prefix
+          FROM t
+        ), marked AS (
+          SELECT *, (budget - prefix) // (m - i + 1) AS cand
+          FROM r
+        ), cap AS (
+          SELECT min_by(cand, i) AS cap FROM marked
+          WHERE tokens > cand
+        )
+        SELECT source, tokens,
+               CASE WHEN cap IS NOT NULL AND tokens > cap THEN cap
+                    ELSE tokens END AS alloc,
+               (cap IS NOT NULL AND tokens > cap) AS capped
+        FROM marked, cap
+        ORDER BY source
     """
     sql["tpch_local_supplier"] = """
         WITH n AS (

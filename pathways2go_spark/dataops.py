@@ -655,3 +655,85 @@ def distribution_drift(
         F.round(p * F.log(p / q), round_to).alias("kl_term"),
         F.round(F.abs(p - q) / F.lit(2.0), round_to).alias("tv_term"),
     )
+
+
+def budget_allocation(
+    df: DataFrame,
+    budget_frac_num: int,
+    budget_frac_den: int,
+    strata_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Water-filling token-budget allocation across strata: given a
+    global budget B = floor(total * num/den), find the uniform cap C
+    such that every stratum keeps min(tokens, C) — small strata keep
+    everything, big strata are clipped to the SAME ceiling — the
+    standard fair-allocation rule a mixture scheduler applies before
+    downsampling dominant domains.
+
+    Exact integer water-filling: strata sort ascending by token count;
+    for the i-th stratum the candidate cap is
+    (B - prefix_{i-1}) div (m - i + 1); the first stratum EXCEEDING its
+    candidate fixes C (everything before it is uncapped by
+    construction). If the budget covers the total, nothing is capped.
+
+    Scale shape: one map-side-combinable groupBy of the corpus to
+    per-stratum totals (stratum-bounded rows); the water-fill runs as
+    windows over that dim-sized frame — the corpus is scanned once and
+    never re-shuffled. All arithmetic is int64 (floor divisions), so
+    any engine reproduces the allocation bit-for-bit. Returns
+    (strata_col, tokens, alloc, capped)."""
+    totals = df.groupBy(strata_col).agg(
+        F.sum(tokens_col).cast("long").alias("tokens")
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("tokens", strata_col)
+    # true int64 arithmetic throughout (see `cand` note below)
+    budget = F.expr(
+        f"(total * {int(budget_frac_num)}) div {int(budget_frac_den)}"
+    ).cast("long")
+    ranked = totals.withColumn(
+        "total", F.sum("tokens").over(w_all)
+    ).select(
+        strata_col,
+        "tokens",
+        budget.alias("budget"),
+        F.row_number().over(w_ord).alias("i"),
+        F.count("*").over(w_all).alias("m"),
+        F.coalesce(
+            F.sum("tokens").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("prefix"),
+    )
+    # true int64 division (not floor-of-double): token totals at corpus
+    # scale exceed 2^53, where double division would drop precision
+    cand = F.expr("(budget - prefix) div (m - i + 1)").cast("long")
+    marked = ranked.withColumn("cand", cand).withColumn(
+        "over", (F.col("tokens") > F.col("cand")).cast("int")
+    )
+    # the cap is the candidate at the FIRST over-budget stratum; a
+    # one-row dim aggregate, broadcast back (null when budget >= total)
+    cap = marked.filter(F.col("over") == 1).agg(
+        F.min_by("cand", "i").alias("cap")
+    )
+    return (
+        marked.join(F.broadcast(cap))
+        .select(
+            strata_col,
+            "tokens",
+            F.when(
+                F.col("cap").isNotNull()
+                & (F.col("tokens") > F.col("cap")),
+                F.col("cap"),
+            )
+            .otherwise(F.col("tokens"))
+            .alias("alloc"),
+            (
+                F.col("cap").isNotNull()
+                & (F.col("tokens") > F.col("cap"))
+            ).alias("capped"),
+        )
+        .orderBy(strata_col)
+    )

@@ -374,3 +374,22 @@ def test_bench_heads_are_registered_queries():
     assert heads, "bench.py heads list not found"
     missing = [h for h in heads if h not in E.queries()]
     assert not missing, missing
+
+
+def test_budget_allocation_water_fill(spark):
+    from pathways2go_spark import dataops as DO
+
+    rows = (
+        [("small", 10)] + [("mid", 20)] + [("big", 1000)]
+    )
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    # budget = 1030 // 2 = 515: small+mid fit whole, big clips to 485
+    got = {r["source"]: r for r in DO.budget_allocation(df, 1, 2).collect()}
+    assert got["small"]["alloc"] == 10 and not got["small"]["capped"]
+    assert got["mid"]["alloc"] == 20 and not got["mid"]["capped"]
+    assert got["big"]["alloc"] == 485 and got["big"]["capped"]
+    assert sum(r["alloc"] for r in got.values()) == 515
+    # budget covers the corpus: nothing capped, allocation == tokens
+    full = {r["source"]: r for r in DO.budget_allocation(df, 2, 1).collect()}
+    assert all(not r["capped"] for r in full.values())
+    assert all(r["alloc"] == r["tokens"] for r in full.values())
