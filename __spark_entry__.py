@@ -2781,6 +2781,33 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_recall(corpus, n=3, k=16, bands=4, threshold=0.5)
 
 
+def q_dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding tuning curve (dedup.lsh_band_sweep): recall/precision at
+    bands = 2/4/8 from ONE md5-minhash signature pass over the same
+    80%-prefix-twin corpus as dedup_lsh_recall. Monotone in bands
+    (fewer rows per band -> higher collision odds): the whole
+    trade-off a 100 TB user picks the operating point from."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ln = F.greatest(
+        F.floor(F.size(toks) * 4 / 5).cast("int"), F.lit(1)
+    )
+    trunc = F.array_join(F.slice(toks, F.lit(1), ln), " ")
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + DOC_OFFSET).alias("doc_id"),
+            trunc.alias("text"),
+        )
+    )
+    return D.lsh_band_sweep(
+        corpus, n=3, k=16, bands_list=(2, 4, 8), threshold=0.5
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against the materialized bucketed MinHash
     signature store (dedup.write_minhash_index + dedup_against_index):
@@ -3095,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_containment": q_dedup_containment,
         "dedup_lsh_recall": q_dedup_lsh_recall,
+        "dedup_band_sweep": q_dedup_band_sweep,
         "kg_term_semsim": q_kg_term_semsim,
         "events_retention": q_events_retention,
         "text_chunks": q_text_chunks,
@@ -4594,6 +4622,80 @@ def oracle_sql() -> dict[str, str]:
                      floor(CAST(n_hits AS DOUBLE) / n_truth * 1e6
                            + CAST(0.5 AS DOUBLE)) / 1e6 END AS recall
             FROM m
+        """,
+        "dedup_band_sweep": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id + {DOC_OFFSET} AS doc_id,
+                     array_to_string(list_slice(
+                       string_split_regex(trim(text), '\\s+'), 1,
+                       greatest((len(string_split_regex(trim(text),
+                                 '\\s+')) * 4) // 5, 1)), ' ') AS text
+              FROM documents WHERE doc_id < 50
+            ), {_SHINGLE_CTE},
+            ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+            keep AS (
+              SELECT shingle FROM ex GROUP BY 1 HAVING count(*) <= 256
+            ), e2 AS (
+              SELECT ex.* FROM ex JOIN keep USING (shingle)
+            ), inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+              FROM e2 x JOIN e2 y USING (shingle)
+              WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+            ), truth AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON inter.a = sa.doc_id
+              JOIN sizes sb ON inter.b = sb.doc_id
+              WHERE CAST(n_inter AS DOUBLE)
+                    / (sa.sz + sb.sz - n_inter)
+                    >= CAST(0.5 AS DOUBLE)
+            ), hs AS (
+              SELECT doc_id, i,
+                     min(CAST(('0x' || substr(md5(
+                       CAST(i AS VARCHAR) || '|' || shingle), 1, 8))
+                       AS BIGINT)) AS h
+              FROM ex, unnest(generate_series(0, 15)) AS t(i)
+              GROUP BY 1, 2
+            ), bnd AS (
+              SELECT bb.b AS bands, doc_id, i // (16 // bb.b) AS bi,
+                     CAST(('0x' || substr(md5(array_to_string(
+                       list(h ORDER BY i), '|')), 1, 8)) AS BIGINT)
+                       AS bh
+              FROM hs, (VALUES (2), (4), (8)) bb(b)
+              GROUP BY bb.b, doc_id, i // (16 // bb.b)
+            ), cand AS (
+              SELECT DISTINCT x.bands, x.doc_id AS a, y.doc_id AS b
+              FROM bnd x JOIN bnd y
+                ON x.bands = y.bands AND x.bi = y.bi AND x.bh = y.bh
+               AND x.doc_id < y.doc_id
+            ), nt AS (
+              SELECT count(*) AS n_truth FROM truth
+            ), pb AS (
+              SELECT bands, count(*) AS n_cand,
+                     CAST(sum(CASE WHEN t.a IS NOT NULL THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_hits
+              FROM cand c LEFT JOIN truth t
+                ON c.a = t.a AND c.b = t.b
+              GROUP BY 1
+            ), dim AS (
+              SELECT * FROM (VALUES (2), (4), (8)) d(bands)
+            ), m AS (
+              SELECT dim.bands,
+                     coalesce(n_cand, 0) AS n_cand,
+                     coalesce(n_hits, 0) AS n_hits
+              FROM dim LEFT JOIN pb USING (bands)
+            )
+            SELECT m.bands, n_truth, n_cand, n_hits,
+                   CASE WHEN n_cand > 0 THEN
+                     floor(CAST(n_hits AS DOUBLE) / n_cand * 1e6
+                           + CAST(0.5 AS DOUBLE)) / 1e6 END
+                     AS "precision",
+                   CASE WHEN n_truth > 0 THEN
+                     floor(CAST(n_hits AS DOUBLE) / n_truth * 1e6
+                           + CAST(0.5 AS DOUBLE)) / 1e6 END AS recall
+            FROM m, nt ORDER BY m.bands
         """,
         "dedup_clusters": """
             SELECT doc_id, doc_id - (doc_id % 9) AS cluster_id

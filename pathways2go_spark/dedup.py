@@ -889,3 +889,130 @@ def lsh_recall(
             ).alias("recall"),
         )
     )
+
+
+def lsh_band_sweep(
+    df: DataFrame,
+    col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands_list: tuple[int, ...] = (2, 4, 8),
+    threshold: float = 0.5,
+    max_df: int | None = 256,
+) -> DataFrame:
+    """The banding TUNING CURVE: lsh_recall at several band counts from
+    ONE signature pass — more bands (fewer rows per band) means higher
+    recall and more junk candidates; this returns the whole trade-off
+    so a 100 TB user picks the operating point before the full run.
+
+    Scale shape: shingles and the k md5-minhashes are computed once
+    (the signature frame is persisted — doc-bounded, k ints per doc);
+    each band count is just one more projection + posexplode of that
+    frame, all unioned into a single (bands, band_idx, band_hash)
+    self-join. Truth pairs are computed once. Returns one row per band
+    count: (bands, n_truth, n_cand, n_hits, precision, recall)."""
+    for b in bands_list:
+        if k % b:
+            raise ValueError(f"bands {b} must divide k={k}")
+    sh = _shingles(df, col, n)
+
+    def _h(i: int):
+        return F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{i}")
+
+    sig = sh.groupBy("doc_id").agg(*[_h(i) for i in range(k)]).persist()
+
+    def _banded(b: int) -> DataFrame:
+        rows = k // b
+        band_cols = [
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{bi * rows + r}")
+                                for r in range(rows)
+                            ],
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias(f"band{bi}")
+            for bi in range(b)
+        ]
+        return sig.select(
+            F.lit(b).alias("bands"),
+            "doc_id",
+            F.posexplode(F.array(*band_cols)).alias("bi", "bh"),
+        )
+    banded = _banded(bands_list[0])
+    for b in bands_list[1:]:
+        banded = banded.unionByName(_banded(b))
+    lhs = banded.select("bands", F.col("doc_id").alias("a"), "bi", "bh")
+    rhs = banded.select("bands", F.col("doc_id").alias("b"), "bi", "bh")
+    cand = (
+        lhs.join(rhs, ["bands", "bi", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("bands", "a", "b")
+        .distinct()
+    )
+    truth = (
+        ngram_jaccard_pairs(df, col, n, threshold, max_df)
+        .select("a", "b")
+        .withColumn("t", F.lit(1))
+        .persist()
+    )
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    per_band = (
+        cand.join(truth, ["a", "b"], "left")
+        .groupBy("bands")
+        .agg(
+            F.count("*").cast("long").alias("n_cand"),
+            F.sum(F.coalesce("t", F.lit(0))).cast("long").alias(
+                "n_hits"
+            ),
+        )
+    )
+    # a band config with ZERO candidates must still report its row
+    dim = df.sparkSession.createDataFrame(
+        [(int(b),) for b in bands_list], "bands int"
+    )
+    per_band = dim.join(per_band, "bands", "left").select(
+        "bands",
+        F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+    )
+    fp6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    return (
+        per_band.join(F.broadcast(n_truth))
+        .select(
+            "bands",
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            F.when(
+                F.col("n_cand") > 0,
+                fp6(F.col("n_hits") / F.col("n_cand")),
+            ).alias("precision"),
+            F.when(
+                F.col("n_truth") > 0,
+                fp6(F.col("n_hits") / F.col("n_truth")),
+            ).alias("recall"),
+        )
+        .orderBy("bands")
+    )

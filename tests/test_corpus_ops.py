@@ -887,3 +887,21 @@ def test_ngram_novelty_first_vs_twin(spark):
     assert got[0]["novelty"] == 1.0 and got[0]["n_grams"] == 3
     assert got[1]["novelty"] == 0.0 and got[1]["n_novel"] == 0
     assert got[2]["novelty"] == 1.0
+
+
+def test_lsh_band_sweep_monotone_recall(spark):
+    # near-dup (not identical) twins: drop the last 2 of 10 tokens so
+    # jaccard ~ 0.75 — lossy territory where the curve must be monotone
+    rows = []
+    for i in range(8):
+        base = " ".join(f"w{i}_{j}" for j in range(10))
+        rows.append((i * 2, base))
+        rows.append((i * 2 + 1, " ".join(base.split()[:8])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.lsh_band_sweep(
+        df, n=3, k=16, bands_list=(2, 4, 8), threshold=0.5
+    ).collect()
+    assert [r["bands"] for r in out] == [2, 4, 8]
+    recalls = [r["recall"] for r in out]
+    assert recalls == sorted(recalls)  # more bands => never less recall
+    assert all(r["n_truth"] == 8 for r in out)
