@@ -2521,6 +2521,91 @@ def q_data_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DO.budget_allocation(docs, 1, 2)
 
 
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-transition matrix (first-order Markov estimate):
+    for every (prev_type, cur_type) pair, the transition count and
+    probability — the behavior model session-analysis and
+    next-event-prediction features start from.
+
+    Plan shape at scale: ONE keyed window (user, ts, event_id order)
+    produces the lagged pairs; counts fold in a map-side-combinable
+    groupBy over at most |types|^2 keys; the per-prev normalizer is a
+    window over that tiny frame. Probability is fixed-point-rounded
+    from exact integer counts."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("cur_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("prev_type"))
+    prob = F.floor(F.col("n") / tot * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    return pairs.select(
+        "prev_type", "cur_type", "n", prob.alias("prob")
+    ).orderBy("prev_type", "cur_type")
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: adjacent token bigrams ranked by pointwise
+    mutual information (min count 5, top 50) — the phrase-mining pass
+    vocabulary builders run before tokenizer training.
+
+    Plan shape at scale: one posexplode of lowered tokens feeds BOTH
+    the unigram and the (positional) bigram counts; totals are
+    aggregates of those count frames (token-domain-bounded, never the
+    corpus); PMI's argument assembles as a ratio of exact int64
+    products before ONE ln, rounded to 6dp so engines agree. Top-50
+    tie-broken lexicographically."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("pos", "tok"),
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n_tok = uni.agg(F.sum("c").cast("long").alias("n_tok"))
+    nxt = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"),
+        F.col("tok").alias("tok_b"),
+    )
+    big = (
+        toks.join(nxt, ["doc_id", "pos"])
+        .groupBy(F.col("tok").alias("a"), F.col("tok_b").alias("b"))
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    n_big = (
+        toks.groupBy("doc_id")
+        .agg((F.count("*") - 1).alias("nb"))
+        .agg(F.sum("nb").cast("long").alias("n_big"))
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") * F.col("n_tok") * F.col("n_tok"))
+            / (F.col("n_big") * F.col("c_a") * F.col("c_b"))
+        ),
+        6,
+    )
+    return (
+        big.join(ua, "a")
+        .join(ub, "b")
+        .join(F.broadcast(n_tok))
+        .join(F.broadcast(n_big))
+        .select("a", "b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(50)
+    )
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day x event_type count matrix via native pivot. The pivot
     value list is EXPLICIT — without it Spark runs an extra
@@ -3150,6 +3235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_winsorize": q_events_winsorize,
         "text_novelty": q_text_novelty,
         "data_budget_alloc": q_data_budget_alloc,
+        "events_markov": q_events_markov,
+        "text_collocations": q_text_collocations,
     }
 
 
@@ -6842,6 +6929,57 @@ def oracle_sql() -> dict[str, str]:
                (cap IS NOT NULL AND tokens > cap) AS capped
         FROM marked, cap
         ORDER BY source
+    """
+    sql["events_markov"] = """
+        WITH p AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev_type,
+                 event_type AS cur_type
+          FROM events
+        ), c AS (
+          SELECT prev_type, cur_type, count(*) AS n
+          FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT prev_type, cur_type, n,
+               floor(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY prev_type)
+                            AS DOUBLE) * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS prob
+        FROM c ORDER BY prev_type, cur_type
+    """
+    sql["text_collocations"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS tok,
+                 unnest(generate_series(0,
+                   len(string_split_regex(trim(lower(text)), '\\s+'))
+                   - 1)) AS pos
+          FROM documents
+        ), uni AS (
+          SELECT tok, count(*) AS c FROM toks GROUP BY 1
+        ), nt AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni
+        ), big AS (
+          SELECT x.tok AS a, y.tok AS b, count(*) AS c_ab
+          FROM toks x JOIN toks y
+            ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+          GROUP BY 1, 2 HAVING count(*) >= 5
+        ), nb AS (
+          SELECT CAST(sum(nbd) AS BIGINT) AS n_big
+          FROM (SELECT count(*) - 1 AS nbd FROM toks GROUP BY doc_id)
+        )
+        SELECT a, b, c_ab,
+               round(ln(CAST(c_ab * n_tok * n_tok AS DOUBLE)
+                        / CAST(n_big * ua.c * ub.c AS DOUBLE)), 6)
+                 AS pmi
+        FROM big
+        JOIN uni ua ON big.a = ua.tok
+        JOIN uni ub ON big.b = ub.tok
+        CROSS JOIN nt CROSS JOIN nb
+        ORDER BY pmi DESC, a, b
+        LIMIT 50
     """
     sql["tpch_local_supplier"] = """
         WITH n AS (
