@@ -407,6 +407,15 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RP.causal_triangles(_kg(spark)[0])
 
 
+def q_kg_node_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected causal
+    graph (reports.node_clustering): the node-level drill-down of
+    kg_triangles' global coefficient — which molecules sit inside
+    mutual-regulation cliques. Triangle corners credited via one
+    posexplode of the closed (a, b, c) rows; degree >= 2 only."""
+    return RP.node_clustering(_kg(spark)[0])
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-model weakly-connected components of the full KG edge graph
     (reports.kg_components over dedup.duplicate_clusters); oracle is a
@@ -2606,6 +2615,29 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, hour-of-day) exact P50/P95 value bands
+    (sketches.exact_quantiles, keys=[type, hr]) — the latency-band
+    dashboard shape. Value-domain compression: the only wide pass is
+    the (keys, cents)->count groupBy; the rank probe runs on the
+    compressed frame. Values fixed-pointed to cents."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("vi"),
+    )
+    q = SK.exact_quantiles(ev, "vi", [50, 95], keys=["event_type", "hr"])
+    return q.select(
+        "event_type",
+        "hr",
+        F.col("pct").cast("int").alias("pct"),
+        (F.col("value") / F.lit(100.0)).alias("band"),
+        "n",
+    ).orderBy("event_type", "hr", "pct")
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day x event_type count matrix via native pivot. The pivot
     value list is EXPLICIT — without it Spark runs an extra
@@ -3117,6 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_causal_formats": q_kg_causal_formats,
         "kg_causal_paths": q_kg_causal_paths,
         "kg_triangles": q_kg_triangles,
+        "kg_node_clustering": q_kg_node_clustering,
         "kg_components": q_kg_components,
         "kg_pagerank": q_kg_pagerank,
         "kg_chebi_usage": q_kg_chebi_usage,
@@ -3237,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_budget_alloc": q_data_budget_alloc,
         "events_markov": q_events_markov,
         "text_collocations": q_text_collocations,
+        "events_value_bands": q_events_value_bands,
     }
 
 
@@ -4368,6 +4402,42 @@ def oracle_sql() -> dict[str, str]:
                               THEN 3.0 * coalesce(tr.nt, 0) / w.n_wedges
                               ELSE 0.0 END, 6) AS clustering
             FROM ne JOIN w USING (model_id) LEFT JOIN tr USING (model_id)
+        """,
+        "kg_node_clustering": f"""
+            WITH e AS (
+              SELECT model_id, least(subj, obj) AS a,
+                     greatest(subj, obj) AS b
+              FROM '{tri}'
+              WHERE pred IN ('{rp_causal}') AND subj <> obj
+              GROUP BY 1, 2, 3
+            ),
+            deg AS (
+              SELECT model_id, node, count(*) AS d
+              FROM (SELECT model_id, a AS node FROM e
+                    UNION ALL SELECT model_id, b FROM e)
+              GROUP BY 1, 2
+            ),
+            corners AS (
+              SELECT e1.model_id,
+                     unnest([e1.a, e1.b, e2.b]) AS node
+              FROM e e1
+              JOIN e e2 ON e1.model_id = e2.model_id AND e1.b = e2.a
+              JOIN e e3 ON e3.model_id = e1.model_id
+                       AND e3.a = e1.a AND e3.b = e2.b
+            ),
+            tc AS (
+              SELECT model_id, node, count(*) AS n_tri FROM corners
+              GROUP BY 1, 2
+            )
+            SELECT deg.model_id, deg.node,
+                   CAST(d AS BIGINT) AS degree,
+                   CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+                   CASE WHEN coalesce(n_tri, 0) > 0 THEN
+                     floor(CAST(2 * n_tri AS DOUBLE) / (d * (d - 1))
+                           * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6
+                   ELSE 0.0 END AS coeff
+            FROM deg LEFT JOIN tc USING (model_id, node)
+            WHERE d >= 2
         """,
         "kg_causal_paths": f"""
             WITH RECURSIVE causal AS (
@@ -6980,6 +7050,31 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN nt CROSS JOIN nb
         ORDER BY pmi DESC, a, b
         LIMIT 50
+    """
+    sql["events_value_bands"] = """
+        WITH v AS (
+          SELECT event_type, hour(ts) AS hr,
+                 CAST(floor(value * 100 + CAST(0.5 AS DOUBLE))
+                      AS BIGINT) AS vi
+          FROM events
+        ), hist AS (
+          SELECT event_type, hr, vi, count(*) AS c
+          FROM v GROUP BY 1, 2, 3
+        ), cum AS (
+          SELECT event_type, hr, vi, c,
+                 sum(c) OVER (PARTITION BY event_type, hr
+                              ORDER BY vi) AS cm,
+                 sum(c) OVER (PARTITION BY event_type, hr) AS n
+          FROM hist
+        )
+        SELECT event_type, CAST(hr AS INT) AS hr,
+               CAST(pct AS INT) AS pct,
+               CAST(vi AS DOUBLE) / 100.0 AS band,
+               CAST(n AS BIGINT) AS n
+        FROM cum, (VALUES (50), (95)) p(pct)
+        WHERE cm >= greatest(1, (n * pct + 99) // 100)
+          AND cm - c < greatest(1, (n * pct + 99) // 100)
+        ORDER BY event_type, hr, pct
     """
     sql["tpch_local_supplier"] = """
         WITH n AS (

@@ -1011,3 +1011,72 @@ def motif_census(t: DataFrame) -> DataFrame:
             F.countDistinct("model_id").alias("n_models"),
         )
     )
+
+
+def node_clustering(t: DataFrame) -> DataFrame:
+    """Per-node LOCAL clustering coefficient over the undirected causal
+    graph — which specific molecules sit inside mutual-regulation
+    cliques (the node-level drill-down of causal_triangles' global
+    coefficient): c(v) = 2 * tri(v) / (d(v) * (d(v) - 1)).
+
+    Same canonical edge set and two-join triangle enumeration as
+    causal_triangles, every join keyed by (model_id, node); each closed
+    triangle credits its three corners via one posexplode (no second
+    enumeration pass). Only nodes with degree >= 2 (wedge-capable)
+    surface. Coefficient is fixed-point-rounded from exact integer
+    counts. Returns (model_id, node, degree, n_tri, coeff)."""
+    e = (
+        t.filter(F.col("pred").isin(CAUSAL_FAMILY))
+        .select(
+            "model_id",
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select("model_id", F.col("a").alias("node"))
+        .unionAll(e.select("model_id", F.col("b").alias("node")))
+        .groupBy("model_id", "node")
+        .agg(F.count("*").alias("degree"))
+    )
+    closing = e.select("model_id", "a", F.col("b").alias("c"))
+    tri = (
+        e.join(
+            e.select(
+                "model_id", F.col("a").alias("b"), F.col("b").alias("c")
+            ),
+            ["model_id", "b"],
+        )
+        .join(closing, ["model_id", "a", "c"])
+        .select(
+            "model_id",
+            F.explode(F.array("a", "b", "c")).alias("node"),
+        )
+        .groupBy("model_id", "node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    coeff = F.floor(
+        2 * F.col("n_tri")
+        / (F.col("degree") * (F.col("degree") - 1))
+        * 1e6
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, ["model_id", "node"], "left")
+        .withColumn(
+            "n_tri", F.coalesce(F.col("n_tri"), F.lit(0)).cast("long")
+        )
+        .select(
+            "model_id",
+            "node",
+            "degree",
+            "n_tri",
+            F.when(F.col("n_tri") > 0, coeff)
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )

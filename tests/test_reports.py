@@ -411,3 +411,33 @@ def test_kcore_cascading_peel_and_cooccur(spark):
     assert co[("GO_A", "GO_C")] == 1
     assert ("GO_B", "GO_C") not in co
     assert term_cooccurrence(ty, min_support=2).count() == 1
+
+
+def test_node_clustering_known_graph(spark):
+    from pathways2go_spark.reports import CAUSAL_FAMILY, node_clustering
+
+    p = CAUSAL_FAMILY[0]
+    rows = [
+        # m1: triangle a-b-c plus pendant c-d
+        ("m1", "a", p, "b"), ("m1", "b", p, "c"),
+        ("m1", "a", p, "c"), ("m1", "c", p, "d"),
+        # m2: wedge only — coefficients all zero at the center
+        ("m2", "x", p, "y"), ("m2", "y", p, "z"),
+    ]
+    t = spark.createDataFrame(rows, ["model_id", "subj", "pred", "obj"])
+    out = {
+        (r.model_id, r.node): r.asDict()
+        for r in node_clustering(t).collect()
+    }
+    # degree-1 node d is absent; a and b are fully clustered (deg 2,
+    # 1 triangle => c = 1.0); c has deg 3, 1 of 3 possible pairs closed
+    assert ("m1", "d") not in out
+    assert out[("m1", "a")]["coeff"] == 1.0
+    assert out[("m1", "b")]["coeff"] == 1.0
+    assert out[("m1", "c")]["degree"] == 3
+    assert out[("m1", "c")]["n_tri"] == 1
+    assert abs(out[("m1", "c")]["coeff"] - 0.333333) < 1e-9
+    # m2: only the wedge center y has degree >= 2; zero triangles
+    assert out[("m2", "y")]["n_tri"] == 0
+    assert out[("m2", "y")]["coeff"] == 0.0
+    assert ("m2", "x") not in out
