@@ -959,6 +959,23 @@ def q_media_feature_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level exact media dedup (multimodal.media_dedup): the
+    fixture's media table plus a '~dup'-suffixed twin of every row, so
+    each blob appears twice and the keeper is provably the original
+    (string order puts 'X' before 'X~dup'). Content-hash equality
+    needs no decode — codec-free and byte-exact."""
+    media = MM.media_table(_docs(spark)).select(
+        "doc_id", "media_ref", "payload"
+    )
+    twin = media.select(
+        F.concat(F.col("doc_id"), F.lit("~dup")).alias("doc_id"),
+        "media_ref",
+        "payload",
+    )
+    return MM.media_dedup(media.unionByName(twin)).orderBy("content_md5")
+
+
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over (event_type, hour-of-day): one pass emits
     the full lattice — per-cell, per-type, per-hour, and grand totals —
@@ -3271,6 +3288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov": q_events_markov,
         "text_collocations": q_text_collocations,
         "events_value_bands": q_events_value_bands,
+        "media_dedup": q_media_dedup,
     }
 
 
@@ -5328,6 +5346,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(s.media_ref) AS BIGINT) AS n_bytes
             FROM (SELECT doc_id, unnest(spans) AS s FROM '{docs}')
             WHERE s.media_ref <> ''
+        """,
+        "media_dedup": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     s.media_ref AS media_ref
+              FROM (SELECT doc_id, unnest(spans) AS s FROM '{docs}')
+              WHERE s.media_ref <> ''
+            ), m AS (
+              SELECT doc_id, media_ref FROM base
+              UNION ALL
+              SELECT doc_id || '~dup', media_ref FROM base
+            ), h AS (
+              SELECT doc_id, media_ref, md5(media_ref) AS content_md5,
+                     row_number() OVER (PARTITION BY md5(media_ref)
+                       ORDER BY doc_id, media_ref) AS rk
+              FROM m
+            )
+            SELECT content_md5, count(*) AS n_copies,
+                   count(DISTINCT doc_id) AS n_docs,
+                   min(CASE WHEN rk = 1 THEN doc_id END)
+                     AS keeper_doc,
+                   min(CASE WHEN rk = 1 THEN media_ref END)
+                     AS keeper_ref
+            FROM h GROUP BY 1 HAVING count(*) > 1
+            ORDER BY content_md5
         """,
         "events_hourly": """
             SELECT event_type,

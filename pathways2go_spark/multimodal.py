@@ -373,3 +373,37 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
         .filter((F.col("rank") - 1) % every_n == 0)
         .drop("rank")
     )
+
+
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact media dedup by content hash: the same blob embedded in many
+    documents (logos, stock images, re-posted clips) collapses to one
+    keeper — the asset-level counterpart of document dedup, and the
+    first pass any multimodal pipeline runs (content-hash equality
+    needs no decode, so it is codec-free and byte-exact).
+
+    One shuffle on md5(payload); the keeper is the (doc_id, media_ref)
+    minimum inside each hash group via a keyed window — deterministic
+    under retries. Returns one row per duplicated blob:
+    (content_md5, n_copies, n_docs, keeper_doc, keeper_ref)."""
+    from pyspark.sql import Window
+
+    h = media.select(
+        "doc_id", "media_ref", F.md5("payload").alias("content_md5")
+    )
+    w = Window.partitionBy("content_md5").orderBy("doc_id", "media_ref")
+    return (
+        h.withColumn("rk", F.row_number().over(w))
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "keeper_doc"
+            ),
+            F.min(F.when(F.col("rk") == 1, F.col("media_ref"))).alias(
+                "keeper_ref"
+            ),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

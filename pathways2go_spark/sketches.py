@@ -492,17 +492,38 @@ def hll_distinct(
     two corpora is one more groupBy, never a re-scan. Standard error is
     1.04/sqrt(m) ~ 1.6% at m = 4096."""
     keys = keys or []
+    return hll_estimate(hll_partials(df, col, keys), keys)
+
+
+def hll_partials(
+    df: DataFrame, col: str, keys: list[str] | None = None
+) -> DataFrame:
+    """The mergeable HLL register table (*keys, __reg, __mj) — at most
+    m rows per key regardless of cardinality. Two partials merge by
+    register-wise max (one more groupBy), which is what the streaming
+    fold relies on."""
+    keys = keys or []
     h = F.md5(F.col(col).cast("string"))
     reg = F.conv(F.substring(h, 1, HLL_P // 4), 16, 10).cast("int")
     w = F.conv(F.substring(h, HLL_P // 4 + 1, 8), 16, 10).cast("long")
     rho = F.when(w == 0, F.lit(33)).otherwise(
         F.lit(33) - F.length(F.bin(w))
     ).cast("int")
-    regs = (
+    return (
         df.select(*keys, reg.alias("__reg"), rho.alias("__rho"))
         .groupBy(*keys, "__reg")
         .agg(F.max("__rho").alias("__mj"))
     )
+
+
+def hll_estimate(
+    regs: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """The FFGM estimator over a register table (hll_partials output or
+    any register-wise-max merge of several): identical arithmetic to
+    hll_distinct's documented contract — exact int64 S, one IEEE
+    division, linear-counting fallback, floor-rounding."""
+    keys = keys or []
     per_key = regs.groupBy(*keys).agg(
         F.count("*").alias("n_regs"),
         F.sum(F.expr("shiftleft(1L, 33 - __mj)")).alias("s_present"),

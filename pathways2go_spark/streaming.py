@@ -411,3 +411,81 @@ def start_snapshot_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_hll_stream(
+    spark: SparkSession,
+    docs_path: str,
+    store_path: str,
+    checkpoint_dir: str,
+    col: str = "doc_id",
+    max_files_per_trigger: int = 8,
+):
+    """Streaming distinct-count over an unbounded document stream:
+    each micro-batch's HLL register partial (sketches.hll_partials)
+    folds into the persistent register state by register-wise max and
+    commits as a SELF-CONTAINED snapshot (parent=None) in the snapshot
+    store.
+
+    Why this shape at stream scale: the state is bounded by m = 4096
+    registers REGARDLESS of how long the stream runs (contrast the
+    dedup stream's seen-set, which needs a TTL), the fold is one
+    register-keyed groupBy over at most 2m rows, and exactly-once
+    comes for free from append_snapshot's manifest-last commit — a
+    replayed batch recomputes the identical merge (the fold reads only
+    snapshots <= its own batch id) and its commit no-ops. Restarting
+    the availableNow trigger resumes from the checkpoint, and
+    read_hll_stream() always equals batch hll_distinct over everything
+    committed so far."""
+    from pyspark.sql import functions as F
+
+    from .sinks import _read_manifests, append_snapshot
+    from .sketches import hll_partials
+
+    stream = read_document_stream(spark, docs_path, max_files_per_trigger)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = hll_partials(batch_df.select(col), col)
+        prior = [
+            m
+            for m in _read_manifests(spark, store_path)
+            if m["snapshot_id"] <= batch_id
+        ]
+        merged = partial
+        if prior:
+            latest = max(prior, key=lambda m: m["snapshot_id"])
+            prev = spark.read.parquet(latest["data_dir"])
+            merged = (
+                prev.unionByName(partial)
+                .groupBy("__reg")
+                .agg(F.max("__mj").alias("__mj"))
+            )
+        append_snapshot(
+            merged.select("__reg", "__mj"),
+            store_path,
+            snapshot_id=batch_id + 1,
+            parent=None,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_stream(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """Estimate from the stream's latest committed register state, or
+    None when no batch has committed yet (callers must handle None).
+    One bounded scan (<= m rows) + the shared FFGM estimator."""
+    from .sinks import _read_manifests
+    from .sketches import hll_estimate
+
+    ms = _read_manifests(spark, store_path)
+    if not ms:
+        return None
+    latest = max(ms, key=lambda m: m["snapshot_id"])
+    return hll_estimate(spark.read.parquet(latest["data_dir"]))

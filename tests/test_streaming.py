@@ -439,3 +439,51 @@ def test_stream_stream_join_matches_batch_and_exactly_once(
     assert {
         (r.user_id, r.l_id, r.r_id) for r in batch.collect()
     } == emitted()
+
+
+def test_hll_stream_equals_batch_and_exactly_once(
+    spark, documents, tmp_path_factory
+):
+    """Streaming HLL fold == batch hll_distinct over everything
+    streamed; a restart replays no batch (state unchanged) and a new
+    wave folds in; state stays bounded by m registers."""
+    from pathways2go_spark.sketches import HLL_M, hll_distinct
+    from pathways2go_spark.streaming import read_hll_stream, start_hll_stream
+
+    base = str(tmp_path_factory.mktemp("hll_stream"))
+    docs_dir = os.path.join(base, "docs")
+    store = os.path.join(base, "store")
+    ck = os.path.join(base, "ck")
+    os.makedirs(docs_dir)
+
+    ids = sorted(r.doc_id for r in documents.select("doc_id").collect())
+    half = ids[len(ids) // 2]
+    wave_a = documents.filter(documents.doc_id <= half)
+    wave_b = documents.filter(documents.doc_id > half)
+    wave_a.coalesce(1).write.parquet(os.path.join(docs_dir, "wave=a"))
+
+    q = start_hll_stream(
+        spark, f"{docs_dir}/wave=*", store, ck, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    est1 = read_hll_stream(spark, store).first()
+    batch1 = hll_distinct(wave_a.select("doc_id"), "doc_id").first()
+    assert est1["hll_est"] == batch1["hll_est"]
+
+    # restart with nothing new: no replays, identical state
+    q = start_hll_stream(
+        spark, f"{docs_dir}/wave=*", store, ck, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    assert read_hll_stream(spark, store).first()["hll_est"] == est1["hll_est"]
+
+    # second wave folds in; stream state == batch sketch of the union
+    wave_b.coalesce(1).write.parquet(os.path.join(docs_dir, "wave=b"))
+    q = start_hll_stream(
+        spark, f"{docs_dir}/wave=*", store, ck, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    est2 = read_hll_stream(spark, store).first()
+    full = hll_distinct(documents.select("doc_id"), "doc_id").first()
+    assert est2["hll_est"] == full["hll_est"]
+    assert est2["n_regs"] <= HLL_M
