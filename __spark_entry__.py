@@ -959,6 +959,34 @@ def q_media_feature_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A STREAMING operator under the full oracle gate: the fixture
+    corpus streams through start_hll_stream (per-micro-batch register
+    fold into the snapshot store, exactly-once), and the returned
+    estimate must hash-match the SQL replay of the whole HLL pipeline
+    over the same documents — the stream IS the batch answer, proven
+    by the oracle, not just by a unit test. Fresh store/checkpoint per
+    call; the streamed registers are bit-identical to batch partials
+    because the fold is register-wise max of md5-derived values."""
+    import os
+    import shutil
+    import tempfile
+
+    from pathways2go_spark import streaming as ST
+
+    base = tempfile.mkdtemp(prefix="p2g_stream_hll_")
+    docs_dir = os.path.join(base, "docs")
+    os.makedirs(docs_dir)
+    shutil.copy(_fx()["documents"], os.path.join(docs_dir, "part-0.parquet"))
+    store = os.path.join(base, "store")
+    ck = os.path.join(base, "ck")
+    q = ST.start_hll_stream(
+        spark, docs_dir, store, ck, col="doc_id", max_files_per_trigger=4
+    )
+    q.awaitTermination(300)
+    return ST.read_hll_stream(spark, store)
+
+
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asset-level exact media dedup (multimodal.media_dedup): the
     fixture's media table plus a '~dup'-suffixed twin of every row, so
@@ -3289,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "events_value_bands": q_events_value_bands,
         "media_dedup": q_media_dedup,
+        "stream_hll": q_stream_hll,
     }
 
 
@@ -6171,6 +6200,42 @@ def oracle_sql() -> dict[str, str]:
           FROM pk
         )
         SELECT l_returnflag, n_regs, zeros, s_scaled,
+               floor(CASE WHEN {HLL_NUM!r} / s_scaled <= {2.5 * HLL_M}
+                           AND zeros > 0
+                          THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
+                          ELSE {HLL_NUM!r} / s_scaled END * 1e6 + 0.5)
+                 / 1e6 AS hll_est
+        FROM est
+    """
+    # the streaming register fold must equal this batch replay exactly:
+    # same md5 slicing, same estimator, computed over the SAME fixture
+    # documents the stream consumed
+    sql["stream_hll"] = f"""
+        WITH h AS (
+          SELECT md5(CAST(doc_id AS VARCHAR)) AS h FROM '{docs}'
+        ), rr AS (
+          SELECT CAST(('0x' || substr(h, 1, 3))::BIGINT AS INT) AS reg,
+                 ('0x' || substr(h, 4, 8))::BIGINT AS w
+          FROM h
+        ), regs AS (
+          SELECT reg,
+                 max(CASE WHEN w = 0 THEN 33
+                     ELSE 33 - length(bin(w)) END) AS mj
+          FROM rr GROUP BY 1
+        ), pk AS (
+          SELECT count(*) AS n_regs,
+                 sum((1::BIGINT << (33 - mj))::BIGINT)::BIGINT
+                   AS s_present
+          FROM regs
+        ), est AS (
+          SELECT n_regs,
+                 CAST({HLL_M} - n_regs AS BIGINT) AS zeros,
+                 s_present
+                   + CAST({HLL_M} - n_regs AS BIGINT)
+                     * (1::BIGINT << 33) AS s_scaled
+          FROM pk
+        )
+        SELECT n_regs, zeros, s_scaled,
                floor(CASE WHEN {HLL_NUM!r} / s_scaled <= {2.5 * HLL_M}
                            AND zeros > 0
                           THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
