@@ -195,6 +195,9 @@ def main() -> None:
         # embedding centroid-outlier gate (posexplode + bounded groupBy)
         "tpch_profit", "tpch_waiting_orders", "events_anomaly",
         "sim_centroid_outliers",
+        # corpus-wide first-occurrence novelty (heaviest text op of the
+        # late batch), the 3-config banding sweep, exact winsorization
+        "text_novelty", "dedup_band_sweep", "events_winsorize",
     ]
     qs = E.queries()
     for name in heads:
