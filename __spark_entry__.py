@@ -987,6 +987,89 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.read_hll_stream(spark, store)
 
 
+def q_sim_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation probe: recall@10 of exact
+    cosine top-k computed on the FIRST d dims (d = 8/16/32) against the
+    full 64-dim top-k — the number that says how many dimensions a
+    cheaper first-pass index can drop. Same relational recall shape as
+    sim_ann_recall (join the two 10-row id sets, count); each truncated
+    pass is one narrow slice projection, no extra shuffle."""
+    q = _query_vec(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    full_ids = _rounded_topk(SIM.cosine_scores(emb, q), k=10).select(
+        "vec_id"
+    )
+    out = None
+    for d in (8, 16, 32):
+        te = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        ids = _rounded_topk(SIM.cosine_scores(te, q[:d]), k=10).select(
+            "vec_id"
+        )
+        branch = (
+            ids.join(full_ids, "vec_id")
+            .agg(F.count("*").alias("hits"))
+            .select(
+                F.lit(d).alias("dim"),
+                F.lit(10).cast("long").alias("k"),
+                "hits",
+                (F.col("hits") / 10.0).alias("recall"),
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("dim")
+
+
+def q_data_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew planning probe: for candidate shuffle widths N in
+    (8, 32, 128), bucket events by md5(user_id) % N and report the
+    bucket-occupancy skew factor (max/avg) — the pre-flight a 100 TB
+    job runs before sizing spark.sql.shuffle.partitions or choosing a
+    salting factor.
+
+    One scan: the candidate widths explode against each row's single
+    md5 hash, so all three censuses fold in one groupBy over at most
+    sum(N) keys. Skew is integer-assembled (max*N/rows) and
+    fixed-point-rounded."""
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16,
+            10,
+        )
+    ).cast("long")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        h.alias("h")
+    )
+    widths = F.explode(F.array(*[F.lit(n) for n in (8, 32, 128)]))
+    per_bucket = (
+        ev.select("h", widths.alias("n_parts"))
+        .groupBy("n_parts", (F.col("h") % F.col("n_parts")).alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    skew = F.floor(
+        F.col("max_rows") * F.col("n_parts") / F.col("n_rows") * 1e6
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        per_bucket.groupBy("n_parts")
+        .agg(
+            F.count("*").alias("n_buckets_used"),
+            F.max("c").alias("max_rows"),
+            F.sum("c").alias("n_rows"),
+        )
+        .select(
+            "n_parts",
+            "n_buckets_used",
+            "max_rows",
+            "n_rows",
+            skew.alias("skew"),
+        )
+        .orderBy("n_parts")
+    )
+
+
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asset-level exact media dedup (multimodal.media_dedup): the
     fixture's media table plus a '~dup'-suffixed twin of every row, so
@@ -3318,6 +3401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_bands": q_events_value_bands,
         "media_dedup": q_media_dedup,
         "stream_hll": q_stream_hll,
+        "sim_dim_truncation": q_sim_dim_truncation,
+        "data_skew_probe": q_data_skew_probe,
     }
 
 
@@ -6021,6 +6106,50 @@ def oracle_sql() -> dict[str, str]:
           FROM ({sql["sim_ann_ivfpq_topk"]}) a
           JOIN ({sql["sim_cosine_topk"]}) e USING (vec_id)
         ) ORDER BY method
+    """
+
+    def _trunc_topk(d: int) -> str:
+        sl = f"list_slice(e.embedding, 1, {d})"
+        dot_eq = _DOT.format(a=sl, b="q.qe")
+        dot_ee = _DOT.format(a=sl, b=sl)
+        dot_qq = _DOT.format(a="q.qe", b="q.qe")
+        return f"""
+          WITH q AS (SELECT list_slice(embedding, 1, {d}) AS qe
+                     FROM embeddings WHERE vec_id = 0)
+          SELECT e.vec_id,
+                 round({dot_eq}
+                       / (sqrt({dot_ee}) * sqrt({dot_qq})), 6) AS cosine
+          FROM embeddings e, q
+          ORDER BY cosine DESC, vec_id LIMIT 10
+        """
+
+    _trunc_branches = " UNION ALL ".join(
+        f"""SELECT CAST({d} AS INT) AS dim, CAST(10 AS BIGINT) AS k,
+                  count(*) AS hits, count(*) / 10.0 AS recall
+           FROM ({_trunc_topk(d)}) a
+           JOIN ({sql["sim_cosine_topk"]}) e USING (vec_id)"""
+        for d in (8, 16, 32)
+    )
+    sql["sim_dim_truncation"] = f"""
+        SELECT * FROM ({_trunc_branches}) ORDER BY dim
+    """
+    sql["data_skew_probe"] = """
+        WITH h AS (
+          SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) AS h
+          FROM events
+        ), pb AS (
+          SELECT n_parts, h % n_parts AS b, count(*) AS c
+          FROM h, (VALUES (8), (32), (128)) w(n_parts)
+          GROUP BY 1, 2
+        )
+        SELECT n_parts, count(*) AS n_buckets_used,
+               CAST(max(c) AS BIGINT) AS max_rows,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               floor(CAST(max(c) * n_parts AS DOUBLE)
+                     / CAST(sum(c) AS DOUBLE) * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS skew
+        FROM pb GROUP BY 1 ORDER BY 1
     """
     # Noctua layout oracle: the deterministic SemanticNoctuaLayout
     # re-expression (layout.py) as one recursive-CTE query. trunc() not
