@@ -1070,6 +1070,46 @@ def q_data_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (Delta/Hudi-style latest-wins upsert apply):
+    events read as a CDC stream keyed by user_id, ordered by
+    (ts, event_id), where 'error' rows are tombstones — the final
+    state keeps each key's latest change unless that change is a
+    delete. Distinct from SCD2 (validity intervals) and MERGE
+    (two-table): this is the log-to-snapshot compaction every
+    lakehouse table maintenance job runs.
+
+    One keyed window (row_number by seq desc) — no joins; the change
+    census rides the same shuffle. Integer counts, cent-exact value."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_changes",
+            F.count("*").over(Window.partitionBy("user_id")),
+        )
+        .filter((F.col("rk") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            (F.col("v_cents") / F.lit(100.0)).alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "n_changes",
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asset-level exact media dedup (multimodal.media_dedup): the
     fixture's media table plus a '~dup'-suffixed twin of every row, so
@@ -3403,6 +3443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": q_stream_hll,
         "sim_dim_truncation": q_sim_dim_truncation,
         "data_skew_probe": q_data_skew_probe,
+        "events_cdc": q_events_cdc,
     }
 
 
@@ -6150,6 +6191,24 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(sum(c) AS DOUBLE) * 1e6
                      + CAST(0.5 AS DOUBLE)) / 1e6 AS skew
         FROM pb GROUP BY 1 ORDER BY 1
+    """
+    sql["events_cdc"] = """
+        WITH r AS (
+          SELECT user_id, ts, event_type,
+                 CAST(floor(value * 100 + CAST(0.5 AS DOUBLE))
+                      AS BIGINT) AS v_cents,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rk,
+                 count(*) OVER (PARTITION BY user_id) AS n_changes
+          FROM events
+        )
+        SELECT user_id,
+               CAST(v_cents AS DOUBLE) / 100.0 AS last_value,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               CAST(n_changes AS BIGINT) AS n_changes
+        FROM r
+        WHERE rk = 1 AND event_type <> 'error'
+        ORDER BY user_id
     """
     # Noctua layout oracle: the deterministic SemanticNoctuaLayout
     # re-expression (layout.py) as one recursive-CTE query. trunc() not
