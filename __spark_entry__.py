@@ -1110,6 +1110,88 @@ def q_events_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_fanout_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion pre-flight: predict the output size of a
+    user_id self-join of events from the per-key census alone
+    (sum over keys of n^2) and attribute it — total predicted rows,
+    the top-5 contributing keys, and the share of the blow-up owned by
+    the top-5 (fixed-point) — the quadratic-hub detector a 100 TB job
+    runs BEFORE attempting a join that would explode, and the number a
+    salting factor is chosen from.
+
+    One map-side-combinable census groupBy, persisted (key-bounded,
+    two ints per key) so the top-5 TakeOrdered job and the totals
+    aggregate share it; NO global-window rank (a single-task sort of
+    the census would itself be the anti-pattern at a billion keys) —
+    TakeOrdered is a per-partition heap + driver merge of 5 rows. The
+    fact is scanned once and the probed join never executes."""
+    cen = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .withColumn("contrib", F.col("n") * F.col("n"))
+        .persist()
+    )
+    # deterministic hottest-key pick under contrib ties: max of
+    # (contrib, -user_id) lexicographically == smallest user_id among
+    # the max-contrib keys
+    hot = F.max(
+        F.struct(
+            F.col("contrib").alias("c"),
+            (-F.col("user_id")).alias("nu"),
+            F.col("n").alias("hn"),
+        )
+    )
+    top5 = (
+        cen.orderBy(F.col("contrib").desc(), F.col("user_id"))
+        .limit(5)
+        .agg(F.sum("contrib").alias("top5_rows"), hot.alias("h"))
+        .select(
+            "top5_rows",
+            (-F.col("h.nu")).alias("hottest_key"),
+            F.col("h.hn").alias("hottest_n"),
+        )
+    )
+    tot = cen.agg(
+        F.sum("contrib").alias("predicted_rows"),
+        F.count("*").alias("n_keys"),
+    )
+    share = F.floor(
+        F.col("top5_rows") / F.col("predicted_rows") * 1e6 + F.lit(0.5)
+    ) / F.lit(1e6)
+    return tot.join(F.broadcast(top5)).select(
+        "predicted_rows",
+        "n_keys",
+        "top5_rows",
+        share.alias("top5_share"),
+        "hottest_key",
+        "hottest_n",
+    )
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the 20 most common 3-event paths
+    (consecutive event-type trigrams per user, (ts, event_id) order) —
+    the sequence census funnel design starts from. Two lags over ONE
+    keyed window; the census groupBy is bounded by |types|^3.
+    Deterministic lexicographic tie-break."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("t1", F.lag("event_type", 2).over(w))
+        .withColumn("t2", F.lag("event_type", 1).over(w))
+        .filter(F.col("t1").isNotNull())
+        .groupBy(
+            "t1", "t2", F.col("event_type").alias("t3")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asset-level exact media dedup (multimodal.media_dedup): the
     fixture's media table plus a '~dup'-suffixed twin of every row, so
@@ -3444,6 +3526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_dim_truncation": q_sim_dim_truncation,
         "data_skew_probe": q_data_skew_probe,
         "events_cdc": q_events_cdc,
+        "join_fanout_probe": q_join_fanout_probe,
+        "events_top_paths": q_events_top_paths,
     }
 
 
@@ -6209,6 +6293,44 @@ def oracle_sql() -> dict[str, str]:
         FROM r
         WHERE rk = 1 AND event_type <> 'error'
         ORDER BY user_id
+    """
+    sql["join_fanout_probe"] = """
+        WITH cen AS (
+          SELECT user_id, count(*) AS n,
+                 count(*) * count(*) AS contrib
+          FROM events GROUP BY 1
+        ), t5 AS (
+          SELECT * FROM cen ORDER BY contrib DESC, user_id LIMIT 5
+        ), t AS (
+          SELECT CAST(sum(contrib) AS BIGINT) AS predicted_rows,
+                 count(*) AS n_keys
+          FROM cen
+        ), h AS (
+          SELECT CAST(sum(contrib) AS BIGINT) AS top5_rows FROM t5
+        ), hk AS (
+          SELECT user_id AS hottest_key, CAST(n AS BIGINT) AS hottest_n
+          FROM t5 ORDER BY contrib DESC, user_id LIMIT 1
+        )
+        SELECT predicted_rows, n_keys, top5_rows,
+               floor(CAST(top5_rows AS DOUBLE)
+                     / CAST(predicted_rows AS DOUBLE) * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS top5_share,
+               hottest_key, hottest_n
+        FROM t, h, hk
+    """
+    sql["events_top_paths"] = """
+        WITH p AS (
+          SELECT user_id,
+                 lag(event_type, 2) OVER w AS t1,
+                 lag(event_type, 1) OVER w AS t2,
+                 event_type AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT t1, t2, t3, count(*) AS n
+        FROM p WHERE t1 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n DESC, t1, t2, t3 LIMIT 20
     """
     # Noctua layout oracle: the deterministic SemanticNoctuaLayout
     # re-expression (layout.py) as one recursive-CTE query. trunc() not
