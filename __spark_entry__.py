@@ -416,6 +416,16 @@ def q_kg_node_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RP.node_clustering(_kg(spark)[0])
 
 
+def q_kg_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-filtered neighborhood-Jaccard node-pair similarity over the
+    undirected causal graph (reports.neighbor_jaccard): the classic
+    link-prediction primitive — molecules sharing regulation partners
+    are functional analogues even without a direct edge. The shared-
+    neighbor pivot join drops pivots with degree > hub_cap so one
+    corpus-wide hub can never fan out quadratically."""
+    return RP.neighbor_jaccard(_kg(spark)[0])
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-model weakly-connected components of the full KG edge graph
     (reports.kg_components over dedup.duplicate_clusters); oracle is a
@@ -3400,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_causal_paths": q_kg_causal_paths,
         "kg_triangles": q_kg_triangles,
         "kg_node_clustering": q_kg_node_clustering,
+        "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_components": q_kg_components,
         "kg_pagerank": q_kg_pagerank,
         "kg_chebi_usage": q_kg_chebi_usage,
@@ -4695,6 +4706,51 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0.0 END AS coeff
             FROM deg LEFT JOIN tc USING (model_id, node)
             WHERE d >= 2
+        """,
+        "kg_neighbor_jaccard": f"""
+            WITH e AS (
+              SELECT model_id, least(subj, obj) AS a,
+                     greatest(subj, obj) AS b
+              FROM '{tri}'
+              WHERE pred IN ('{rp_causal}') AND subj <> obj
+              GROUP BY 1, 2, 3
+            ),
+            adj AS (
+              SELECT model_id, a AS node, b AS nbr FROM e
+              UNION ALL
+              SELECT model_id, b AS node, a AS nbr FROM e
+            ),
+            deg AS (
+              SELECT model_id, node, count(*) AS d FROM adj GROUP BY 1, 2
+            ),
+            adj_f AS (
+              SELECT adj.model_id, adj.node, adj.nbr
+              FROM adj JOIN deg
+                ON adj.model_id = deg.model_id AND adj.nbr = deg.node
+              WHERE deg.d <= 64
+            ),
+            deg_f AS (
+              SELECT model_id, node, count(*) AS df
+              FROM adj_f GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT x.model_id, x.node AS node_a, y.node AS node_b,
+                     count(*) AS n_common
+              FROM adj_f x JOIN adj_f y
+                ON x.model_id = y.model_id AND x.nbr = y.nbr
+               AND x.node < y.node
+              GROUP BY 1, 2, 3
+            )
+            SELECT p.model_id, p.node_a, p.node_b,
+                   CAST(p.n_common AS BIGINT) AS n_common,
+                   floor(CAST(p.n_common AS DOUBLE)
+                         / (da.df + db.df - p.n_common)
+                         * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS jaccard
+            FROM pairs p
+            JOIN deg_f da ON da.model_id = p.model_id
+                         AND da.node = p.node_a
+            JOIN deg_f db ON db.model_id = p.model_id
+                         AND db.node = p.node_b
         """,
         "kg_causal_paths": f"""
             WITH RECURSIVE causal AS (

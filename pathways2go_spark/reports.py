@@ -1080,3 +1080,112 @@ def node_clustering(t: DataFrame) -> DataFrame:
             .alias("coeff"),
         )
     )
+
+
+def neighbor_jaccard(
+    t: DataFrame,
+    hub_cap: int = 64,
+    min_common: int = 1,
+) -> DataFrame:
+    """Structural node-pair similarity: Jaccard of causal neighborhoods
+    per model — the classic link-prediction / redundant-regulator
+    primitive (two molecules regulated by and regulating the same
+    partners are functional analogues even when no edge joins them
+    directly).
+
+    Semantics: over the same canonical undirected causal edge set as
+    node_clustering / causal_triangles, a node's neighborhood is its
+    adjacent nodes whose OWN degree is <= hub_cap ("hub-filtered
+    Jaccard"). Dropping hub pivots from BOTH the common count and the
+    per-node degrees keeps the measure self-consistent while bounding
+    the pair fan-out: a shared neighbor of degree d generates d*(d-1)/2
+    candidate pairs, so one corpus-wide hub (a ubiquitous small
+    molecule like ATP) would otherwise dominate the join quadratically.
+    At 100 TB the (model_id, pivot) equi-join fans out at most
+    hub_cap^2 rows per pivot — skew is capped by construction, not by
+    salting after the fact.
+
+    jaccard(x, y) = |N(x) & N(y)| / |N(x) | N(y)|
+                  = common / (deg(x) + deg(y) - common),
+    fixed-point rounded (1e-6) from exact integer counts so the value
+    hashes identically across engines.
+
+    Returns (model_id, node_a, node_b, n_common, jaccard) for pairs
+    with n_common >= min_common, node_a < node_b.
+    """
+    e = (
+        t.filter(F.col("pred").isin(CAUSAL_FAMILY))
+        .select(
+            "model_id",
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = e.select(
+        "model_id", F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(
+        e.select(
+            "model_id", F.col("b").alias("node"), F.col("a").alias("nbr")
+        )
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("model_id", "node").agg(F.count("*").alias("deg"))
+    # hub filter on the PIVOT side: drop neighbors whose own degree
+    # exceeds hub_cap, then recompute the filtered degrees both the
+    # numerator and denominator use
+    adj_f = adj.join(
+        deg.filter(F.col("deg") <= hub_cap).select(
+            "model_id", F.col("node").alias("nbr")
+        ),
+        ["model_id", "nbr"],
+    )
+    deg_f = adj_f.groupBy("model_id", "node").agg(
+        F.count("*").alias("deg_f")
+    )
+    pairs = (
+        adj_f.select(
+            "model_id", F.col("node").alias("node_a"), "nbr"
+        )
+        .join(
+            adj_f.select(
+                "model_id", F.col("node").alias("node_b"), "nbr"
+            ),
+            ["model_id", "nbr"],
+        )
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("model_id", "node_a", "node_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    jac = F.floor(
+        F.col("n_common")
+        / (F.col("da") + F.col("db") - F.col("n_common"))
+        * 1e6
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        pairs.join(
+            deg_f.select(
+                "model_id",
+                F.col("node").alias("node_a"),
+                F.col("deg_f").alias("da"),
+            ),
+            ["model_id", "node_a"],
+        )
+        .join(
+            deg_f.select(
+                "model_id",
+                F.col("node").alias("node_b"),
+                F.col("deg_f").alias("db"),
+            ),
+            ["model_id", "node_b"],
+        )
+        .select(
+            "model_id",
+            "node_a",
+            "node_b",
+            "n_common",
+            jac.alias("jaccard"),
+        )
+    )

@@ -441,3 +441,57 @@ def test_node_clustering_known_graph(spark):
     assert out[("m2", "y")]["n_tri"] == 0
     assert out[("m2", "y")]["coeff"] == 0.0
     assert ("m2", "x") not in out
+
+
+def test_neighbor_jaccard_known_graph(spark):
+    from pathways2go_spark.reports import CAUSAL_FAMILY, neighbor_jaccard
+
+    p = CAUSAL_FAMILY[0]
+    rows = [
+        # m1: star center h with leaves a,b,c  => every leaf pair shares
+        # exactly {h}; deg_f(leaf)=1 so jaccard = 1/(1+1-1) = 1.0
+        ("m1", "h", p, "a"), ("m1", "h", p, "b"), ("m1", "h", p, "c"),
+        # m1: a-b edge too: a and b are ALSO direct neighbors; their
+        # neighborhoods are {h,b} and {h,a} -> common {h}, j = 1/3
+        ("m1", "a", p, "b"),
+    ]
+    t = spark.createDataFrame(rows, ["model_id", "subj", "pred", "obj"])
+    out = {
+        (r.model_id, r.node_a, r.node_b): r.asDict()
+        for r in neighbor_jaccard(t).collect()
+    }
+    ab = out[("m1", "a", "b")]
+    assert ab["n_common"] == 1
+    assert abs(ab["jaccard"] - 0.333333) < 1e-9
+    ac = out[("m1", "a", "c")]
+    # N(a)={h,b}, N(c)={h} -> 1/(2+1-1) = 0.5
+    assert ac["n_common"] == 1 and abs(ac["jaccard"] - 0.5) < 1e-9
+    bc = out[("m1", "b", "c")]
+    assert bc["n_common"] == 1 and abs(bc["jaccard"] - 0.5) < 1e-9
+
+
+def test_neighbor_jaccard_hub_cap(spark):
+    """A pivot whose degree exceeds hub_cap is dropped from BOTH the
+    common counts and the filtered degrees — pairs that only share the
+    hub disappear, bounding the pivot fan-out by construction."""
+    from pathways2go_spark.reports import CAUSAL_FAMILY, neighbor_jaccard
+
+    p = CAUSAL_FAMILY[0]
+    rows = [("m1", "hub", p, f"n{i:02d}") for i in range(5)]
+    # plus one non-hub shared neighbor between n00 and n01
+    rows += [("m1", "n00", p, "w"), ("m1", "n01", p, "w")]
+    t = spark.createDataFrame(rows, ["model_id", "subj", "pred", "obj"])
+    out = {
+        (r.node_a, r.node_b): r.asDict()
+        for r in neighbor_jaccard(t, hub_cap=4).collect()
+    }
+    # hub has degree 5 > cap: the 10 hub-PIVOTED pairs are gone. What
+    # survives: n00-n01 (via pivot w, deg 2; hub-filtered degrees
+    # deg_f(n00) = deg_f(n01) = 1 = {w} -> jaccard 1.0), and hub-w
+    # (the hub as an ENDPOINT is still a node — its pair with w shares
+    # pivots n00 and n01: 2 / (5 + 2 - 2) = 0.4).
+    assert set(out) == {("n00", "n01"), ("hub", "w")}
+    assert out[("n00", "n01")]["n_common"] == 1
+    assert out[("n00", "n01")]["jaccard"] == 1.0
+    assert out[("hub", "w")]["n_common"] == 2
+    assert abs(out[("hub", "w")]["jaccard"] - 0.4) < 1e-9
