@@ -237,29 +237,35 @@ def kmv_set_ops(
         .filter(F.col("__rn") <= kk)
         .select("__side", "__h")
     )
-    # ≤ 2k rows from here on — every downstream op is sketch-bounded
+    # ≤ 2k rows from here on — every downstream op is sketch-bounded.
+    # Per-side stats are ZERO-KEY aggregates after the side filter (not
+    # a groupBy("__side") later refiltered): same one-row-per-side
+    # result — including the empty-side case, where n = 0 is filtered
+    # out and the cross join stays empty — but the 1-row bound is now
+    # structural in the physical plan, so tools/plan_audit.py can prove
+    # the downstream nested-loop joins are scalar broadcasts.
     full = F.lit(1 << 32).cast("long")
-    sides = kept.groupBy("__side").agg(
-        F.count("*").alias("n"), F.max("__h").alias("kth")
-    )
-    side_est = sides.select(
-        "__side",
-        "n",
-        F.when(F.col("n") < kk, F.col("n"))
-        .otherwise(F.expr(f"({kk - 1} * 4294967296L) div greatest(kth, 1L)"))
-        .alias("est"),
-        F.when(F.col("n") < kk, full).otherwise(F.col("kth")).alias("theta"),
-    )
-    a = side_est.filter(F.col("__side") == "a").select(
-        F.col("n").alias("n_a"),
-        F.col("est").alias("est_a"),
-        F.col("theta").alias("theta_a"),
-    )
-    b = side_est.filter(F.col("__side") == "b").select(
-        F.col("n").alias("n_b"),
-        F.col("est").alias("est_b"),
-        F.col("theta").alias("theta_b"),
-    )
+
+    def side_stats(side: str, suffix: str) -> DataFrame:
+        s = (
+            kept.filter(F.col("__side") == side)
+            .agg(F.count("*").alias("n"), F.max("__h").alias("kth"))
+            .filter(F.col("n") > 0)
+        )
+        return s.select(
+            F.col("n").alias(f"n_{suffix}"),
+            F.when(F.col("n") < kk, F.col("n"))
+            .otherwise(
+                F.expr(f"({kk - 1} * 4294967296L) div greatest(kth, 1L)")
+            )
+            .alias(f"est_{suffix}"),
+            F.when(F.col("n") < kk, full)
+            .otherwise(F.col("kth"))
+            .alias(f"theta_{suffix}"),
+        )
+
+    a = side_stats("a", "a")
+    b = side_stats("b", "b")
     thetas = a.crossJoin(b).withColumn(
         "theta", F.least("theta_a", "theta_b")
     )
