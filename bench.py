@@ -198,6 +198,9 @@ def main() -> None:
         # corpus-wide first-occurrence novelty (heaviest text op of the
         # late batch), the 3-config banding sweep, exact winsorization
         "text_novelty", "dedup_band_sweep", "events_winsorize",
+        # closing-session addition: neighborhood-Jaccard link
+        # prediction (hub-capped shared-neighbor pivot join)
+        "kg_neighbor_jaccard",
     ]
     qs = E.queries()
     for name in heads:
