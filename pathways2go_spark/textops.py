@@ -680,17 +680,23 @@ def ngram_novelty(df: DataFrame, col: str = "text", n: int = 3) -> DataFrame:
     new text; a doc of zero-novelty n-grams is assembled from seen
     material).
 
-    Scale shape: two shingle-keyed shuffles (first-occurrence min, join
-    back) and one doc-keyed groupBy — every key is value-bounded, no
-    all-pairs, no collects; hub shingles cost a min() aggregate, not a
-    bucket explosion. Novelty is fixed-point-rounded to 6dp. Returns
+    Scale shape: ONE shingle-keyed shuffle and one doc-keyed groupBy —
+    the first-occurrence mark is a window min over partitionBy(shingle)
+    rather than a groupBy + join-back, which would re-shuffle the full
+    shingle table a second time and materialize a first-doc side table
+    for no semantic gain. Every key is value-bounded, no all-pairs, no
+    collects; a hub shingle costs a min() over its one partition group
+    (same co-location the groupBy had), not a bucket explosion.
+    Novelty is fixed-point-rounded to 6dp. Returns
     (doc_id, n_grams, n_novel, novelty)."""
+    from pyspark.sql import Window
+
     from pathways2go_spark.dedup import _shingles
 
     sh = _shingles(df, col, n)
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("shingle"))
     return (
-        sh.join(first, "shingle")
+        sh.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
