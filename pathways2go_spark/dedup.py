@@ -32,14 +32,23 @@ def exact_duplicates(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
-def _shingles(df: DataFrame, col: str, n: int) -> DataFrame:
-    """(doc_id, shingle): distinct word n-grams."""
+def _gram_array(col: str, n: int):
+    """Column expression: the DISTINCT word n-grams of `col` as an
+    array — shared by _shingles (which explodes it) and narrow per-doc
+    counts (size() of it, no explode/shuffle needed)."""
     toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
     )
-    return df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    return F.array_distinct(grams)
+
+
+def _shingles(df: DataFrame, col: str, n: int) -> DataFrame:
+    """(doc_id, shingle): distinct word n-grams."""
+    return df.select(
+        "doc_id", F.explode(_gram_array(col, n)).alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(

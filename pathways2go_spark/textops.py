@@ -680,30 +680,35 @@ def ngram_novelty(df: DataFrame, col: str = "text", n: int = 3) -> DataFrame:
     new text; a doc of zero-novelty n-grams is assembled from seen
     material).
 
-    Scale shape: ONE shingle-keyed shuffle and one doc-keyed groupBy —
-    the first-occurrence mark is a window min over partitionBy(shingle)
-    rather than a groupBy + join-back, which would re-shuffle the full
-    shingle table a second time and materialize a first-doc side table
-    for no semantic gain. Every key is value-bounded, no all-pairs, no
-    collects; a hub shingle costs a min() over its one partition group
-    (same co-location the groupBy had), not a bucket explosion.
+    Scale shape — every aggregate map-side-combinable, no hub-key task:
+    a shingle's novelty credit goes to exactly ONE document (its min
+    doc_id), so n_novel is derivable from the first-occurrence census
+    alone — `min(doc_id) per shingle`, then `count per first_doc` —
+    with partial aggregation at both hops (a corpus-wide hub shingle
+    is min-combined inside each map task and crosses the wire as one
+    row per partition, never as a single reducer's row pile; the
+    earlier window/join formulations both funneled every row of a hub
+    shingle into one task). n_grams never shuffles at all — it is
+    size(array_distinct(grams)) computed narrowly per row, so the only
+    join is doc-keyed between that narrow projection and the census.
     Novelty is fixed-point-rounded to 6dp. Returns
     (doc_id, n_grams, n_novel, novelty)."""
-    from pyspark.sql import Window
-
-    from pathways2go_spark.dedup import _shingles
+    from pathways2go_spark.dedup import _gram_array, _shingles
 
     sh = _shingles(df, col, n)
-    first_doc = F.min("doc_id").over(Window.partitionBy("shingle"))
+    grams = df.select(
+        "doc_id", F.size(_gram_array(col, n)).cast("long").alias("n_grams")
+    )
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count("*").alias("n_novel"))
+        .withColumnRenamed("first_doc", "doc_id")
+    )
     return (
-        sh.withColumn("first_doc", first_doc)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(
-                (F.col("doc_id") == F.col("first_doc")).cast("long")
-            ).alias("n_novel"),
-        )
+        grams.join(novel, "doc_id", "left")
+        .withColumn("n_novel", F.coalesce(F.col("n_novel"), F.lit(0)))
         .select(
             "doc_id",
             "n_grams",
