@@ -426,6 +426,14 @@ def q_kg_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RP.neighbor_jaccard(_kg(spark)[0])
 
 
+def q_kg_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link-prediction index
+    (reports.resource_allocation): 1/deg-weighted shared-neighbor
+    evidence in integer micro-units — neighbor_jaccard's rare-partner-
+    weighted cousin, same hub-capped pivot join."""
+    return RP.resource_allocation(_kg(spark)[0])
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-model weakly-connected components of the full KG edge graph
     (reports.kg_components over dedup.duplicate_clusters); oracle is a
@@ -3411,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "kg_node_clustering": q_kg_node_clustering,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+        "kg_resource_alloc": q_kg_resource_alloc,
         "kg_components": q_kg_components,
         "kg_pagerank": q_kg_pagerank,
         "kg_chebi_usage": q_kg_chebi_usage,
@@ -4751,6 +4760,37 @@ def oracle_sql() -> dict[str, str]:
                          AND da.node = p.node_a
             JOIN deg_f db ON db.model_id = p.model_id
                          AND db.node = p.node_b
+        """,
+        "kg_resource_alloc": f"""
+            WITH e AS (
+              SELECT model_id, least(subj, obj) AS a,
+                     greatest(subj, obj) AS b
+              FROM '{tri}'
+              WHERE pred IN ('{rp_causal}') AND subj <> obj
+              GROUP BY 1, 2, 3
+            ),
+            adj AS (
+              SELECT model_id, a AS node, b AS nbr FROM e
+              UNION ALL
+              SELECT model_id, b AS node, a AS nbr FROM e
+            ),
+            deg AS (
+              SELECT model_id, node, count(*) AS d FROM adj GROUP BY 1, 2
+            ),
+            adj_f AS (
+              SELECT adj.model_id, adj.node, adj.nbr, deg.d AS w_deg
+              FROM adj JOIN deg
+                ON adj.model_id = deg.model_id AND adj.nbr = deg.node
+              WHERE deg.d <= 64
+            )
+            SELECT x.model_id, x.node AS node_a, y.node AS node_b,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   CAST(sum(CAST(floor(1000000.0 / x.w_deg) AS BIGINT))
+                        AS BIGINT) AS ra_micro
+            FROM adj_f x JOIN adj_f y
+              ON x.model_id = y.model_id AND x.nbr = y.nbr
+             AND x.node < y.node
+            GROUP BY 1, 2, 3
         """,
         "kg_causal_paths": f"""
             WITH RECURSIVE causal AS (

@@ -1189,3 +1189,77 @@ def neighbor_jaccard(
             jac.alias("jaccard"),
         )
     )
+
+
+def resource_allocation(
+    t: DataFrame,
+    hub_cap: int = 64,
+    min_common: int = 1,
+) -> DataFrame:
+    """Resource-allocation link-prediction index (Zhou/Lu/Zhang 2009)
+    over the undirected causal graph, per model: for a node pair, the
+    sum of 1/deg(w) over shared neighbors w — neighbor_jaccard's
+    discriminating cousin (a shared RARE partner is strong evidence of
+    functional analogy; a shared near-hub says little, and RA weights
+    them accordingly).
+
+    Same hub-capped pivot join as neighbor_jaccard (pivots above
+    hub_cap are dropped, bounding the pair fan-out by construction).
+    The index is computed in integer MICRO-UNITS — each pivot
+    contributes floor(1e6 / deg_f(w)) and the pair score is the exact
+    integer sum — so the result hashes identically across engines with
+    no float-summation order concerns.
+
+    Returns (model_id, node_a, node_b, n_common, ra_micro) for pairs
+    with n_common >= min_common, node_a < node_b.
+    """
+    e = (
+        t.filter(F.col("pred").isin(CAUSAL_FAMILY))
+        .select(
+            "model_id",
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = e.select(
+        "model_id", F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(
+        e.select(
+            "model_id", F.col("b").alias("node"), F.col("a").alias("nbr")
+        )
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("model_id", "node").agg(F.count("*").alias("deg"))
+    # pivot filter keeps the pivot's own (unfiltered) degree: RA weights
+    # by how many neighbors the shared partner spreads its "resource"
+    # across — that is its full adjacency, capped pivots only bound the
+    # join fan-out
+    adj_f = adj.join(
+        deg.filter(F.col("deg") <= hub_cap).select(
+            "model_id",
+            F.col("node").alias("nbr"),
+            F.col("deg").alias("w_deg"),
+        ),
+        ["model_id", "nbr"],
+    )
+    return (
+        adj_f.select(
+            "model_id", F.col("node").alias("node_a"), "nbr", "w_deg"
+        )
+        .join(
+            adj_f.select(
+                "model_id", F.col("node").alias("node_b"), "nbr"
+            ),
+            ["model_id", "nbr"],
+        )
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("model_id", "node_a", "node_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(F.floor(F.lit(1_000_000) / F.col("w_deg")))
+            .cast("long")
+            .alias("ra_micro"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )

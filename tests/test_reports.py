@@ -495,3 +495,29 @@ def test_neighbor_jaccard_hub_cap(spark):
     assert out[("n00", "n01")]["jaccard"] == 1.0
     assert out[("hub", "w")]["n_common"] == 2
     assert abs(out[("hub", "w")]["jaccard"] - 0.4) < 1e-9
+
+
+def test_resource_allocation_known_graph(spark):
+    """Star h->{a,b,c} plus a-b edge: pivot degrees weight the shared-
+    neighbor evidence, all in exact integer micro-units."""
+    from pathways2go_spark.reports import CAUSAL_FAMILY, resource_allocation
+
+    p = CAUSAL_FAMILY[0]
+    rows = [
+        ("m1", "h", p, "a"), ("m1", "h", p, "b"), ("m1", "h", p, "c"),
+        ("m1", "a", p, "b"),
+    ]
+    t = spark.createDataFrame(rows, ["model_id", "subj", "pred", "obj"])
+    out = {
+        (r.node_a, r.node_b): r.asDict()
+        for r in resource_allocation(t).collect()
+    }
+    # deg: h=3, a=2, b=2, c=1
+    # a-b share pivot h (deg 3): ra = floor(1e6/3) = 333333
+    assert out[("a", "b")]["n_common"] == 1
+    assert out[("a", "b")]["ra_micro"] == 333333
+    # a-c and b-c share h too -> same contribution
+    assert out[("a", "c")]["ra_micro"] == 333333
+    # a-h share pivot b (deg 2): 500000; b-h share a (deg 2): 500000
+    assert out[("a", "h")]["ra_micro"] == 500000
+    assert out[("b", "h")]["ra_micro"] == 500000
