@@ -247,3 +247,85 @@ def test_merge_virtual_matches_plain_chain(spark, script):
     # merge_virtual output is key-unique (set semantics)
     keys = [tuple(r) for r in actual.select(*cols[:4]).collect()]
     assert len(keys) == len(set(keys))
+
+
+# --------- link-prediction ops vs a pure-python reference ----------
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _py_link_scores(pairs, hub_cap):
+    """Independent pure-python recomputation of neighbor_jaccard and
+    resource_allocation over one model's canonical undirected edges."""
+    edges = {(f"n{min(a, b)}", f"n{max(a, b)}") for a, b in pairs if a != b}
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    ok_pivot = {v for v, d in deg.items() if d <= hub_cap}
+    nbr_f = {v: ns & ok_pivot for v, ns in adj.items()}
+    jac, ra = {}, {}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            common = nbr_f[x] & nbr_f[y]
+            if not common:
+                continue
+            import math
+
+            jac[(x, y)] = (
+                len(common),
+                math.floor(
+                    len(common)
+                    / (len(nbr_f[x]) + len(nbr_f[y]) - len(common))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6,
+            )
+            ra[(x, y)] = (
+                len(common),
+                sum(1_000_000 // deg[w] for w in common),
+            )
+    return jac, ra
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=EDGES, hub_cap=st.integers(1, 8))
+def test_link_prediction_matches_python_reference(spark, pairs, hub_cap):
+    """neighbor_jaccard and resource_allocation agree with a direct
+    python recomputation on arbitrary small graphs — including the
+    hub-cap boundary, which the golden fixture never exercises."""
+    from pathways2go_spark.reports import (
+        CAUSAL_FAMILY,
+        neighbor_jaccard,
+        resource_allocation,
+    )
+
+    p = CAUSAL_FAMILY[0]
+    rows = [
+        ("m", f"n{a}", p, f"n{b}") for a, b in pairs if a != b
+    ]
+    if not rows:
+        return
+    t = spark.createDataFrame(rows, ["model_id", "subj", "pred", "obj"])
+    want_jac, want_ra = _py_link_scores(pairs, hub_cap)
+    got_jac = {
+        (r.node_a, r.node_b): (r.n_common, r.jaccard)
+        for r in neighbor_jaccard(t, hub_cap=hub_cap).collect()
+    }
+    got_ra = {
+        (r.node_a, r.node_b): (r.n_common, r.ra_micro)
+        for r in resource_allocation(t, hub_cap=hub_cap).collect()
+    }
+    assert got_jac == want_jac
+    assert got_ra == want_ra
