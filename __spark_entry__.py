@@ -949,11 +949,16 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     prove their chosen candidates exact; this measures whether the
     candidates are the RIGHT ones, the number nprobe/planes are tuned
     by. Composed from the same proven query bodies, joined relationally."""
-    # the 10-row exact result feeds all three recall joins; pin it once
-    # so the full exact scan doesn't replay per union branch
-    exact = q_sim_cosine_topk(spark, sf_dir).select("vec_id").localCheckpoint(
-        eager=True
-    )
+    # the exact result feeds all three recall joins, and it is k=10 rows
+    # by construction — materialize it ONCE as a literal frame so the
+    # full exact-cosine scan runs exactly once per call and leaves no
+    # persisted state behind (an eager localCheckpoint here leaked
+    # checkpoint blocks across warm bench rounds: 7.2->8.4 s drift)
+    exact_ids = [
+        (r["vec_id"],)
+        for r in q_sim_cosine_topk(spark, sf_dir).select("vec_id").collect()
+    ]
+    exact = spark.createDataFrame(exact_ids, "vec_id long")
     lsh = q_sim_ann_lsh_topk(spark, sf_dir).select("vec_id")
     ivf = q_sim_ann_ivf_topk(spark, sf_dir).select("vec_id")
     pq = q_sim_ann_ivfpq_topk(spark, sf_dir).select("vec_id")

@@ -14,7 +14,7 @@ standard web-scale dedup pipelines:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -123,9 +123,28 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: signature -> band hashes -> bucket join
-    -> verify with signature agreement (estimated Jaccard)."""
+    -> verify with signature agreement (estimated Jaccard).
+
+    Bucket-size guard (the hub cap editdist_pairs/ngram_jaccard_pairs
+    already carry): a band bucket of B docs yields B^2/2 candidates
+    from the self-join, so a degenerate bucket — a mass-duplicated
+    boilerplate template, B=1e6 identical docs hashed into one band —
+    would emit 5e11 pairs before verification. Buckets with more than
+    max_bucket members therefore skip the all-pairs join and emit a
+    doc_id-ordered CHAIN instead (rank i joined to rank i+1): O(B)
+    candidates, and — because every member of a mass-duplicate bucket
+    is near-identical — the chain pairs all survive verification, so
+    downstream duplicate_clusters still sees the bucket as one
+    connected component. Recall cost, documented: within an over-cap
+    bucket, non-adjacent pairs are not emitted directly, and a chain
+    link between two genuinely dissimilar members (false-positive
+    co-occupants interleaved in a mixed hub bucket) can fail the
+    verify step and split the component; at max_bucket=256 that regime
+    only begins where all-pairs would already be intractable.
+    max_bucket=None disables the guard."""
     rows = k // bands
     sig = minhash_signatures(df, col, n, k).cache()
     band_cols = [
@@ -137,14 +156,49 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", F.posexplode(F.array(*band_cols)).alias("bi", "bh")
     )
-    lhs = banded.select(F.col("doc_id").alias("a"), "bi", "bh")
-    rhs = banded.select(F.col("doc_id").alias("b"), "bi", "bh")
-    cand = (
-        lhs.join(rhs, ["bi", "bh"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    if max_bucket is not None:
+        # one shuffle on (bi, bh) computes both the bucket size and the
+        # in-bucket rank; the per-bucket work is the O(B) sort, never
+        # the O(B^2) pair explosion
+        w = Window.partitionBy("bi", "bh")
+        banded = banded.select(
+            "doc_id",
+            "bi",
+            "bh",
+            F.count("*").over(w).alias("bsz"),
+            F.row_number().over(w.orderBy("doc_id")).alias("rk"),
+        )
+        small = banded.filter(F.col("bsz") <= max_bucket)
+        cand_small = (
+            small.select(F.col("doc_id").alias("a"), "bi", "bh")
+            .join(small.select(F.col("doc_id").alias("b"), "bi", "bh"), ["bi", "bh"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        big = banded.filter(F.col("bsz") > max_bucket)
+        cand_big = (
+            big.select(F.col("doc_id").alias("a"), "bi", "bh", "rk")
+            .join(
+                big.select(
+                    F.col("doc_id").alias("b"),
+                    "bi",
+                    "bh",
+                    (F.col("rk") - 1).alias("rk"),
+                ),
+                ["bi", "bh", "rk"],
+            )
+            .select("a", "b")
+        )
+        cand = cand_small.unionAll(cand_big).distinct()
+    else:
+        lhs = banded.select(F.col("doc_id").alias("a"), "bi", "bh")
+        rhs = banded.select(F.col("doc_id").alias("b"), "bi", "bh")
+        cand = (
+            lhs.join(rhs, ["bi", "bh"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
     sa = sig.select(F.col("doc_id").alias("a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
     sb = sig.select(F.col("doc_id").alias("b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
     agree = sum(

@@ -1206,9 +1206,11 @@ def resource_allocation(
     Same hub-capped pivot join as neighbor_jaccard (pivots above
     hub_cap are dropped, bounding the pair fan-out by construction).
     The index is computed in integer MICRO-UNITS — each pivot
-    contributes floor(1e6 / deg_f(w)) and the pair score is the exact
-    integer sum — so the result hashes identically across engines with
-    no float-summation order concerns.
+    contributes floor(1e6 / deg(w)), with deg(w) the pivot's FULL
+    unfiltered degree (the hub cap only bounds which pivots join, not
+    the weight they carry), and the pair score is the exact integer
+    sum — so the result hashes identically across engines with no
+    float-summation order concerns.
 
     Returns (model_id, node_a, node_b, n_common, ra_micro) for pairs
     with n_common >= min_common, node_a < node_b.

@@ -75,6 +75,48 @@ def test_ngram_jaccard_and_minhash_agree(spark):
     assert {(r["a"], r["b"]) for r in mh} == {("a", "b")}
 
 
+def test_minhash_lsh_bucket_cap(spark):
+    """A mass-duplicated template (B identical docs in one band bucket)
+    must not explode into B^2/2 candidates: over-cap buckets emit a
+    doc_id-ordered chain (B-1 pairs) that still keeps the bucket one
+    connected component, while under-cap buckets keep all-pairs."""
+    template = "identical boilerplate template text repeated verbatim in every copy"
+    n_dup = 40
+    rows = [(f"t{i:02d}", template) for i in range(n_dup)] + [
+        ("z1", "a genuinely unique document about something else entirely ok"),
+        ("z2", "another unrelated document with its own distinct words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.minhash_lsh_pairs(
+        df, k=32, bands=8, threshold=0.99, max_bucket=8
+    ).collect()
+    tpairs = {(r["a"], r["b"]) for r in capped if r["a"].startswith("t")}
+    # chain, not all-pairs: exactly B-1 links (every band yields the SAME
+    # sorted chain over identical docs, so the union stays B-1)
+    assert tpairs == {(f"t{i:02d}", f"t{i + 1:02d}") for i in range(n_dup - 1)}
+    assert all(abs(r["est_jaccard"] - 1.0) < 1e-9 for r in capped)
+    # connectivity: the chain spans all B template docs
+    seen = {d for p in tpairs for d in p}
+    assert len(seen) == n_dup
+    # no cross-contamination with the distinct docs
+    assert not any("z" in a or "z" in b for a, b in tpairs)
+    # uncapped control: the same corpus yields the full B^2/2 pair set
+    full = dedup.minhash_lsh_pairs(
+        df, k=32, bands=8, threshold=0.99, max_bucket=None
+    ).collect()
+    assert len({(r["a"], r["b"]) for r in full if r["a"].startswith("t")}) == (
+        n_dup * (n_dup - 1) // 2
+    )
+    # under-cap buckets are untouched: 3 dups with cap 8 -> all 3 pairs
+    small = spark.createDataFrame(
+        [(f"s{i}", template) for i in range(3)], ["doc_id", "text"]
+    )
+    sp = dedup.minhash_lsh_pairs(
+        small, k=32, bands=8, threshold=0.99, max_bucket=8
+    ).collect()
+    assert len(sp) == 3
+
+
 def test_simhash_near_pairs(spark):
     rows = [
         ("a", "alpha beta gamma delta epsilon zeta eta theta"),

@@ -8,12 +8,15 @@ order-insensitive values. Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",

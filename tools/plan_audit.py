@@ -38,9 +38,13 @@ otherwise.
 from __future__ import annotations
 
 import json
+import os
+import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
@@ -146,15 +150,39 @@ def classify_bnlj(plan: str) -> tuple[int, int]:
     (Project/Filter/Exchange/Sort/...). Joining a 1-row side multiplies
     the other side by exactly 1, so the join is shuffle-free constant
     work per row no matter which side Spark chose to broadcast. A
-    ReusedExchange child counts when the plan carries a scalar-marked
-    identity broadcast elsewhere (reuse implies the same subtree)."""
+    ReusedExchange child counts only when it provably references a
+    scalar-verified identity broadcast: matched by plan_id when the
+    tree carries them, else only when EVERY IdentityBroadcastMode
+    exchange in the plan is scalar-verified (so the reuse cannot point
+    at an unbounded one)."""
     lines = plan.splitlines()
     scalar = unbounded = 0
-    any_scalar_exchange = any(
-        "BroadcastExchange IdentityBroadcastMode" in lines[i]
-        and _is_scalar_subtree(lines, i, len(lines))
-        for i in range(len(lines))
-    )
+    # inventory of identity-broadcast exchanges: plan_ids of the
+    # scalar-verified ones, plus whether any non-scalar one exists
+    scalar_ids: set[str] = set()
+    has_scalar_identity = False
+    identity_all_scalar = True
+    for i in range(len(lines)):
+        if (
+            "BroadcastExchange IdentityBroadcastMode" in lines[i]
+            and "ReusedExchange" not in lines[i]
+        ):
+            if _is_scalar_subtree(lines, i, len(lines)):
+                has_scalar_identity = True
+                m = re.search(r"plan_id=(\d+)", lines[i])
+                if m:
+                    scalar_ids.add(m.group(1))
+            else:
+                identity_all_scalar = False
+
+    def _reuse_is_scalar(line: str) -> bool:
+        if "ReusedExchange" not in line or "IdentityBroadcastMode" not in line:
+            return False
+        m = re.search(r"plan_id=(\d+)", line)
+        if m and scalar_ids:
+            return m.group(1) in scalar_ids
+        return has_scalar_identity and identity_all_scalar
+
     for i, line in enumerate(lines):
         if "BroadcastNestedLoopJoin" not in line:
             continue
@@ -166,8 +194,8 @@ def classify_bnlj(plan: str) -> tuple[int, int]:
                 break
         kids = _children(lines, i, end)
         ok = any(_is_scalar_subtree(lines, k, end) for k in kids)
-        if not ok and any_scalar_exchange:
-            ok = any("ReusedExchange" in lines[k] for k in kids)
+        if not ok:
+            ok = any(_reuse_is_scalar(lines[k]) for k in kids)
         if ok:
             scalar += 1
         else:
