@@ -231,6 +231,24 @@ def q_kg_biopax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg_to_biopax(_kg(spark)[0], dims.onto_ancestors)
 
 
+def q_kg_biopax_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BioPAX RDF/XML front-end under the full oracle gate: the fixture
+    corpus is serialized to real BioPAX L3 RDF/XML (biopax_xml.
+    write_rdfxml — bp:Pathway/bp:BiochemicalReaction/bp:Catalysis/...,
+    the vocabulary paxtools reads at BioPaxtoGO.java:226-228), parsed
+    back through the distributed Arrow-batched parser (parse_rdfxml),
+    and run through the FULL pipeline. The result must hash-match the
+    independently hand-derived golden triples — proving RDF/XML-ingested
+    triples == span-ingested triples on the same topologies."""
+    from pathways2go_spark.biopax_xml import parse_rdfxml, write_rdfxml
+
+    paths = _fx()
+    docs = parse_rdfxml(write_rdfxml(read_documents(spark, paths["documents"])))
+    dims = load_dims(spark, KG_FIXTURE_DIR)
+    res = run_pipeline(spark, docs, dims)
+    return res.triples.select("model_id", "subj", "pred", "obj").distinct()
+
+
 def q_kg_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 structural validation: all checks must return zero violations
     on the final corpus (the reference's consistency gate)."""
@@ -3401,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ttl": q_kg_ttl,
         "kg_gpad_diff": q_kg_gpad_diff,
         "kg_biopax": q_kg_biopax,
+        "kg_biopax_ingest": q_kg_biopax_ingest,
         "kg_validation": q_kg_validation,
         "kg_unclassified": q_kg_unclassified,
         "kg_span_kind_counts": q_kg_span_kind_counts,
@@ -4194,6 +4213,9 @@ def oracle_sql() -> dict[str, str]:
         """
     sql = {
         "kg_triples": f"SELECT model_id, subj, pred, obj FROM '{tri}'",
+        # the XML round-trip must land on the same golden triples the
+        # span path is held to — one oracle, two front doors
+        "kg_biopax_ingest": f"SELECT model_id, subj, pred, obj FROM '{tri}'",
         "kg_merge": f"""
             WITH base AS (
               SELECT model_id, subj, pred, min(obj) AS obj

@@ -1,0 +1,142 @@
+"""BioPAX RDF/XML front-end tests: byte-exact round-trip, the golden
+P/R suite driven from the XML path (the test strategy of
+BioPaxtoGOTest.java:71-196 — parse real OWL, convert, compare
+triples), and foreign-file parsing without the fidelity hint."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathways2go_spark import biopax_xml as BX
+from pathways2go_spark.datagen import build_fixture, ensure_fixture
+from pathways2go_spark.dims import load_dims
+from pathways2go_spark.ingest import read_documents, span_invariant_violations
+from pathways2go_spark.pipeline import precision_recall, run_pipeline
+from tests.conftest import FIXTURE_DIR
+
+
+@pytest.fixture(scope="module")
+def fx_docs():
+    return build_fixture(replicas=1).docs
+
+
+def test_roundtrip_exact(fx_docs):
+    """parse(write(doc)) == doc byte-for-byte for every fixture doc —
+    kind, text, media_ref, offset, order (the span-sequence invariant)."""
+    for doc in fx_docs:
+        xml = BX.spans_to_rdfxml(doc["doc_id"], doc["spans"])
+        rid, rspans = BX.rdfxml_to_spans(xml)
+        assert rid == doc["doc_id"]
+        assert rspans == doc["spans"], doc["doc_id"]
+
+
+def test_xml_is_real_biopax_vocabulary(fx_docs):
+    """The emitted XML uses the BioPAX L3 namespace and class names the
+    reference's paxtools parser consumes — not a private encoding."""
+    doc = next(d for d in fx_docs if d["doc_id"].startswith("T1"))
+    xml = BX.spans_to_rdfxml(doc["doc_id"], doc["spans"])
+    assert BX.BP in xml
+    for cls in ("bp:Pathway", "bp:BiochemicalReaction", "bp:Catalysis",
+                "bp:Protein", "bp:SmallMolecule", "bp:ProteinReference",
+                "bp:UnificationXref", "bp:CellularLocationVocabulary",
+                "bp:BiochemicalPathwayStep"):
+        assert f"<{cls}" in xml, cls
+    # span values never leak into the fidelity hint (semantics live in
+    # BioPAX properties only; attrOrder is keys-only)
+    for m in re.finditer(r'p2g:attrOrder="([^"]*)"', xml):
+        assert "=" not in m.group(1)
+
+
+def test_spark_roundtrip_and_invariant(spark, documents):
+    """Distributed write->parse over the fixture documents table equals
+    the original rows, and the parsed table passes the span invariant."""
+    parsed = BX.parse_rdfxml(BX.write_rdfxml(documents))
+    assert span_invariant_violations(parsed).count() == 0
+    a = documents.select("doc_id", F.to_json("spans").alias("j"))
+    b = parsed.select("doc_id", F.to_json("spans").alias("j"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_golden_pr_from_xml_path(spark, tmp_path_factory):
+    """The full golden suite driven from OWL files on disk: write one
+    .owl per fixture doc, re-ingest through the distributed binaryFile
+    scan, run the pipeline, and require P/R == 1.0 against the same
+    hand-derived golden triples the span path is held to."""
+    paths = ensure_fixture(FIXTURE_DIR, replicas=1)
+    docs = read_documents(spark, paths["documents"])
+    owl_dir = str(tmp_path_factory.mktemp("owl"))
+    n = BX.write_rdfxml_files(docs, owl_dir)
+    assert n == docs.count()
+    xml_docs = BX.read_rdfxml(spark, owl_dir)
+    dims = load_dims(spark, FIXTURE_DIR)
+    res = run_pipeline(spark, xml_docs, dims)
+    expected = spark.read.parquet(paths["expected_triples"])
+    pr = precision_recall(res.triples, expected)
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
+
+
+def test_foreign_file_without_hint(spark):
+    """A hand-written BioPAX file (no p2g attrs, shared references by
+    rdf:resource, paxtools-style) parses into usable spans."""
+    xml = f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="{BX.RDF}" xmlns:bp="{BX.BP}">
+ <bp:Pathway rdf:about="#p1">
+  <bp:displayName>foreign pathway</bp:displayName>
+  <bp:pathwayComponent rdf:resource="#r1"/>
+ </bp:Pathway>
+ <bp:Protein rdf:about="#e1">
+  <bp:displayName>kinase</bp:displayName>
+  <bp:entityReference>
+   <bp:ProteinReference rdf:about="#pr1">
+    <bp:xref>
+     <bp:UnificationXref rdf:about="#x1">
+      <bp:db>uniprot</bp:db><bp:id>P12345</bp:id>
+     </bp:UnificationXref>
+    </bp:xref>
+   </bp:ProteinReference>
+  </bp:entityReference>
+  <bp:cellularLocation>
+   <bp:CellularLocationVocabulary rdf:about="#cl1">
+    <bp:term>cytosol</bp:term>
+   </bp:CellularLocationVocabulary>
+  </bp:cellularLocation>
+ </bp:Protein>
+ <bp:Protein rdf:about="#e2">
+  <bp:displayName>substrate</bp:displayName>
+  <bp:entityReference rdf:resource="#pr1"/>
+  <bp:cellularLocation rdf:resource="#cl1"/>
+ </bp:Protein>
+ <bp:BiochemicalReaction rdf:about="#r1">
+  <bp:conversionDirection>LEFT-TO-RIGHT</bp:conversionDirection>
+  <bp:eCNumber>2.7.11.1</bp:eCNumber>
+  <bp:left rdf:resource="#e1"/>
+  <bp:right rdf:resource="#e2"/>
+ </bp:BiochemicalReaction>
+ <bp:Catalysis rdf:about="#c1">
+  <bp:controlType>ACTIVATION</bp:controlType>
+  <bp:controller rdf:resource="#e1"/>
+  <bp:controlled rdf:resource="#r1"/>
+  <bp:comment>activeUnit: #e1</bp:comment>
+ </bp:Catalysis>
+</rdf:RDF>"""
+    doc_id, spans = BX.rdfxml_to_spans(xml, doc_id="foreign1")
+    by_kind = {}
+    for s in spans:
+        by_kind.setdefault(s["kind"], []).append(s["text"])
+    assert "components=r1" in by_kind["pathway"][0]
+    assert "uniprot=P12345" in by_kind["protein"][0]
+    # shared (rdf:resource) reference and location resolve on e2
+    assert "uniprot=P12345" in by_kind["protein"][1]
+    assert "location=cytosol" in by_kind["protein"][1]
+    assert "ecNumbers=2.7.11.1" in by_kind["reaction"][0]
+    assert "left=e1" in by_kind["reaction"][0]
+    ctl = by_kind["control"][0]
+    assert "type=CATALYSIS" in ctl and "activeUnitRef=e1" in ctl
+    # offsets follow the cumulative rule
+    off = 0
+    for s in spans:
+        assert s["offset"] == off
+        off += len(s["text"]) + 1
