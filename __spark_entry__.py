@@ -259,6 +259,20 @@ def q_kg_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(t, dims.onto_ancestors)
 
 
+def q_kg_shex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShEx shape validation (shex.shex_summary): the go-cam-shapes
+    invariants the reference's release gate checks via Minerva
+    (`Makefile validate:` -> minerva-cli --shex go-cam-shapes-edited;
+    scripts/readable_shex_report.py), re-expressed as DataFrame
+    checks. The golden corpus must conform: one row per check, all
+    zero — the oracle pins both the check inventory and the counts.
+    Seeded-violation behavior is unit-tested (tests/test_shex.py)."""
+    from pathways2go_spark.shex import shex_summary
+
+    dims = load_dims(spark, KG_FIXTURE_DIR)
+    return shex_summary(_kg(spark)[0], dims.onto_ancestors)
+
+
 def q_kg_unclassified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6: per-model count of nodes with no GO/CHEBI-rooted type."""
     dims = load_dims(spark, KG_FIXTURE_DIR)
@@ -3421,6 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_biopax": q_kg_biopax,
         "kg_biopax_ingest": q_kg_biopax_ingest,
         "kg_validation": q_kg_validation,
+        "kg_shex": q_kg_shex,
         "kg_unclassified": q_kg_unclassified,
         "kg_span_kind_counts": q_kg_span_kind_counts,
         "kg_span_invariant": q_kg_span_invariant,
@@ -4266,8 +4281,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.model_id
         """,
         "kg_validation": """
-            SELECT '' AS "check", '' AS model_id, '' AS node, '' AS pred
+            SELECT '' AS "check", '' AS model_id, '' AS node, '' AS pred,
+                   '' AS detail
             WHERE false
+        """,
+        "kg_shex": """
+            SELECT "check", CAST(0 AS BIGINT) AS n_violations
+            FROM (VALUES ('enabled_by_max1'), ('enabled_by_physical'),
+                         ('occurs_in_cc'), ('occurs_in_max1'),
+                         ('part_of_bp'), ('causal_occurrents'),
+                         ('io_physical'), ('sm_regulator_chemical'),
+                         ('interacts_physical')) AS t("check")
         """,
         "kg_gpad": gpad_sql,
         "kg_gpad_diff": f"""

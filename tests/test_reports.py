@@ -49,6 +49,43 @@ def test_validation_clean(result):
     assert rows == [], rows[:20]
 
 
+def test_validation_explanations(spark, result):
+    """A seeded inconsistency yields its explaining edge set: the
+    violation row's detail names the offending edge, its endpoints and
+    the emitting rule — the renderExplanation surface
+    (BioPaxtoGO.java:642-676) in tabular form."""
+    res, dims = result
+    m = res.triples.first()["model_id"]
+    seeded = spark.createDataFrame(
+        [
+            # dangling edge: object never typed; rule provenance carried
+            (m, "seedR", "type", V.MOLECULAR_EVENT, V.ECO_IMPORTED, "seed_t"),
+            (m, "seedR", V.HAS_INPUT, "seed_ghost", V.ECO_IMPORTED, "seed_a18"),
+            # disjointness clash: one node typed in both MF and BP
+            (m, "seedX", "type", V.MF_ROOT, V.ECO_IMPORTED, "seed_mf"),
+            (m, "seedX", "type", V.BP_ROOT, V.ECO_IMPORTED, "seed_bp"),
+            # evidence-less edge
+            (m, "seedR", V.HAS_OUTPUT, "seedX", None, "seed_b1"),
+        ],
+        ["model_id", "subj", "pred", "obj", "evidence", "rule"],
+    )
+    t = res.triples.select(*seeded.columns).unionByName(seeded)
+    bad = validate(t, dims.onto_ancestors).collect()
+    by_check = {}
+    for r in bad:
+        by_check.setdefault(r["check"], []).append(r)
+    dang = [r for r in by_check["dangling_edge_endpoint"]
+            if r["node"] == "seed_ghost"]
+    assert dang and "seedR" in dang[0]["detail"]
+    assert "rule seed_a18" in dang[0]["detail"]
+    clash = [r for r in by_check["mf_bp_overlap"] if r["node"] == "seedX"]
+    assert clash
+    assert V.MF_ROOT in clash[0]["detail"] and V.BP_ROOT in clash[0]["detail"]
+    assert "seed_mf" in clash[0]["detail"] and "seed_bp" in clash[0]["detail"]
+    noev = [r for r in by_check["missing_evidence"] if r["node"] == "seedR"]
+    assert noev and "rule seed_b1" in noev[0]["detail"]
+
+
 def test_gpad_compare_statuses(spark):
     """K4b diff: overlap / missing / extra classification + the
     reference's gene-id-present split for missing rows."""
