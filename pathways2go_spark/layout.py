@@ -163,22 +163,30 @@ def layout(triples: DataFrame, max_depth: int = MAX_DEPTH) -> DataFrame:
     annotation literals; here they are a table, java :63-64, :188-189,
     :244-245)."""
     pathways, _ = _pathway_functions(triples)
-    cls = classify(triples)
-    causal = _causal_edges(triples)
+    # The seven layout parts below all branch off `cls`/`causal`/`reach`.
+    # Left virtual, every branch re-expands the whole classify/edge subtree
+    # into the final plan (~276 exchanges, 106 re-scans at audit);
+    # materializing these reaction-bounded tables once turns the plan
+    # into unions over leaves (<60 exchanges) and keeps Catalyst
+    # analysis cost flat however deep the corpus' models are.
+    cls = classify(triples).localCheckpoint(eager=True)
+    causal = _causal_edges(triples).localCheckpoint(eager=True)
 
     flags = cls.groupBy("model_id").agg(
         F.max((F.col("klass") == "root").cast("int")).alias("has_roots"),
         F.max((F.col("klass") == "member").cast("int")).alias("has_members"),
         F.sum((F.col("klass") == "island").cast("int")).alias("n_islands"),
     )
-    cls = cls.join(flags, "model_id")
+    cls = cls.join(flags, "model_id").localCheckpoint(eager=True)
 
     mw = Window.partitionBy("model_id")
 
     # ---- rooted models: horizontal chains --------------------------------
     rooted = cls.filter(F.col("has_roots") == 1)
     roots = rooted.filter(F.col("klass") == "root").select("model_id", "node")
-    reach = _reach_from_roots(roots, causal, max_depth)
+    reach = _reach_from_roots(roots, causal, max_depth).localCheckpoint(
+        eager=True
+    )
     chain = (
         rooted.filter(F.col("klass") != "island")
         .join(reach, ["model_id", "node"], "left")

@@ -136,6 +136,11 @@ def _stage_b_distributed(
     # base alone and the key-uniqueness invariant is preserved.)
     if checkpoint and sum(census.values()) > 1_000_000:
         vt = B.VTriples(ck(vt.base), vt.adds)
+    # B4 hot-type salt rides the same size routing: only mega inputs
+    # can put enough rows on one (model, reaction, type) key to matter,
+    # and only there is the salt-x replication of the small per-reaction
+    # type tables worth paying (see b4_b5_delta docstring).
+    b4_salt = 16 if sum(census.values()) > 1_000_000 else None
     # B4/B5 + B6 superstep: B6 matches only inv-reg edges and regulator-
     # node types, which the B4/B5 delta never adds or deletes (it touches
     # causally_upstream / provides_input / directly_regulates edges
@@ -158,7 +163,7 @@ def _stage_b_distributed(
     run_b6 = has_reg
     if run_b6:
         (d45,), (d6, audit) = B.par(
-            lambda: (B.b4_b5_delta(t2, dims, ck=ck),),
+            lambda: (B.b4_b5_delta(t2, dims, ck=ck, salt=b4_salt),),
             lambda: B.b6_delta(t2, dims, ck=ck),
         )
         vt = B.apply_delta_v(
@@ -171,7 +176,7 @@ def _stage_b_distributed(
         audit = t2.sparkSession.createDataFrame(
             [], "rule string, model_id string, reaction string, detail string"
         )
-        vt = B.apply_delta_v(vt, **B.b4_b5_delta(t2, dims, ck=ck))
+        vt = B.apply_delta_v(vt, **B.b4_b5_delta(t2, dims, ck=ck, salt=b4_salt))
     # B7+B8 superstep: B8's matches (located_in edges / leftover inv-reg
     # preds) are disjoint from B7's complex-node deletions — B8 applied to
     # the pre-B7 snapshot removes at most the location nodes of deleted

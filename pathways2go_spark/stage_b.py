@@ -436,7 +436,19 @@ def b3_regulates_via_output_regulates(t: DataFrame, merge: bool = True) -> DataF
 # causally_upstream_of edges B4 deleted (GoCAM.java:1504-1506).
 # ----------------------------------------------------------------------
 
-def b4_b5_delta(t: DataFrame, dims: Dims, ck=_ident) -> dict:
+def b4_b5_delta(t: DataFrame, dims: Dims, ck=_ident, salt: int | None = None) -> dict:
+    """salt: when set, the case-1/case-2 type equijoins run through
+    relational.salted_join. The exposure: a collector reaction with K
+    upstream causal partners whose outputs share ONE type puts K rows
+    on a single (model_id, r2, type) shuffle key — the same-pathway key
+    extension cannot split it (same model, same reaction) and AQE only
+    splits it post-shuffle, after the single fetch stream. Salting
+    spreads the hot key across `salt` partitions before the exchange
+    at the cost of replicating the SMALL per-reaction type tables
+    (en_t / en_cplx) `salt` times, so the pipeline routes it on by
+    census size (mega-model inputs only), the same auto-routing that
+    picks the distributed path. Output is provably identical to the
+    unsalted join (tests/test_stage_b_optional.py)."""
     # ck the shared pair tables: causal feeds three downstream joins
     # (case1, case2, B5) and out_t/en_t two each — materializing these
     # small tables once (bounded by reactions per model) beats re-running
@@ -454,9 +466,17 @@ def b4_b5_delta(t: DataFrame, dims: Dims, ck=_ident) -> dict:
         ).select("model_id", "r2", "et").distinct()),
     )
     # case 1: direct type match (hub-skew join: same-pathway key extension
-    # + AQE skew splitting defend hot types)
-    case1 = causal.join(out_t, ["model_id", "r1"]).join(
-        en_t.withColumnRenamed("et", "ot"), ["model_id", "r2", "ot"]
+    # + AQE skew splitting, plus explicit salting on the mega path)
+    def type_join(left: DataFrame, right: DataFrame) -> DataFrame:
+        if salt is not None:
+            from pathways2go_spark.relational import salted_join
+
+            return salted_join(left, right, ["model_id", "r2", "ot"], salt=salt)
+        return left.join(right, ["model_id", "r2", "ot"])
+
+    causal_out = causal.join(out_t, ["model_id", "r1"])
+    case1 = type_join(
+        causal_out, en_t.withColumnRenamed("et", "ot")
     ).select("model_id", "r1", "r2")
     # case 2: enabler type (or any tbox subclass of it) is a part of a
     # complex class that r1 outputs (part->complex index, QRunner.java:950-1027)
@@ -472,9 +492,7 @@ def b4_b5_delta(t: DataFrame, dims: Dims, ck=_ident) -> dict:
         .select("model_id", "r2", "ot")
         .distinct()
     )
-    case2 = causal.join(out_t, ["model_id", "r1"]).join(
-        en_cplx, ["model_id", "r2", "ot"]
-    ).select("model_id", "r1", "r2")
+    case2 = type_join(causal_out, en_cplx).select("model_id", "r1", "r2")
 
     # ---- B5 (same snapshot) ----
     exact = _p(t, V.EXACT, "node", "ref")

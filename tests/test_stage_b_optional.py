@@ -203,3 +203,47 @@ def test_b14_sequestration(spark, dims):
     ]
     out_g2 = b14_regulation_by_sequestration(_t(spark, rows_g2))
     assert out_g2.filter(F.col("pred") == V.DIRECTLY_NEG_REGULATES).count() == 0
+
+
+def test_b4_salted_equals_unsalted(spark, dims):
+    """The salted B4 route (hot-type defense) is output-identical to the
+    plain type equijoin: a collector reaction with many upstream causal
+    partners sharing one output type — the exact hot-key shape the salt
+    spreads — yields the same adds/deletes either way."""
+    from pathways2go_spark.stage_b import b4_b5_delta
+
+    m = "mh"
+    rows = [(m, "P", V.TYPE, V.BP_ROOT)]
+    hot = "UniProtKB_U1"
+    # collector RC enabled by an entity of the hot type
+    rows += [
+        (m, "RC", V.TYPE, V.MOLECULAR_EVENT),
+        (m, "RC", V.PART_OF, "P"),
+        (m, "RC", V.ENABLED_BY, "ec"),
+        (m, "ec", V.TYPE, hot),
+    ]
+    for i in range(40):
+        rows += [
+            (m, f"R{i}", V.TYPE, V.MOLECULAR_EVENT),
+            (m, f"R{i}", V.PART_OF, "P"),
+            (m, f"R{i}", V.HAS_OUTPUT, f"o{i}"),
+            (m, f"o{i}", V.TYPE, hot),
+            (m, f"R{i}", V.CAUSALLY_UPSTREAM, "RC"),
+        ]
+    t = _t(spark, rows)
+
+    def canon(delta):
+        frames = [
+            df.select("model_id", "subj", "pred", "obj")
+            for df in delta["adds"] + delta["deletes"]
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return sorted(map(tuple, out.distinct().collect()))
+
+    plain = canon(b4_b5_delta(t, dims))
+    salted = canon(b4_b5_delta(t, dims, salt=8))
+    assert plain == salted
+    # the hot shape actually fired: all 40 upstream pairs hit B4
+    assert sum(1 for r in plain if r[2] == V.DIRECTLY_POS_REGULATES) == 40

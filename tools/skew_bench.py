@@ -67,6 +67,54 @@ def build_mega_doc(n_rxn: int) -> dict:
     return {"doc_id": "MEGA-DOC", "spans": spans}
 
 
+def build_hot_type_doc(n_rxn: int) -> dict:
+    """Hot-TYPE (not merely hot-model) corpus for the B4 case-1 type
+    equijoin: n_rxn feeder reactions, each outputting an instance of the
+    SAME protein class, all causally upstream (via steps) of ONE
+    collector reaction enabled by that same class. Stage-B then puts
+    n_rxn rows on a single (model_id, collector, type) join key — the
+    same-pathway key extension cannot split it (one model, one
+    reaction), so this is exactly the shape the explicit B4 salt
+    (stage_b.b4_b5_delta(salt=...)) must defuse. Proteins, not small
+    molecules, so A18's shared-instance keying keeps one node per
+    (entity, reaction) and the heat lands on the TYPE key alone."""
+    spans = []
+    off = 0
+
+    def push(kind: str, **attrs) -> None:
+        nonlocal off
+        text = ";".join(f"{k}={v}" for k, v in attrs.items() if v is not None)
+        spans.append({"kind": kind, "text": text, "media_ref": "", "offset": off})
+        off += len(text) + 1
+
+    rxns = ",".join(f"HT-R{i}" for i in range(n_rxn)) + ",HT-RC"
+    push("pathway", id="HT-P", displayName="hot-type pathway", isDisease=0,
+         components=rxns)
+    # ONE protein class across every feeder output and the collector's
+    # enabler — the hot TYPE
+    push("protein", id="HT-HOT", displayName="hot product",
+         uniprot="U-HOT-1", location="cytosol")
+    push("protein", id="HT-ENZ", displayName="collector enzyme",
+         uniprot="U-HOT-1", location="cytosol")
+    push("small_molecule", id="HT-CIN", displayName="collector input",
+         chebi="CHEBI_78000001", location="cytosol")
+    push("small_molecule", id="HT-COUT", displayName="collector output",
+         chebi="CHEBI_78000002", location="cytosol")
+    for i in range(n_rxn):
+        push("small_molecule", id=f"HT-M{i}", displayName=f"hm{i}",
+             chebi=f"CHEBI_78{i:06d}", location="cytosol")
+    for i in range(n_rxn):
+        push("reaction", id=f"HT-R{i}", displayName=f"hr{i}",
+             direction="LEFT-TO-RIGHT", left=f"HT-M{i}", right="HT-HOT")
+        push("step", id=f"HT-S{i}", reactionId=f"HT-R{i}", nextStepIds="HT-SC")
+    push("reaction", id="HT-RC", displayName="collector",
+         direction="LEFT-TO-RIGHT", left="HT-CIN", right="HT-COUT")
+    push("control", id="HT-CTL", type="CATALYSIS", controllerId="HT-ENZ",
+         controlledId="HT-RC")
+    push("step", id="HT-SC", reactionId="HT-RC", nextStepIds="")
+    return {"doc_id": "HOT-TYPE-DOC", "spans": spans}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rxns", type=int, default=150_000)
@@ -99,6 +147,14 @@ def main() -> None:
                        mega_path)
         print(f"mega-doc gen {time.perf_counter() - t0:.1f}s "
               f"({len(doc['spans'])} spans)", file=sys.stderr)
+    hot_path = os.path.join(base, "hot_type_doc.parquet")
+    if not os.path.exists(hot_path):
+        t0 = time.perf_counter()
+        doc = build_hot_type_doc(args.rxns)
+        pq.write_table(pa.Table.from_pylist([doc], schema=DOCUMENTS_SCHEMA),
+                       hot_path)
+        print(f"hot-type-doc gen {time.perf_counter() - t0:.1f}s "
+              f"({len(doc['spans'])} spans)", file=sys.stderr)
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_spark(extra={
@@ -112,6 +168,7 @@ def main() -> None:
 
     normal = read_documents(spark, os.path.join(base, "documents.parquet"))
     mega = read_documents(spark, mega_path)
+    hot = read_documents(spark, hot_path)
 
     from pyspark.sql import functions as F
 
@@ -126,9 +183,9 @@ def main() -> None:
     gate_max = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_STEAL", "2.0"))
     gate_wait = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "600"))
 
-    rounds_normal, rounds_both = [], []
-    steal_normal, steal_both = [], []
-    base_triples = all_triples = 0
+    rounds_normal, rounds_both, rounds_hot = [], [], []
+    steal_normal, steal_both, steal_hot = [], [], []
+    base_triples = all_triples = hot_triples = 0
     for _ in range(max(1, args.rounds)):
         steal_gate(gate_max, gate_wait)
         s0, j0 = read_cpu_stat()
@@ -151,7 +208,18 @@ def main() -> None:
         rounds_both.append(round(time.perf_counter() - t0, 2))
         s1, j1 = read_cpu_stat()
         steal_both.append(round(100.0 * (s1 - s0) / max(1, j1 - j0), 2))
-    t_normal, t_both = min(rounds_normal), min(rounds_both)
+
+        steal_gate(gate_max, gate_wait)
+        s0, j0 = read_cpu_stat()
+        t0 = time.perf_counter()
+        hot_triples = run_pipeline(
+            spark, normal.unionByName(hot), dims, prepared=prepared,
+            span_threshold=args.span_threshold,
+        ).triples.count()
+        rounds_hot.append(round(time.perf_counter() - t0, 2))
+        s1, j1 = read_cpu_stat()
+        steal_hot.append(round(100.0 * (s1 - s0) / max(1, j1 - j0), 2))
+    t_normal, t_both, t_hot = min(rounds_normal), min(rounds_both), min(rounds_hot)
 
     # ---- LLM-pipeline skew stresses --------------------------------------
     # (a) all-positive (non-centered) embeddings: raw-dim sign buckets
@@ -205,10 +273,14 @@ def main() -> None:
         "mega_triples": all_triples - base_triples,
         "sec_normal_only": round(t_normal, 2),
         "sec_with_mega": round(t_both, 2),
+        "sec_with_hot_type": round(t_hot, 2),
+        "hot_type_triples": hot_triples - base_triples,
         "rounds_normal_only": rounds_normal,
         "rounds_with_mega": rounds_both,
+        "rounds_with_hot_type": rounds_hot,
         "steal_normal_only": steal_normal,
         "steal_with_mega": steal_both,
+        "steal_with_hot_type": steal_hot,
         "gate_max_steal": gate_max,
         "embed_allpos_buckets": len(bkt),
         "embed_allpos_candidate_frac": round(n_cand / all_pairs, 4),
