@@ -110,6 +110,7 @@ _DISEASE_DB, _DISEASE_ID = "mesh", "D004194"
 
 _Q = {
     "about": f"{{{RDF}}}about",
+    "ID": f"{{{RDF}}}ID",
     "resource": f"{{{RDF}}}resource",
     "datatype": f"{{{RDF}}}datatype",
     "attrOrder": f"{{{P2G}}}attrOrder",
@@ -486,41 +487,73 @@ def spans_to_rdfxml(doc_id: str, spans: list[dict]) -> str:
 
 _ACTIVE_UNIT_RE = re.compile(r"^activeUnit:\s*#(\S+)$")
 
+# real-export xref database-name variants (Reactome writes "UniProt",
+# "ChEBI", "GENE ONTOLOGY", "NCBI Taxonomy"; MetaCyc writes others) ->
+# the canonical keys the span attrs use
+_DB_CANON = {
+    "uniprot": "uniprot", "uniprotkb": "uniprot",
+    "uniprot knowledgebase": "uniprot", "uniprot isoform": "uniprot",
+    "chebi": "chebi",
+    "go": "go", "gene ontology": "go",
+    "taxonomy": "taxonomy", "ncbi taxonomy": "taxonomy",
+    "sgd": "sgd", "saccharomyces genome database": "sgd",
+    "ensembl": "ensembl", "mesh": "mesh",
+}
+
+
+def _canon_db(db: str) -> str:
+    return _DB_CANON.get((db or "").strip().lower(), (db or "").strip().lower())
+
+
+def _el_id(el: ET.Element) -> str:
+    """Element identity: rdf:about (fragment form) or rdf:ID (bare form
+    real Reactome exports use)."""
+    about = el.get(_Q["about"])
+    if about:
+        return about.lstrip("#")
+    return el.get(_Q["ID"]) or ""
+
 
 def _index_about(root: ET.Element) -> dict[str, ET.Element]:
     idx = {}
     for el in root.iter():
-        about = el.get(_Q["about"])
-        if about:
-            idx[about.lstrip("#")] = el
+        eid = _el_id(el)
+        if eid:
+            idx[eid] = el
     return idx
+
+
+def _frag(ref: str) -> str:
+    """'#X' / 'http://...#X' / 'X' -> 'X' (resource refs in real
+    exports are fragment-relative; absolute IRIs keep their fragment)."""
+    return ref.rsplit("#", 1)[-1] if "#" in ref else ref
 
 
 def _deref(el: ET.Element, idx: dict[str, ET.Element]) -> ET.Element | None:
     """Property element -> its object: nested child or resolved resource."""
     res = el.get(_Q["resource"])
     if res is not None:
-        return idx.get(res.lstrip("#"))
+        return idx.get(_frag(res))
     for child in el:
         return child
     return None
 
 
 def _res_id(el: ET.Element) -> str:
-    return (el.get(_Q["resource"]) or "").lstrip("#")
+    return _frag(el.get(_Q["resource"]) or "")
 
 
 def _obj_id(el: ET.Element, idx: dict[str, ET.Element]) -> str:
     res = el.get(_Q["resource"])
     if res is not None:
-        return res.lstrip("#")
+        return _frag(res)
     for child in el:
-        return (child.get(_Q["about"]) or "").lstrip("#")
+        return _el_id(child)
     return ""
 
 
 def _xref_of(el: ET.Element, idx: dict[str, ET.Element]) -> tuple[str, str, str]:
-    """bp:xref property -> (xref_class, db, id)."""
+    """bp:xref property -> (xref_class, canonical db, id)."""
     obj = _deref(el, idx)
     if obj is None:
         return "", "", ""
@@ -531,7 +564,7 @@ def _xref_of(el: ET.Element, idx: dict[str, ET.Element]) -> tuple[str, str, str]
             db = c.text or ""
         elif t == "id":
             xid = c.text or ""
-    return _tag(obj), db, xid
+    return _tag(obj), _canon_db(db), xid
 
 
 def _feature_str(el: ET.Element, idx: dict[str, ET.Element]) -> str:
@@ -593,7 +626,24 @@ _KIND_OF_TAG = {
     "PhysicalEntity": "entity_set",
     "Dna": "dna",
     "Rna": "rna",
+    # real-export Conversion subclasses (Reactome emits these; the
+    # reference's paxtools model handles them as Conversions)
+    "ComplexAssembly": "reaction",
+    "Transport": "reaction",
+    "TransportWithBiochemicalReaction": "reaction",
+    "Conversion": "reaction",
+    "TemplateReactionRegulation": "control",
 }
+
+_CONVERSION_TAGS = {
+    "BiochemicalReaction", "Degradation", "TemplateReaction",
+    "ComplexAssembly", "Transport", "TransportWithBiochemicalReaction",
+    "Conversion", "MolecularInteraction",
+}
+
+# xref databases that mark a drug entity (A25; everything else a real
+# export hangs on an entity — Reactome DB ids, PubMed — is skipped)
+_DRUG_DBS = {"iuphar", "guide to pharmacology", "guidetopharmacology"}
 
 # csv-valued attr keys (repeated properties aggregate, in document order)
 _CSV_KEYS = {
@@ -602,11 +652,19 @@ _CSV_KEYS = {
 }
 
 
-def _parse_record(el: ET.Element, idx: dict[str, ET.Element]) -> tuple[str, str]:
-    """One top-level BioPAX element -> (kind, span text)."""
+def _parse_record(
+    el: ET.Element, idx: dict[str, ET.Element]
+) -> tuple[str, str, list[str]]:
+    """One top-level BioPAX element -> (kind, span text, free comments).
+
+    Free comments are the element's bp:comment children that are NOT
+    the activeUnit hack — real exports hang contributor lines
+    ('Authored: ...') on the owning element; the caller re-emits them
+    as standalone comment spans so parse_doc_meta sees them."""
     tag = _tag(el)
     kind = _KIND_OF_TAG[tag]
-    eid = (el.get(_Q["about"]) or "").lstrip("#")
+    eid = _el_id(el)
+    comments: list[str] = []
     # ordered (key, value) accumulation; repeated keys extend the csv
     pairs: list[tuple[str, str]] = [("id", eid)]
     vals: dict[str, list[str]] = {"id": [eid]}
@@ -642,6 +700,12 @@ def _parse_record(el: ET.Element, idx: dict[str, ET.Element]) -> tuple[str, str]
             put("participants", _res_id(c))
         elif t == "stepConversion":
             put("reactionId", _obj_id(c, idx))
+        elif t == "stepProcess":
+            # real exports list BOTH the Conversion and its Catalysis as
+            # stepProcess; only the Conversion is the step's reaction
+            obj = _deref(c, idx)
+            if obj is not None and _tag(obj) in _CONVERSION_TAGS:
+                put("reactionId", _obj_id(c, idx))
         elif t == "nextStep":
             put("nextStepIds", _res_id(c))
         elif t == "stepDirection":
@@ -705,12 +769,15 @@ def _parse_record(el: ET.Element, idx: dict[str, ET.Element]) -> tuple[str, str]
                 put("goXref", _curie_to_go_token(xid))
             elif db == "go":
                 put("bpXref", _curie_to_go_token(xid))
-            elif db:  # drug / other relationship xrefs on the entity
-                put("drugXref", f"{db}:{xid}")
+            elif db in _DRUG_DBS:
+                put("drugXref", f"{db.upper()}:{xid}")
+            # other xrefs (publication refs, provider DB ids) are noise
         elif t == "comment":
             m = _ACTIVE_UNIT_RE.match(c.text or "")
             if m and kind == "control":
                 put("activeUnitRef", m.group(1))
+            elif m is None and (c.text or "").strip():
+                comments.append(c.text)
 
     if tag == "Catalysis":
         # class itself IS the control type (controlType child is the
@@ -740,7 +807,15 @@ def _parse_record(el: ET.Element, idx: dict[str, ET.Element]) -> tuple[str, str]
         )
     else:
         text = ";".join(f"{k}={val_of(k)}" for k, _ in pairs)
-    return kind, text
+    # set detection (checkForAndAddSet, PhysicalEntityOntologyBuilder):
+    # ANY physical entity carrying memberPhysicalEntity is a set,
+    # whatever class the export typed it as (Reactome types sets as
+    # bp:Protein / bp:SmallMolecule)
+    if "members" in vals and kind in (
+        "protein", "small_molecule", "complex", "entity_set", "dna", "rna"
+    ):
+        kind = "entity_set"
+    return kind, text, comments
 
 
 def rdfxml_to_spans(xml: str | bytes, doc_id: str | None = None) -> tuple[str, list[dict]]:
@@ -778,8 +853,10 @@ def rdfxml_to_spans(xml: str | bytes, doc_id: str | None = None) -> tuple[str, l
                 if _tag(c) == "comment":
                     push("comment", c.text or "")
         elif ns == BP and tag in _KIND_OF_TAG:
-            kind, text = _parse_record(el, idx)
+            kind, text, comments = _parse_record(el, idx)
             push(kind, text)
+            for cm in comments:
+                push("comment", cm)
         # any other element (interned objects never appear top-level,
         # foreign Provenance/Ontology headers etc.) is skipped
     return doc_id, spans

@@ -78,6 +78,54 @@ def test_golden_pr_from_xml_path(spark, tmp_path_factory):
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
 
 
+_REF_BIOPAX = "/root/reference/exchange/src/test/resources/biopax"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_BIOPAX),
+    reason="reference fixtures not present",
+)
+def test_real_reactome_fixture_parses(spark):
+    """The parser consumes an actual Reactome BioPAX L3 export (the
+    reference's own test fixture set, parsed by paxtools in
+    BioPaxtoGOTest.java): rdf:ID identities, top-level shared xref
+    objects, stepProcess steps, contributor comments, entity sets
+    typed as bp:Protein — and the result ingests and runs through the
+    pipeline without error on the synthetic dims."""
+    import os
+
+    from pathways2go_spark import ingest as I
+
+    path = os.path.join(_REF_BIOPAX, "proline_catabolism.owl")
+    doc_id, spans = BX.rdfxml_to_spans(open(path, "rb").read(),
+                                       doc_id="proline_catabolism")
+    kinds = {s["kind"] for s in spans}
+    assert {"pathway", "reaction", "small_molecule", "protein",
+            "control", "step", "comment"} <= kinds
+    rxn = [s for s in spans if s["kind"] == "reaction"]
+    assert len(rxn) == 4  # the 4-reaction proline chain (T1's source)
+    assert all("left=" in s["text"] and "right=" in s["text"] for s in rxn)
+    ctl = [s for s in spans if s["kind"] == "control"]
+    assert all("type=CATALYSIS" in s["text"] for s in ctl)
+    steps = [s for s in spans if s["kind"] == "step"]
+    assert all("reactionId=BiochemicalReaction" in s["text"] for s in steps)
+    # contributor comments survive as standalone spans for parse_doc_meta
+    assert any(s["text"].startswith("Authored:") for s in spans
+               if s["kind"] == "comment")
+    # chebi xrefs resolve through the shared top-level UnificationXrefs
+    assert any("chebi=CHEBI_" in s["text"] for s in spans
+               if s["kind"] == "small_molecule")
+    # uniprot via shared ProteinReference
+    assert any("uniprot=" in s["text"] for s in spans
+               if s["kind"] == "protein")
+    # the parsed doc passes the span invariant and ingests
+    df = spark.createDataFrame([(doc_id, spans)], I.DOCUMENTS_SCHEMA)
+    assert I.span_invariant_violations(df).count() == 0
+    elements, links = I.ingest(df)
+    assert elements.count() == len(spans)
+    assert links.filter(F.col("link") == "left").count() > 0
+
+
 def test_foreign_file_without_hint(spark):
     """A hand-written BioPAX file (no p2g attrs, shared references by
     rdf:resource, paxtools-style) parses into usable spans."""
