@@ -201,6 +201,10 @@ def main() -> None:
         # closing-session addition: neighborhood-Jaccard link
         # prediction (hub-capped shared-neighbor pivot join)
         "kg_neighbor_jaccard",
+        # round-5 additions: the BioPAX RDF/XML round-trip front-end
+        # (serialize + distributed parse + FULL pipeline re-run on the
+        # fixture corpus) and the ShEx shape-validation suite
+        "kg_biopax_ingest", "kg_shex",
     ]
     qs = E.queries()
     for name in heads:
