@@ -174,9 +174,7 @@ class _Interner:
         """Emit either rdf:resource to the interned object or build it
         inline (build(about) writes the nested element)."""
         if key in self.seen:
-            self.x.parts[-1] = self.x.parts[-1]  # no-op, keep builder shape
-            build_ref = self.seen[key]
-            self.x.leaf(self._prop, rdf_resource=f"#{build_ref}")
+            self.x.leaf(self._prop, rdf_resource=f"#{self.seen[key]}")
         else:
             self.seen[key] = about
             self.x.open(self._prop)
@@ -229,8 +227,19 @@ def spans_to_rdfxml(doc_id: str, spans: list[dict]) -> str:
             ),
         )
 
-    def entity_reference(cls: str, key: tuple, about: str, xrefs) -> None:
-        """xrefs: list of (xref_cls, db, id)."""
+    def entity_reference(cls: str, xrefs) -> None:
+        """xrefs: list of (xref_cls, db, id). Both the intern key and
+        the rdf:about id derive from the FULL xref set (class+db+id):
+        a uniprot-only reference and a uniprot+sgd reference, or a
+        chebi UnificationXref and a chebi RelationshipXref with the
+        same id, are distinct resources with distinct ids."""
+        key = (cls,) + tuple(xrefs)
+        about = "ref_" + "_".join(
+            f"{'r' if xc == 'RelationshipXref' else 'u'}_{db}_{xid}"
+            .replace(":", "_").replace(" ", "_")
+            for xc, db, xid in xrefs
+        )
+
         def build(a: str) -> None:
             x.open(f"bp:{cls}", rdf_about=f"#{a}")
             for i, (xc, db, xid) in enumerate(xrefs):
@@ -403,9 +412,7 @@ def spans_to_rdfxml(doc_id: str, spans: list[dict]) -> str:
             if attrs.get("accession"):
                 xr.append(("UnificationXref", "sgd", attrs["accession"]))
             if xr:
-                key = ("pref",) + tuple(v for _, _, v in xr)
-                entity_reference("ProteinReference", key,
-                                 f"ref_{xr[0][2]}", xr)
+                entity_reference("ProteinReference", xr)
             if attrs.get("drugXref"):
                 db, _, xid = attrs["drugXref"].partition(":")
                 x.open("bp:xref")
@@ -430,11 +437,7 @@ def spans_to_rdfxml(doc_id: str, spans: list[dict]) -> str:
                 xr.append(("RelationshipXref", "chebi",
                            _go_token_to_curie(attrs["chebiRole"])))
             if xr:
-                key = ("smref",) + tuple(v for _, _, v in xr)
-                entity_reference("SmallMoleculeReference", key,
-                                 f"smref_{xr[0][2].replace(':', '_')}"
-                                 + (f"_{xr[1][2].replace(':', '_')}" if len(xr) > 1 else ""),
-                                 xr)
+                entity_reference("SmallMoleculeReference", xr)
             if attrs.get("location"):
                 location(eid, attrs["location"])
             x.close("bp:SmallMolecule")
@@ -467,7 +470,6 @@ def spans_to_rdfxml(doc_id: str, spans: list[dict]) -> str:
             if attrs.get("ensembl"):
                 entity_reference(
                     "DnaReference" if kind == "dna" else "RnaReference",
-                    ("nref", attrs["ensembl"]), f"nref_{attrs['ensembl']}",
                     [("UnificationXref", "ensembl", attrs["ensembl"])],
                 )
             x.close(tag)
@@ -923,7 +925,10 @@ def read_rdfxml(spark: SparkSession, path: str, glob: str = "*.owl") -> DataFram
             F.regexp_extract(
                 F.col("path"), r"([^/]+?)(?:\.owl)?$", 1
             ).alias("doc_id"),
-            F.col("content").cast("string").alias("xml"),
+            # keep raw BYTES: ET.fromstring(bytes) honors the XML
+            # declaration's encoding (a cast to string would force
+            # UTF-8 and silently mojibake ISO-8859-1 real exports)
+            F.col("content").alias("xml"),
         )
     )
     return parse_rdfxml(bin_df)
@@ -935,7 +940,7 @@ def write_rdfxml_files(documents: DataFrame, out_dir: str) -> int:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    xml = write_rdfxml(documents)
+    xml = write_rdfxml(documents).localCheckpoint(eager=True)
 
     def write_part(rows) -> None:
         for row in rows:
@@ -943,4 +948,7 @@ def write_rdfxml_files(documents: DataFrame, out_dir: str) -> int:
                 f.write(row["xml"])
 
     xml.foreachPartition(write_part)
-    return len([f for f in os.listdir(out_dir) if f.endswith(".owl")])
+    # count what THIS call wrote (a driver-side listdir would include
+    # stale files and, on a multi-node cluster, miss executor-local
+    # writes); the checkpoint above keeps the serialize single-run
+    return xml.count()

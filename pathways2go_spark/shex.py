@@ -174,12 +174,13 @@ def occurs_in_cc(t: DataFrame, ancestors: DataFrame) -> DataFrame:
     """occurs_in target must be typed ONLY with cellular-component
     classes (AnatomicalEntity shape)."""
     cc = _closure(ancestors, [V.CC_ROOT])
-    loc_nodes = _edges_of(t, [V.OCCURS_IN]).select(
+    occ_edges = _edges_of(t, [V.OCCURS_IN])
+    loc_nodes = occ_edges.select(
         "model_id", F.col("obj").alias("node")
-    )
+    ).distinct()
     bad_typed = (
         _types(t)
-        .join(loc_nodes.distinct(), ["model_id", "node"], "left_semi")
+        .join(loc_nodes, ["model_id", "node"], "left_semi")
         .join(F.broadcast(cc), "cls", "left_anti")
     )
     untyped = loc_nodes.join(
@@ -188,7 +189,7 @@ def occurs_in_cc(t: DataFrame, ancestors: DataFrame) -> DataFrame:
     ).withColumn("cls", F.lit(None).cast("string"))
     bad = bad_typed.unionByName(untyped).withColumnRenamed("node", "obj")
     return _v(
-        _edges_of(t, [V.OCCURS_IN]).join(bad, ["model_id", "obj"], "inner")
+        occ_edges.join(bad, ["model_id", "obj"], "inner")
         .withColumnRenamed("cls", "bad_cls"),
         "occurs_in_cc",
         F.concat(F.lit("location type not under CC root: "),

@@ -78,6 +78,33 @@ def test_golden_pr_from_xml_path(spark, tmp_path_factory):
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
 
 
+def test_interner_distinguishes_xref_sets():
+    """Entity references intern on the FULL xref set: a chebi
+    UnificationXref and a chebiRole RelationshipXref with the same id
+    are different resources, as are uniprot-only vs uniprot+accession
+    — and distinct resources never share an rdf:about id."""
+    import re
+
+    spans = []
+    off = 0
+
+    def push(kind, text):
+        nonlocal off
+        spans.append({"kind": kind, "text": text, "media_ref": "",
+                      "offset": off})
+        off += len(text) + 1
+
+    push("small_molecule", "id=M1;displayName=m1;chebi=CHEBI_777")
+    push("small_molecule", "id=M2;displayName=m2;chebiRole=CHEBI_777")
+    push("protein", "id=E1;displayName=e1;uniprot=U-9")
+    push("protein", "id=E2;displayName=e2;uniprot=U-9;accession=SGD-9")
+    xml = BX.spans_to_rdfxml("collide", spans)
+    abouts = re.findall(r'rdf:about="#([^"]+)"', xml)
+    assert len(abouts) == len(set(abouts)), sorted(abouts)
+    _, rt = BX.rdfxml_to_spans(xml)
+    assert rt == spans
+
+
 _REF_BIOPAX = "/root/reference/exchange/src/test/resources/biopax"
 
 
