@@ -93,8 +93,18 @@ def kg_to_biopax(triples: DataFrame, onto_ancestors: DataFrame) -> DataFrame:
             .select("model_id", "node").distinct()
         )
 
+    # Shared frames below feed many statement branches; left virtual,
+    # every union branch re-expands their join trees into the final
+    # plan (~170 exchanges at audit) and re-scans the fact table once
+    # per branch. One eager localCheckpoint each (all are rule-match /
+    # type-row bounded narrow tables) turns the plan into unions over
+    # leaves — the fact table is scanned once per DISTINCT frame, not
+    # once per statement kind.
+    def ck(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
     # -- pathways (getInstances(bp_class): typed under the BP root) ------
-    bp = nodes_under(V.BP_ROOT).withColumnRenamed("node", "b")
+    bp = ck(nodes_under(V.BP_ROOT).withColumnRenamed("node", "b"))
     pathway_src = _st(bp, "Pathway", F.col("b"), "dataSource", F.col("model_id"))
     bp_types = ty.withColumnRenamed("node", "b").join(bp, ["model_id", "b"])
     pathway_xref = _st(bp_types, "Pathway", F.col("b"), "xref", F.col("cls"))
@@ -103,11 +113,11 @@ def kg_to_biopax(triples: DataFrame, onto_ancestors: DataFrame) -> DataFrame:
     po = t.filter(F.col("pred") == V.PART_OF).select(
         "model_id", F.col("subj").alias("r"), F.col("obj").alias("b")
     )
-    rxn = po.join(bp, ["model_id", "b"]).select("model_id", "r", "b").distinct()
+    rxn = ck(po.join(bp, ["model_id", "b"]).select("model_id", "r", "b").distinct())
     rxn_component = _st(rxn, "BiochemicalReaction", F.col("r"),
                         "pathwayComponent", F.col("b"))
     r_nodes = rxn.select("model_id", "r").distinct()
-    r_types = ty.withColumnRenamed("node", "r").join(r_nodes, ["model_id", "r"])
+    r_types = ck(ty.withColumnRenamed("node", "r").join(r_nodes, ["model_id", "r"]))
     rxn_xref = _st(r_types, "BiochemicalReaction", F.col("r"), "xref",
                    F.col("cls"))
 
@@ -137,9 +147,9 @@ def kg_to_biopax(triples: DataFrame, onto_ancestors: DataFrame) -> DataFrame:
             "model_id", F.col("subj").alias("r"), F.col("obj").alias(name)
         ).join(r_nodes, ["model_id", "r"])
 
-    en = edge(V.ENABLED_BY, "e")
-    ins = edge(V.HAS_INPUT, "i")
-    outs = edge(V.HAS_OUTPUT, "o")
+    en = ck(edge(V.ENABLED_BY, "e"))
+    ins = ck(edge(V.HAS_INPUT, "i"))
+    outs = ck(edge(V.HAS_OUTPUT, "o"))
 
     participants = (
         en.select("model_id", "r", F.col("e").alias("p"))
@@ -190,6 +200,7 @@ def kg_to_biopax(triples: DataFrame, onto_ancestors: DataFrame) -> DataFrame:
         .join(n_in.filter(F.col("n_in") >= 2), ["model_id", "r"])
         .select("model_id", "r")
         .withColumn("cx", F.concat(F.col("r"), F.lit("~cplx")))
+        .localCheckpoint(eager=True)
     )
     cplx_members = _st(cplx_rxn.join(ins, ["model_id", "r"]),
                        "Complex", F.col("cx"), "component", F.col("i"))
@@ -199,7 +210,7 @@ def kg_to_biopax(triples: DataFrame, onto_ancestors: DataFrame) -> DataFrame:
     # -- causal edges -> steps + function controls ------------------------
     causal = t.filter(F.col("pred").isin(CAUSAL_PREDS)).select(
         "model_id", F.col("subj").alias("r"), "pred", F.col("obj").alias("r2")
-    ).join(r_nodes, ["model_id", "r"]).distinct()
+    ).join(r_nodes, ["model_id", "r"]).distinct().localCheckpoint(eager=True)
     step1 = _st(causal, "PathwayStep", F.concat("r", F.lit("~step")),
                 "stepProcess", F.col("r"))
     step2 = _st(causal, "PathwayStep", F.concat("r2", F.lit("~step")),
