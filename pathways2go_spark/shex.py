@@ -84,8 +84,16 @@ def _closure(ancestors: DataFrame, roots: list[str]) -> DataFrame:
     )
 
 
-def _occurrent_nodes(t: DataFrame, ancestors: DataFrame) -> DataFrame:
-    """(model_id, node) with >=1 MF/BP/molecular-event type."""
+def _occurrent_nodes(
+    t: DataFrame, ancestors: DataFrame, _shared: DataFrame | None = None
+) -> DataFrame:
+    """(model_id, node) with >=1 MF/BP/molecular-event type. `_shared`:
+    a precomputed copy (shex_validate materializes this frame ONCE and
+    threads it through the five checks that need it — otherwise every
+    check re-expands the closure-join subtree into the final plan and
+    re-scans the fact table)."""
+    if _shared is not None:
+        return _shared
     occ_cls = _closure(ancestors, [V.MF_ROOT, V.BP_ROOT])
     ty = _types(t)
     return (
@@ -132,12 +140,13 @@ def enabled_by_max1(t: DataFrame) -> DataFrame:
 
 
 def _target_is_occurrent(
-    t: DataFrame, ancestors: DataFrame, preds: list[str], check: str
+    t: DataFrame, ancestors: DataFrame, preds: list[str], check: str,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Edges whose OBJECT is an occurrent — the physical-continuant
     shapes (enabled_by / io / interacts) expressed negatively so
     foreign classes absent from the ontology never false-positive."""
-    occ = _occurrent_nodes(t, ancestors).withColumnRenamed("node", "obj")
+    occ = _occurrent_nodes(t, ancestors, occ).withColumnRenamed("node", "obj")
     e = _edges_of(t, preds)
     return _v(
         e.join(occ, ["model_id", "obj"], "left_semi"),
@@ -146,18 +155,24 @@ def _target_is_occurrent(
     )
 
 
-def enabled_by_physical(t: DataFrame, ancestors: DataFrame) -> DataFrame:
+def enabled_by_physical(
+    t: DataFrame, ancestors: DataFrame, occ: DataFrame | None = None
+) -> DataFrame:
     return _target_is_occurrent(
-        t, ancestors, [V.ENABLED_BY], "enabled_by_physical"
+        t, ancestors, [V.ENABLED_BY], "enabled_by_physical", occ
     )
 
 
-def io_physical(t: DataFrame, ancestors: DataFrame) -> DataFrame:
-    return _target_is_occurrent(t, ancestors, IO_PREDS, "io_physical")
+def io_physical(
+    t: DataFrame, ancestors: DataFrame, occ: DataFrame | None = None
+) -> DataFrame:
+    return _target_is_occurrent(t, ancestors, IO_PREDS, "io_physical", occ)
 
 
-def interacts_physical(t: DataFrame, ancestors: DataFrame) -> DataFrame:
-    occ = _occurrent_nodes(t, ancestors)
+def interacts_physical(
+    t: DataFrame, ancestors: DataFrame, occ: DataFrame | None = None
+) -> DataFrame:
+    occ = _occurrent_nodes(t, ancestors, occ)
     e = _edges_of(t, [V.INTERACTS_WITH])
     both_ends = e.join(occ, ["model_id", "node"], "left_semi").unionByName(
         e.join(occ.withColumnRenamed("node", "obj"), ["model_id", "obj"],
@@ -233,9 +248,11 @@ def part_of_bp(t: DataFrame, ancestors: DataFrame) -> DataFrame:
     )
 
 
-def causal_occurrents(t: DataFrame, ancestors: DataFrame) -> DataFrame:
+def causal_occurrents(
+    t: DataFrame, ancestors: DataFrame, occ: DataFrame | None = None
+) -> DataFrame:
     """Causal-family edges connect occurrents on BOTH ends."""
-    occ = _occurrent_nodes(t, ancestors)
+    occ = _occurrent_nodes(t, ancestors, occ)
     e = _edges_of(t, CAUSAL_PREDS)
     bad_subj = e.join(occ, ["model_id", "node"], "left_anti").withColumn(
         "end", F.lit("subject")
@@ -270,16 +287,19 @@ def sm_regulator_chemical(t: DataFrame, ancestors: DataFrame) -> DataFrame:
 def shex_validate(t: DataFrame, ancestors: DataFrame) -> DataFrame:
     """All shape checks unioned: (check, model_id, node, pred, obj,
     detail); empty = every model conforms."""
+    # the occurrent-node frame feeds five checks; materialize it ONCE
+    # (type-row bounded) so the suite costs one closure join, not five
+    occ = _occurrent_nodes(t, ancestors).localCheckpoint(eager=True)
     frames = [
         enabled_by_max1(t),
-        enabled_by_physical(t, ancestors),
+        enabled_by_physical(t, ancestors, occ),
         occurs_in_cc(t, ancestors),
         occurs_in_max1(t),
         part_of_bp(t, ancestors),
-        causal_occurrents(t, ancestors),
-        io_physical(t, ancestors),
+        causal_occurrents(t, ancestors, occ),
+        io_physical(t, ancestors, occ),
         sm_regulator_chemical(t, ancestors),
-        interacts_physical(t, ancestors),
+        interacts_physical(t, ancestors, occ),
     ]
     out = frames[0]
     for f in frames[1:]:
