@@ -895,15 +895,27 @@ def write_rdfxml(documents: DataFrame) -> DataFrame:
     return documents.mapInPandas(batches, schema=_XML_SCHEMA)
 
 
-def parse_rdfxml(xml_df: DataFrame) -> DataFrame:
+def parse_rdfxml(xml_df: DataFrame, permissive: bool = False) -> DataFrame:
     """(doc_id, xml) -> documents (doc_id, spans): the distributed
-    BioPAX parse (S1 front door for real OWL input)."""
+    BioPAX parse (S1 front door for real OWL input).
+
+    permissive: a malformed file yields a row with NULL spans instead
+    of failing its task — at 10^12-document scale one corrupt upload
+    must not kill the job. NULL (not empty) so the quarantine set is
+    queryable (`spans IS NULL`); explode_spans drops such rows
+    naturally (posexplode of NULL emits nothing). Default strict, the
+    correctness-testing mode."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, spans = [], []
             for d, x in zip(pdf["doc_id"], pdf["xml"]):
-                did, sp = rdfxml_to_spans(x, doc_id=d if d else None)
+                try:
+                    did, sp = rdfxml_to_spans(x, doc_id=d if d else None)
+                except ET.ParseError:
+                    if not permissive:
+                        raise
+                    did, sp = d, None
                 ids.append(did)
                 spans.append(sp)
             yield pd.DataFrame({"doc_id": ids, "spans": spans})
@@ -911,12 +923,17 @@ def parse_rdfxml(xml_df: DataFrame) -> DataFrame:
     return xml_df.mapInPandas(batches, schema=DOCUMENTS_SCHEMA)
 
 
-def read_rdfxml(spark: SparkSession, path: str, glob: str = "*.owl") -> DataFrame:
+def read_rdfxml(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.owl",
+    permissive: bool = False,
+) -> DataFrame:
     """Directory of BioPAX OWL files -> documents DataFrame. The S2
     partitioned scan: binaryFile source, one task per file (the
     reference's per-file loop, Biopax2GOCmdLine.java:219-234, made
     distributed). doc_id = file stem unless the file carries the
-    urn:p2g xml:base."""
+    urn:p2g xml:base. permissive: see parse_rdfxml."""
     bin_df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -931,7 +948,7 @@ def read_rdfxml(spark: SparkSession, path: str, glob: str = "*.owl") -> DataFram
             F.col("content").alias("xml"),
         )
     )
-    return parse_rdfxml(bin_df)
+    return parse_rdfxml(bin_df, permissive=permissive)
 
 
 def write_rdfxml_files(documents: DataFrame, out_dir: str) -> int:

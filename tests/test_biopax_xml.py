@@ -78,6 +78,25 @@ def test_golden_pr_from_xml_path(spark, tmp_path_factory):
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
 
 
+def test_permissive_quarantines_corrupt_files(spark, tmp_path):
+    """A corrupt .owl beside good files: strict mode fails the scan,
+    permissive mode yields the good docs plus a NULL-spans quarantine
+    row — one bad upload must not kill a 10^12-doc directory scan."""
+
+    good = BX.spans_to_rdfxml("good1", [
+        {"kind": "pathway", "text": "id=P;displayName=p;isDisease=0;components=",
+         "media_ref": "", "offset": 0}])
+    (tmp_path / "good1.owl").write_text(good)
+    (tmp_path / "broken.owl").write_text("<rdf:RDF <<< not xml")
+    with pytest.raises(Exception):
+        BX.read_rdfxml(spark, str(tmp_path)).collect()
+    rows = {r["doc_id"]: r for r in
+            BX.read_rdfxml(spark, str(tmp_path), permissive=True).collect()}
+    assert rows["broken"]["spans"] is None
+    assert rows["good1"]["spans"] is not None
+    assert len(rows["good1"]["spans"]) == 1
+
+
 def test_interner_distinguishes_xref_sets():
     """Entity references intern on the FULL xref set: a chebi
     UnificationXref and a chebiRole RelationshipXref with the same id
