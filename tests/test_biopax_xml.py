@@ -125,6 +125,38 @@ def test_interner_distinguishes_xref_sets():
 
 
 _REF_BIOPAX = "/root/reference/exchange/src/test/resources/biopax"
+_REF_CYC = "/root/reference/exchange/src/test/resources/cyc"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_BIOPAX),
+    reason="reference fixtures not present",
+)
+def test_every_reference_fixture_parses():
+    """EVERY real export in the reference's regression set — 10
+    Reactome + 7 MetaCyc/YeastCyc OWL files — parses into non-trivial,
+    offset-consistent spans (the corpus the reference's own converter
+    is tested on, Biopax2GOCmdLine.java's input directories)."""
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(_REF_BIOPAX, "*.owl"))) + sorted(
+        glob.glob(os.path.join(_REF_CYC, "*.owl"))
+    )
+    assert len(files) >= 17
+    for f in files:
+        doc_id, spans = BX.rdfxml_to_spans(
+            open(f, "rb").read(), doc_id=os.path.basename(f)[:-4]
+        )
+        assert spans, f
+        off = 0
+        for s in spans:
+            assert s["offset"] == off, (f, s)
+            off += len(s["text"]) + 1
+        # Reactome exports must yield structured pathway records
+        if "/biopax/" in f:
+            kinds = {s["kind"] for s in spans}
+            assert "pathway" in kinds and "reaction" in kinds, (f, kinds)
 
 
 @pytest.mark.skipif(
