@@ -508,11 +508,13 @@ def _canon_db(db: str) -> str:
 
 
 def _el_id(el: ET.Element) -> str:
-    """Element identity: rdf:about (fragment form) or rdf:ID (bare form
-    real Reactome exports use)."""
+    """Element identity: rdf:about (fragment-relative '#X' or absolute
+    'http://...#X' — reduced to the fragment, matching how _frag
+    resolves rdf:resource refs) or rdf:ID (bare form real Reactome
+    exports use)."""
     about = el.get(_Q["about"])
     if about:
-        return about.lstrip("#")
+        return _frag(about)
     return el.get(_Q["ID"]) or ""
 
 
@@ -671,7 +673,10 @@ def _parse_record(
     pairs: list[tuple[str, str]] = [("id", eid)]
     vals: dict[str, list[str]] = {"id": [eid]}
     is_disease = False
-    stoich: dict[str, str] = {}
+    # per-entity QUEUES, consumed in occurrence order — a complex with a
+    # repeated component id ('A:2,A:3') carries one Stoichiometry per
+    # occurrence, and last-wins collapsing would corrupt the coefficients
+    stoich: dict[str, list[str]] = {}
 
     def put(key: str, val: str) -> None:
         if key in vals:
@@ -733,7 +738,7 @@ def _parse_record(
                     elif _tag(s) == "stoichiometricCoefficient":
                         coeff = s.text or ""
                 if pe:
-                    stoich[pe] = coeff
+                    stoich.setdefault(pe, []).append(coeff)
         elif t == "cellularLocation":
             put("location", _vocab_term(c, idx))
         elif t == "feature":
@@ -796,7 +801,10 @@ def _parse_record(
     def val_of(key: str) -> str:
         vv = vals.get(key, [""])
         if key == "components" and stoich:
-            vv = [f"{v}:{stoich[v]}" if v in stoich else v for v in vv]
+            vv = [
+                f"{v}:{stoich[v].pop(0)}" if stoich.get(v) else v
+                for v in vv
+            ]
         return ",".join(vv) if key in _CSV_KEYS else vv[0]
 
     # attr order: the fidelity hint when present (it also restores
@@ -961,7 +969,13 @@ def write_rdfxml_files(documents: DataFrame, out_dir: str) -> int:
 
     def write_part(rows) -> None:
         for row in rows:
-            with open(os.path.join(out_dir, f"{row['doc_id']}.owl"), "w") as f:
+            # explicit utf-8: the XML declaration promises it, and the
+            # executor's locale codec must not decide the bytes
+            with open(
+                os.path.join(out_dir, f"{row['doc_id']}.owl"),
+                "w",
+                encoding="utf-8",
+            ) as f:
                 f.write(row["xml"])
 
     xml.foreachPartition(write_part)

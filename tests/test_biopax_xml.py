@@ -97,6 +97,49 @@ def test_permissive_quarantines_corrupt_files(spark, tmp_path):
     assert len(rows["good1"]["spans"]) == 1
 
 
+def test_repeated_component_coefficients_roundtrip():
+    """A complex repeating one component id with different coefficients
+    keeps per-occurrence Stoichiometry through the round-trip."""
+    spans = [
+        {"kind": "protein", "text": "id=A;displayName=a;uniprot=U-1",
+         "media_ref": "", "offset": 0},
+    ]
+    off = len(spans[0]["text"]) + 1
+    spans.append({"kind": "complex",
+                  "text": "id=C;displayName=c;components=A:2,A:3,A",
+                  "media_ref": "", "offset": off})
+    xml = BX.spans_to_rdfxml("stoich", spans)
+    _, rt = BX.rdfxml_to_spans(xml)
+    assert rt == spans
+
+
+def test_absolute_iri_about_resolves():
+    """Foreign exports that use absolute-IRI rdf:about: element ids
+    reduce to the fragment, so rdf:resource refs and the rdf:about
+    index agree (paxtools-style files mix both forms)."""
+    xml = f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="{BX.RDF}" xmlns:bp="{BX.BP}">
+ <bp:Protein rdf:about="http://reactome.org/biopax/72#e1">
+  <bp:entityReference rdf:resource="#pr1"/>
+ </bp:Protein>
+ <bp:ProteinReference rdf:about="http://reactome.org/biopax/72#pr1">
+  <bp:xref>
+   <bp:UnificationXref rdf:about="http://reactome.org/biopax/72#x1">
+    <bp:db>uniprot</bp:db><bp:id>P77777</bp:id>
+   </bp:UnificationXref>
+  </bp:xref>
+ </bp:ProteinReference>
+ <bp:BiochemicalReaction rdf:about="http://reactome.org/biopax/72#r1">
+  <bp:left rdf:resource="http://reactome.org/biopax/72#e1"/>
+ </bp:BiochemicalReaction>
+</rdf:RDF>"""
+    _, spans = BX.rdfxml_to_spans(xml, doc_id="abs")
+    prot = next(s for s in spans if s["kind"] == "protein")
+    assert "id=e1" in prot["text"] and "uniprot=P77777" in prot["text"]
+    rxn = next(s for s in spans if s["kind"] == "reaction")
+    assert "left=e1" in rxn["text"]
+
+
 def test_interner_distinguishes_xref_sets():
     """Entity references intern on the FULL xref set: a chebi
     UnificationXref and a chebiRole RelationshipXref with the same id
