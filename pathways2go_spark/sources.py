@@ -186,3 +186,108 @@ def read_pro_mapping(spark: SparkSession, path: str,
         F.split(F.col("_c1"), ":").getItem(1).alias("acc"),
         F.regexp_replace("_c0", ":", "_").alias("target_iri"),
     ).distinct()
+
+
+# ----------------------------------------------------------------------
+# S3 front door — OBO ontology format (the public text serialization of
+# GO/CHEBI; the reference consumes the same content as go-lego OWL via
+# OWLAPI, BioPaxtoGO.java GOLego init). read_obo produces the SAME
+# frame shapes dims.py loads from parquet, so a deployment can point at
+# go-basic.obo directly: terms + is_a edges + xrefs, and obo_ancestors
+# composes the is_a edges with dims.transitive_closure into the
+# (class_iri, ancestor_iri) dictionary every typing ladder broadcasts.
+# ----------------------------------------------------------------------
+
+_OBO_TERMS_SCHEMA = (
+    "class_iri string, name string, namespace string, is_obsolete boolean"
+)
+_OBO_EDGES_SCHEMA = "class_iri string, parent_iri string"
+_OBO_XREFS_SCHEMA = "xref string, class_iri string"
+_OBO_RELS_SCHEMA = "class_iri string, rel string, target_iri string"
+
+
+def _obo_token(curie: str) -> str:
+    """'GO:0003674' -> 'GO_0003674' (the repo's internal token form)."""
+    return curie.strip().replace(":", "_", 1)
+
+
+def parse_obo(text: str) -> tuple[list, list, list, list]:
+    """Pure-python OBO stanza parse -> (terms, is_a edges, xrefs,
+    relationships). Ontology files are dimension-bounded (the same
+    class of data every dims builder collects driver-side), so a
+    single-pass parse is right-sized; the DataFrame wrappers below run
+    it once inside an Arrow task and everything downstream is
+    distributed. Trailing '! label' comments and alt_id/obsolete
+    bookkeeping follow the OBO 1.2 spec."""
+    terms, edges, xrefs, rels = [], [], [], []
+    cur = None
+
+    def flush() -> None:
+        if cur and cur.get("id"):
+            terms.append((cur["id"], cur.get("name"), cur.get("namespace"),
+                          cur.get("obsolete", False)))
+
+    for raw in text.splitlines():
+        line = raw.strip()
+        if line.startswith("["):
+            flush()
+            cur = {} if line == "[Term]" else None
+            continue
+        if cur is None or not line or line.startswith("!"):
+            continue
+        key, _, val = line.partition(":")
+        val = val.split("!")[0].strip()
+        if key == "id":
+            cur["id"] = _obo_token(val)
+        elif key == "name":
+            cur["name"] = val
+        elif key == "namespace":
+            cur["namespace"] = val
+        elif key == "is_obsolete":
+            cur["obsolete"] = val == "true"
+        elif key == "is_a" and cur.get("id"):
+            edges.append((cur["id"], _obo_token(val)))
+        elif key == "xref" and cur.get("id"):
+            xrefs.append((val.split(" ")[0], cur["id"]))
+        elif key == "relationship" and cur.get("id"):
+            parts = val.split()
+            if len(parts) >= 2:
+                rels.append((cur["id"], parts[0], _obo_token(parts[1])))
+    flush()
+    return terms, edges, xrefs, rels
+
+
+def read_obo(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """OBO file -> (terms, is_a_edges, xrefs, relationships) DataFrames
+    (schemas match the parquet dims: xrefs is (xref, class_iri))."""
+    text = "\n".join(
+        r["value"] for r in spark.read.text(path, wholetext=True).collect()
+    )
+    terms, edges, xrefs, rels = parse_obo(text)
+    return (
+        spark.createDataFrame(terms, _OBO_TERMS_SCHEMA),
+        spark.createDataFrame(edges, _OBO_EDGES_SCHEMA),
+        spark.createDataFrame(xrefs, _OBO_XREFS_SCHEMA),
+        spark.createDataFrame(rels, _OBO_RELS_SCHEMA),
+    )
+
+
+def obo_ancestors(spark: SparkSession, path: str) -> DataFrame:
+    """OBO file -> (class_iri, ancestor_iri) transitive is_a closure
+    INCLUDING self — a drop-in for the onto_ancestors dim (obsolete
+    terms keep their self-row but contribute no edges upward, matching
+    the deprecated-term reporting the K3 reports do)."""
+    from pathways2go_spark.dims import transitive_closure
+
+    terms, edges, _, _ = read_obo(spark, path)
+    closure = transitive_closure(
+        edges.withColumnRenamed("class_iri", "cls")
+        .withColumnRenamed("parent_iri", "anc"),
+        "cls", "anc", include_self=False,
+    ).select(F.col("cls").alias("class_iri"), F.col("anc").alias("ancestor_iri"))
+    selfs = terms.select(
+        F.col("class_iri"), F.col("class_iri").alias("ancestor_iri")
+    )
+    return selfs.unionByName(closure).distinct()

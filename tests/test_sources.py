@@ -102,3 +102,117 @@ def test_pro_mapping(spark, tsv_dir):
     }
     exact = {tuple(r) for r in S.read_pro_mapping(spark, str(p), "exact").collect()}
     assert exact == {("pro_exact", "R-HSA-2", "PR_000000032")}
+
+
+_OBO = """format-version: 1.2
+ontology: go
+
+[Term]
+id: GO:0003674
+name: molecular_function
+namespace: molecular_function
+
+[Term]
+id: GO:0003824
+name: catalytic activity
+namespace: molecular_function
+xref: EC:1.-.-.-
+is_a: GO:0003674 ! molecular_function
+
+[Term]
+id: GO:0016616
+name: oxidoreductase activity
+xref: EC:1.1.1.1
+xref: MetaCyc:RXN-123
+is_a: GO:0003824 ! catalytic activity
+
+[Term]
+id: GO:0000001
+name: old term
+is_obsolete: true
+
+[Term]
+id: GO:0005829
+name: cytosol
+namespace: cellular_component
+relationship: part_of GO:0005737 ! cytoplasm
+
+[Typedef]
+id: part_of
+name: part of
+"""
+
+
+def test_read_obo_and_closure(spark, tmp_path):
+    """OBO front door for the S3 dims: stanza parse, token ids, xref
+    multimap, is_a transitive closure incl. self, obsolete flag,
+    relationship rows; Typedef stanzas ignored."""
+    p = tmp_path / "go-basic.obo"
+    p.write_text(_OBO)
+    terms, edges, xrefs, rels = S.read_obo(spark, str(p))
+    t = {r["class_iri"]: r for r in terms.collect()}
+    assert set(t) == {"GO_0003674", "GO_0003824", "GO_0016616",
+                      "GO_0000001", "GO_0005829"}
+    assert t["GO_0003824"]["namespace"] == "molecular_function"
+    assert t["GO_0000001"]["is_obsolete"] is True
+    assert {tuple(r) for r in edges.collect()} == {
+        ("GO_0003824", "GO_0003674"), ("GO_0016616", "GO_0003824")}
+    assert {tuple(r) for r in xrefs.collect()} == {
+        ("EC:1.-.-.-", "GO_0003824"), ("EC:1.1.1.1", "GO_0016616"),
+        ("MetaCyc:RXN-123", "GO_0016616")}
+    assert {tuple(r) for r in rels.collect()} == {
+        ("GO_0005829", "part_of", "GO_0005737")}
+    anc = {tuple(r) for r in S.obo_ancestors(spark, str(p)).collect()}
+    # transitive + self, exactly the onto_ancestors dim shape
+    assert ("GO_0016616", "GO_0003674") in anc          # grandparent
+    assert ("GO_0016616", "GO_0016616") in anc          # self
+    assert ("GO_0000001", "GO_0000001") in anc          # obsolete self-only
+    assert not any(a == "GO_0000001" and b != "GO_0000001" for a, b in anc)
+
+
+def test_obo_ancestors_drive_pipeline(spark, tmp_path):
+    """The drop-in claim, proven end to end: serialize the fixture
+    ontology's transitive REDUCTION as an OBO file, rebuild the
+    onto_ancestors dim through read_obo + the closure job, and the
+    full golden suite must still hold P/R == 1.0 — ontology-from-OBO
+    is exactly ontology-from-parquet."""
+    from dataclasses import replace
+
+    from pathways2go_spark.datagen import ensure_fixture
+    from pathways2go_spark.dims import load_dims
+    from pathways2go_spark.ingest import read_documents
+    from pathways2go_spark.pipeline import precision_recall, run_pipeline
+    from tests.conftest import FIXTURE_DIR
+
+    paths = ensure_fixture(FIXTURE_DIR, replicas=1)
+    dims = load_dims(spark, FIXTURE_DIR)
+    anc = {(r["class_iri"], r["ancestor_iri"])
+           for r in dims.onto_ancestors.collect()}
+    strict = {(c, a) for c, a in anc if c != a}
+    # transitive reduction: drop (c,a) when some b chains c->b->a
+    direct = {
+        (c, a) for c, a in strict
+        if not any((c, b) in strict and (b, a) in strict
+                   for b in {x[1] for x in strict if x[0] == c} - {c, a})
+    }
+    by_cls = {}
+    for c, a in direct:
+        by_cls.setdefault(c, set()).add(a)
+    lines = ["format-version: 1.2", ""]
+    for cls in sorted({c for c, _ in anc}):
+        lines += ["[Term]", f"id: {cls.replace('_', ':', 1)}",
+                  f"name: {cls}"]
+        for a in sorted(by_cls.get(cls, ())):
+            lines.append(f"is_a: {a.replace('_', ':', 1)}")
+        lines.append("")
+    p = tmp_path / "fixture.obo"
+    p.write_text("\n".join(lines))
+    rebuilt = S.obo_ancestors(spark, str(p))
+    got = {tuple(r) for r in rebuilt.collect()}
+    assert got == anc, (len(got - anc), len(anc - got))
+    dims2 = replace(dims, onto_ancestors=rebuilt)
+    docs = read_documents(spark, paths["documents"])
+    res = run_pipeline(spark, docs, dims2)
+    expected = spark.read.parquet(paths["expected_triples"])
+    pr = precision_recall(res.triples, expected)
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
