@@ -291,3 +291,21 @@ def obo_ancestors(spark: SparkSession, path: str) -> DataFrame:
         F.col("class_iri"), F.col("class_iri").alias("ancestor_iri")
     )
     return selfs.unionByName(closure).distinct()
+
+
+def read_gpad(spark: SparkSession, path: str) -> DataFrame:
+    """K4b front door — GPAD 1.2 TSV (the reference diffs against real
+    Reactome GPAD files, ReactomeGPAD.java:113-194): '!'-comment
+    header, positional columns DB / DB_Object_ID / Qualifier / GO_ID /
+    Reference / Evidence / ... . Produces the exact frame
+    analytics.gpad_compare consumes as `reference` (db, db_object_id,
+    qualifier, go_id, reference), with GO CURIEs reduced to the
+    internal token form (GO:0003674 -> GO_0003674). JVM-side parse."""
+    df = _tsv(spark, path, comment="!")
+    return df.select(
+        F.col("_c0").alias("db"),
+        F.col("_c1").alias("db_object_id"),
+        F.col("_c2").alias("qualifier"),
+        F.regexp_replace("_c3", ":", "_").alias("go_id"),
+        F.col("_c4").alias("reference"),
+    ).distinct()

@@ -216,3 +216,32 @@ def test_obo_ancestors_drive_pipeline(spark, tmp_path):
     expected = spark.read.parquet(paths["expected_triples"])
     pr = precision_recall(res.triples, expected)
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
+
+
+def test_read_gpad_feeds_compare(spark, tmp_path):
+    """A real GPAD 1.2 TSV drives the K4b diff directly: comment
+    header skipped, GO CURIEs tokenized, shape == gpad_compare's
+    reference input."""
+    from pathways2go_spark.analytics import gpad_compare
+
+    p = tmp_path / "existing.gpad"
+    p.write_text(
+        "!gpa-version: 1.2\n"
+        "!generated-by: test\n"
+        "UniProtKB\tP1\tenables\tGO:0016616\tm1\tECO:0000313\t\t\t20260821\ttest\t\t\n"
+        "UniProtKB\tP2\tinvolved_in\tGO:0008150\tm1\tECO:0000313\t\t\t20260821\ttest\t\t\n"
+    )
+    ref = S.read_gpad(spark, str(p))
+    rows = {tuple(r) for r in ref.collect()}
+    assert rows == {
+        ("UniProtKB", "P1", "enables", "GO_0016616", "m1"),
+        ("UniProtKB", "P2", "involved_in", "GO_0008150", "m1"),
+    }
+    exported = spark.createDataFrame(
+        [("UniProtKB", "P1", "enables", "GO_0016616", "m1"),
+         ("UniProtKB", "P3", "enables", "GO_0003824", "m1")],
+        ["db", "db_object_id", "qualifier", "go_id", "reference"],
+    )
+    st = {(r["db_object_id"], r["status"])
+          for r in gpad_compare(exported, ref).collect()}
+    assert st == {("P1", "overlap"), ("P2", "missing"), ("P3", "extra")}
