@@ -249,6 +249,51 @@ def q_kg_biopax_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.triples.select("model_id", "subj", "pred", "obj").distinct()
 
 
+def q_kg_obo_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBO ontology front door under the full oracle gate: the fixture
+    ontology's transitive REDUCTION is serialized as a real OBO file
+    (is_a stanzas), re-read through sources.read_obo, and re-closed by
+    the distributed closure job (sources.obo_ancestors) — the result
+    must hash-match the onto_ancestors parquet dim the pipeline
+    broadcasts. Two front doors (parquet / go-basic.obo), one truth.
+    The reduction is computed driver-side from the ontology dim —
+    ontology-bounded, the same class as every dims builder collect."""
+    import os
+    import tempfile
+
+    from pathways2go_spark.sources import obo_ancestors
+
+    paths = _fx()
+    anc = {
+        (r["class_iri"], r["ancestor_iri"])
+        for r in spark.read.parquet(paths["onto_ancestors"]).collect()
+    }
+    strict = {(c, a) for c, a in anc if c != a}
+    children = {}
+    for c, a in strict:
+        children.setdefault(c, set()).add(a)
+    direct = {
+        (c, a) for c, a in strict
+        if not any(
+            (b, a) in strict for b in children.get(c, ()) if b not in (c, a)
+        )
+    }
+    by_cls = {}
+    for c, a in direct:
+        by_cls.setdefault(c, set()).add(a)
+    lines = ["format-version: 1.2", ""]
+    for cls in sorted({c for c, _ in anc}):
+        lines += ["[Term]", f"id: {cls.replace('_', ':', 1)}", f"name: {cls}"]
+        lines += [
+            f"is_a: {a.replace('_', ':', 1)}" for a in sorted(by_cls.get(cls, ()))
+        ]
+        lines.append("")
+    obo_path = os.path.join(tempfile.mkdtemp(prefix="p2g_obo_"), "fixture.obo")
+    with open(obo_path, "w") as f:
+        f.write("\n".join(lines))
+    return obo_ancestors(spark, obo_path)
+
+
 def q_kg_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 structural validation: all checks must return zero violations
     on the final corpus (the reference's consistency gate)."""
@@ -3434,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gpad_diff": q_kg_gpad_diff,
         "kg_biopax": q_kg_biopax,
         "kg_biopax_ingest": q_kg_biopax_ingest,
+        "kg_obo_dims": q_kg_obo_dims,
         "kg_validation": q_kg_validation,
         "kg_shex": q_kg_shex,
         "kg_unclassified": q_kg_unclassified,
@@ -4231,6 +4277,12 @@ def oracle_sql() -> dict[str, str]:
         # the XML round-trip must land on the same golden triples the
         # span path is held to — one oracle, two front doors
         "kg_biopax_ingest": f"SELECT model_id, subj, pred, obj FROM '{tri}'",
+        # the OBO round-trip must rebuild the ancestors dim exactly —
+        # two ontology front doors (parquet / OBO text), one oracle
+        "kg_obo_dims": (
+            "SELECT class_iri, ancestor_iri FROM "
+            f"'{fx['onto_ancestors']}'"
+        ),
         "kg_merge": f"""
             WITH base AS (
               SELECT model_id, subj, pred, min(obj) AS obj
